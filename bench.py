@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ...}
+
+Each query is executed to completion (count of the result) so the full
+plan — scan, shuffle, agg — is measured, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hfcommunity_spark.queries import all_queries
+from hfcommunity_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="hfcommunity-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    # Warm the JVM + parquet footer cache once, outside the timings.
+    next(iter(specs.values())).spark(spark, sf_dir).count()
+
+    for name, spec in sorted(specs.items()):
+        t0 = time.monotonic()
+        spec.spark(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_inventory_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""IO layer: testdata loaders, snapshot-dir Parquet writes, JDBC parity.
+
+The reference's only sink is row-at-a-time MariaDB INSERTs
+(extractor/databaseImport.py:276-806); its release artifact is a monthly
+dump (README.md:15).  Our canonical storage is partitioned Parquet with
+immutable snapshot directories (``release=YYYY-MM``) written atomically
+(build new dir, swap pointer) — the set-oriented equivalent of D4
+idempotent re-runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Driver-generated synthetic tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan → column pruning and
+    predicate pushdown happen automatically once the caller selects /
+    filters (verify with .explain: PushedFilters / ReadSchema).
+
+    events.ts is written as parquet TIMESTAMP(NANOS) which Spark has no
+    native type for: read nanos as long (legacy conf, runtime-settable)
+    and convert to a microsecond TimestampType.  The generator emits
+    whole-microsecond values, so the ns→us conversion is lossless.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_snapshot(df: DataFrame, base_dir: str, table: str, release: str,
+                   partition_by: list[str] | None = None) -> str:
+    """Write an immutable snapshot dir ``{base}/{table}/release={release}``.
+
+    Spark's directory-level commit protocol makes the write all-or-
+    nothing; re-running a month overwrites only that month's partition —
+    the idempotency the reference gets from INSERT IGNORE / upserts
+    (databaseImport.py:277,:641) without read-modify-write.
+    """
+    path = f"{base_dir}/{table}/release={release}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               **options) -> None:
+    """MariaDB-parity sink (reference sink: databaseImport.py:130,:312).
+    Not exercised in tests (no DB in the container); kept as the
+    documented escape hatch for drop-in replacement of the reference."""
+    df.write.mode(mode).options(**options).jdbc(url, table)
