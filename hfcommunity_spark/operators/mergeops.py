@@ -1,0 +1,306 @@
+"""Merge semantics of the reference ETL (SURVEY §2.8) as reusable,
+set-oriented operators.
+
+The reference writes row-at-a-time with three distinct conflict
+semantics (all against MariaDB unique keys):
+
+- D1 ``INSERT IGNORE``           — first writer wins, existing row
+  untouched (tags databaseImport.py:277, authors :392-396, commits
+  :401, events :523-536, ...)
+- D2 ``ON DUPLICATE KEY UPDATE`` — upsert of an *enumerated* column
+  list, last writer wins (repository :641, model :648, repo_file :312,
+  discussion status-only :491, author full-profile :515)
+- D3 partial UPDATE of stale rows — update-only, restricted columns
+  (likes/downloads for repos older than the watermark, :609-618)
+- U1 priority union               — author rows from three sources
+  ("commit" :392, "hf" :474, "hf_owner" :629) where richer sources
+  overwrite stubs (:513-518)
+
+Spark has no unique keys, so these become joins.  Every function is a
+pure DataFrame→DataFrame transform: shuffle-once on the PK, broadcast-
+friendly, and deterministic given an explicit ``order_by`` (Spark has
+no insertion order — the reference's implicit arrival order must be
+made explicit, SURVEY §7 risk list).
+
+At 100 TB: the PK join is the only shuffle; when ``existing`` is a
+bucketed/partitioned snapshot on the PK, Catalyst avoids re-shuffling
+it, and AQE handles skewed keys (mega-repo pathology the reference
+sidesteps with skip thresholds, databaseImport.py:374-382).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.registry import query
+
+_E, _U = "__merge_e", "__merge_u"
+
+
+def _first_per_key(df: DataFrame, pk: Sequence[str],
+                   order_by: Sequence[str] | None) -> DataFrame:
+    """Deterministic within-batch dedup: first row per PK under
+    ``order_by`` (replaces the reference's arrival order)."""
+    if order_by is None:
+        return df.dropDuplicates(list(pk))
+    w = Window.partitionBy(*pk).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def insert_ignore(existing: DataFrame, incoming: DataFrame,
+                  pk: Sequence[str],
+                  order_by: Sequence[str] | None = None) -> DataFrame:
+    """D1: insert rows whose PK is absent; existing rows untouched.
+
+    ``existing`` must already be PK-unique (pass an empty frame to
+    bootstrap). Within ``incoming``, first row per PK under
+    ``order_by`` wins — the set-at-a-time equivalent of MariaDB
+    INSERT IGNORE's first-arrival semantics.
+    """
+    fresh = _first_per_key(incoming, pk, order_by)
+    new_rows = fresh.join(existing.select(*pk), list(pk), "left_anti")
+    return existing.unionByName(new_rows)
+
+
+def upsert(existing: DataFrame, updates: DataFrame, pk: Sequence[str],
+           update_cols: Sequence[str] | None = None,
+           order_by: Sequence[str] | None = None) -> DataFrame:
+    """D2: MariaDB ``INSERT ... ON DUPLICATE KEY UPDATE col=...``.
+
+    Matched keys: overwrite *only* ``update_cols`` (the reference
+    enumerates them per table — discussion updates only ``status``,
+    databaseImport.py:491); unmatched update rows are inserted whole;
+    unmatched existing rows pass through. Last writer wins within
+    ``updates`` (``order_by`` descending-first should be arranged by
+    the caller via the ordering columns).
+    """
+    update_cols = list(update_cols or
+                       [c for c in updates.columns if c not in pk])
+    fresh = _first_per_key(updates, pk, order_by)
+    e = existing.withColumn(_E, F.lit(True)).alias("e")
+    u = fresh.withColumn(_U, F.lit(True)).alias("u")
+    joined = e.join(u, list(pk), "full_outer")
+    matched_u = F.col(_U).isNotNull()
+    matched_e = F.col(_E).isNotNull()
+    out = []
+    for c in existing.columns:
+        if c in pk:
+            out.append(F.col(c))
+        elif c in update_cols:
+            out.append(
+                F.when(matched_u, F.col(f"u.{c}"))
+                .otherwise(F.col(f"e.{c}"))
+                .alias(c)
+            )
+        else:
+            out.append(
+                F.when(matched_e, F.col(f"e.{c}"))
+                .otherwise(F.col(f"u.{c}") if c in fresh.columns else F.lit(None))
+                .alias(c)
+            )
+    return joined.select(*out)
+
+
+def partial_update(existing: DataFrame, updates: DataFrame,
+                   pk: Sequence[str], update_cols: Sequence[str],
+                   order_by: Sequence[str] | None = None) -> DataFrame:
+    """D3: UPDATE-only (no inserts) of a restricted column list — the
+    stale-row likes/downloads refresh (databaseImport.py:609-618)."""
+    fresh = _first_per_key(updates, pk, order_by)
+    e = existing.alias("e")
+    u = fresh.withColumn(_U, F.lit(True)).alias("u")
+    joined = e.join(u, list(pk), "left")
+    matched = F.col(_U).isNotNull()
+    out = []
+    for c in existing.columns:
+        if c in pk:
+            out.append(F.col(c))
+        elif c in update_cols:
+            out.append(
+                F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
+            )
+        else:
+            out.append(F.col(f"e.{c}").alias(c))
+    return joined.select(*out)
+
+
+def priority_union(sources: Sequence[tuple[DataFrame, int]],
+                   pk: Sequence[str],
+                   order_by: Sequence[str] | None = None) -> DataFrame:
+    """U1: union rows from ranked sources; per PK the highest-priority
+    source wins (author streams "hf" > "hf_owner" > "commit" stubs,
+    databaseImport.py:392-396,:474,:513-518,:629)."""
+    tagged = [
+        df.withColumn("__prio", F.lit(prio)) for df, prio in sources
+    ]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t, allowMissingColumns=True)
+    order = [F.desc("__prio")] + [F.col(c) for c in (order_by or [])]
+    w = Window.partitionBy(*pk).orderBy(*order)
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared, oracle-checked demonstrations on the driver tables
+# ---------------------------------------------------------------------------
+
+_SPLIT = "TIMESTAMP '2024-01-16'"
+
+
+@query(
+    "d1_insert_ignore_first_writer",
+    f"""
+    WITH b1 AS (SELECT * FROM events WHERE ts < {_SPLIT}),
+         b2 AS (SELECT * FROM events WHERE ts >= {_SPLIT}),
+         k1 AS (SELECT user_id, event_type, event_id, ts FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
+                  FROM b1) WHERE rn = 1),
+         k2 AS (SELECT user_id, event_type, event_id, ts FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
+                  FROM b2) WHERE rn = 1)
+    SELECT * FROM k1
+    UNION ALL
+    SELECT k2.* FROM k2 WHERE NOT EXISTS (
+      SELECT 1 FROM k1 WHERE k1.user_id = k2.user_id
+                         AND k1.event_type = k2.event_type)
+    """,
+    survey="D1,A9,U1",
+)
+def d1_insert_ignore_first_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT IGNORE replay: load batch 1 then batch 2 of events keyed
+    by (user_id, event_type); first writer (by ts, event_id) wins."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    b1, b2 = ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split)
+    pk, order = ["user_id", "event_type"], ["ts", "event_id"]
+    existing = insert_ignore(b1.limit(0), b1, pk, order)
+    return insert_ignore(existing, b2, pk, order)
+
+
+@query(
+    "d2_upsert_last_writer",
+    f"""
+    WITH b1 AS (SELECT * FROM events WHERE ts < {_SPLIT}),
+         b2 AS (SELECT * FROM events WHERE ts >= {_SPLIT}),
+         e AS (SELECT user_id, event_type, event_id, ts, value FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn
+                 FROM b1) WHERE rn = 1),
+         u AS (SELECT user_id, event_type, event_id, ts, value FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn
+                 FROM b2) WHERE rn = 1)
+    SELECT COALESCE(u.user_id, e.user_id) AS user_id,
+           COALESCE(u.event_type, e.event_type) AS event_type,
+           CASE WHEN u.user_id IS NOT NULL THEN u.ts ELSE e.ts END AS ts,
+           CASE WHEN u.user_id IS NOT NULL THEN u.value ELSE e.value END AS value,
+           CASE WHEN e.user_id IS NOT NULL THEN e.event_id ELSE u.event_id END
+             AS event_id
+    FROM e FULL JOIN u
+      ON e.user_id = u.user_id AND e.event_type = u.event_type
+    """,
+    survey="D2,W4",
+)
+def d2_upsert_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON DUPLICATE KEY UPDATE replay: snapshot of the latest event per
+    (user_id, event_type) upserted with a *listed* column set
+    {ts, value} — event_id keeps the existing value on matches,
+    mirroring the reference's per-table column lists (e.g. discussion
+    updates only status, databaseImport.py:491)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    pk = ["user_id", "event_type"]
+    latest = ["ts", "event_id"]
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*pk).orderBy(*[F.desc(c) for c in latest])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    existing = latest_per_key(ev.filter(F.col("ts") < split))
+    updates = latest_per_key(ev.filter(F.col("ts") >= split))
+    return upsert(existing, updates, pk, update_cols=["ts", "value"])
+
+
+@query(
+    "d3_partial_update_stale",
+    """
+    SELECT c_custkey, c_name, c_mktsegment,
+           CASE WHEN u.o_custkey IS NOT NULL THEN u.new_bal
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, MAX(o_totalprice) AS new_bal
+      FROM orders GROUP BY o_custkey
+    ) u ON c.c_custkey = u.o_custkey
+    """,
+    survey="D3,P2",
+)
+def d3_partial_update_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-row partial UPDATE replay (likes/downloads-only refresh,
+    databaseImport.py:609-618): customers get c_acctbal refreshed from
+    their max order price; no inserts, other columns untouched."""
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    updates = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max("o_totalprice").alias("c_acctbal"))
+    )
+    return partial_update(customer, updates, ["c_custkey"], ["c_acctbal"])
+
+
+@query(
+    "u1_priority_union_sources",
+    """
+    WITH all_src AS (
+      SELECT s_nationkey AS key, s_name AS name, 'supplier' AS source,
+             1 AS priority FROM supplier
+      UNION ALL
+      SELECT c_nationkey, c_name, 'customer', 2 FROM customer
+    )
+    SELECT key, name, source FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY key ORDER BY priority DESC, name) rn
+      FROM all_src) WHERE rn = 1
+    """,
+    survey="U1,U2",
+)
+def u1_priority_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged priority union replay (author streams, SURVEY §2.7 U1):
+    per key the higher-priority source wins, name as tie-break."""
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("source"),
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("source"),
+    )
+    return priority_union(
+        [(supplier, 1), (customer, 2)], pk=["key"], order_by=["name"]
+    )
