@@ -1,0 +1,274 @@
+"""Deduplication operators for LLM-data pipelines (north-star X-UD5):
+exact, n-gram Jaccard, MinHash+LSH, SimHash — all over ``documents``.
+
+Scale design (the point of each variant):
+- exact:        one shuffle on a 32-byte hash — linear, skew-free.
+- ngram-jaccard: candidate generation via shingle equi-join (only docs
+  sharing a rare shingle ever meet) — avoids the O(n²) cross join.
+- minhash-LSH:  k minhashes per doc via array ops (no explode, no UDF),
+  banded so probability of candidate generation tracks similarity;
+  at 100 TB the band join is the only shuffle and its key space is
+  uniform by construction (hash values).
+- simhash:      64-bit signature via bit aggregation, candidates by
+  16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
+  verify with bit_count(xor) ≤ 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.registry import query
+
+NGRAM = 5
+
+
+def _shingle_expr(n: int) -> str:
+    """SQL expression for the word n-gram shingle array over a column
+    ``w = split(text, ' ')`` ([] is 0-based in Spark SQL)."""
+    parts = ", ".join(f"w[i + {j}]" for j in range(n))
+    return (
+        f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {parts}))"
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, shingle) distinct pairs for docs with ≥ n tokens."""
+    with_words = docs.withColumn("w", F.split(F.col("text"), " ")).filter(
+        F.size("w") >= n
+    )
+    return (
+        with_words.select(
+            "doc_id", F.explode(F.expr(_shingle_expr(n))).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "dd_exact_duplicates",
+    """
+    SELECT sha256(text) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY fingerprint
+    """,
+    survey="X-UD5,A9,D1",
+)
+def dd_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint; the
+    canonical survivor is the minimum doc_id (deterministic
+    first-writer, D1 semantics)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2(F.col("text"), 256).alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+@query(
+    "dd_ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - {NGRAM - 2}),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+           FROM toks WHERE len(w) >= {NGRAM}),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS shared
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, shared,
+           CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    """,
+    survey="X-UD5,J5,A9",
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by 5-gram Jaccard: docs meet only through a
+    shared shingle (equi-join), never via cross product; similarity is
+    exact set Jaccard with integer counts (bit-stable division)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, NGRAM)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+MINHASH_K = 16  # signatures
+MINHASH_BANDS = 4  # bands of r = 4 rows
+
+
+def minhash_signature(n_hashes: int = MINHASH_K) -> Column:
+    """Array of k minhashes: min over shingles of a seeded xxhash64.
+    Array ops only — no explode, no shuffle, no Python."""
+    mins = [
+        F.array_min(
+            F.expr(
+                f"transform(shingles, s -> xxhash64({seed}, s))"
+            )
+        )
+        for seed in range(n_hashes)
+    ]
+    return F.array(*mins)
+
+
+@query("dd_minhash_lsh_pairs", None, survey="X-UD5,UD1,J9")
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs: k=16 seeded-xxhash64 minhashes per
+    doc, banded 4×4; docs sharing a band hash become candidates and are
+    verified with the estimated signature similarity.  Deterministic
+    (fixed seeds) but xxhash64 has no DuckDB twin → rows-only check."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_sh = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .filter(F.size("w") >= NGRAM)
+        .withColumn("shingles", F.array_distinct(F.expr(_shingle_expr(NGRAM))))
+        .select("doc_id", "shingles")
+        .withColumn("sig", minhash_signature())
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    bands = with_sh.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[band * r + j] for j in range(r)]
+                        ).alias("bhash"),
+                    )
+                    for band in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "sig", "bh.band", "bh.bhash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    matches = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        (matches.cast("double") / MINHASH_K).alias("est_similarity"),
+    )
+
+
+SIMHASH_BITS = 63  # avoid the sign bit so the signature stays a positive long
+
+
+def simhash() -> Column:
+    """63-bit SimHash over a prepared ``_sh_hashes`` array<long> column:
+    per bit, majority vote of the hashes' bits; shift/and/sum — all JVM."""
+    total = F.size(F.col("_sh_hashes"))
+    bit_cols = []
+    for b in range(SIMHASH_BITS):
+        ones = F.expr(
+            f"aggregate(_sh_hashes, 0L, (acc, h) -> acc + ((h >> {b}) & 1))"
+        )
+        bit_cols.append(F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+@query("dd_simhash_near_dups", None, survey="X-UD5,J9")
+def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 63-bit signatures, candidates via 16-bit
+    chunk equality (pigeonhole for hamming ≤ 3), verified with
+    bit_count(xor).  rows-only check (xxhash64 has no DuckDB twin)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .withColumn(
+            "_sh_hashes",
+            F.expr("transform(array_distinct(w), t -> xxhash64(t))"),
+        )
+        .select("doc_id", simhash().alias("simhash"))
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )

@@ -1,0 +1,167 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2.11 X-UD5,
+BASELINE.json north star) over the ``documents`` table.
+
+All hot-path expressions are JVM-side built-ins (whole-stage codegen;
+no Python row loop).  Arithmetic is integer-exact with a single final
+double division so the DuckDB oracle hashes bit-identically.
+
+The only reference-code analog is the clean-text call
+(databaseImport.py:635) — the rest is the capability set the north
+star mandates beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.registry import query
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count via length arithmetic — identical in any
+    engine (no regex-dialect dependence): tokens = chars − non-space
+    chars + 1 for single-space-separated text."""
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    )
+
+
+@query(
+    "t_token_stats",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+             AS avg_token_len
+    FROM documents
+    """,
+    survey="X-UD5,F12",
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token counting for training-data
+    budgeting)."""
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nospace = F.length(F.regexp_replace(text, " ", ""))
+    ntok = F.length(text) - nospace + F.lit(1)
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        ntok.alias("n_tokens"),
+        (nospace.cast("double") / ntok).alias("avg_token_len"),
+    )
+
+
+@query(
+    "t_lang_id_heuristic",
+    """
+    SELECT lang,
+           CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
+                WHEN ' ' || text || ' ' LIKE '% der %'
+                  OR ' ' || text || ' ' LIKE '% und %' THEN 'de'
+                WHEN ' ' || text || ' ' LIKE '% le %'
+                  OR ' ' || text || ' ' LIKE '% et %' THEN 'fr'
+                WHEN ' ' || text || ' ' LIKE '% el %'
+                  OR ' ' || text || ' ' LIKE '% la %' THEN 'es'
+                ELSE 'unk' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang, predicted_lang
+    """,
+    survey="X-UD5",
+)
+def t_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-presence language ID; output is the confusion matrix
+    against the labeled ``lang`` column.  (An n-gram-profile model slots
+    in behind the same signature; on this synthetic shared-vocab corpus
+    the stopword heuristic is the honest baseline.)"""
+    docs = read_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def has(word: str) -> Column:
+        return padded.like(f"% {word} %")
+
+    predicted = (
+        F.when(has("the"), "en")
+        .when(has("der") | has("und"), "de")
+        .when(has("le") | has("et"), "fr")
+        .when(has("el") | has("la"), "es")
+        .otherwise("unk")
+    )
+    return docs.groupBy("lang", predicted.alias("predicted_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "t_quality_score",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LENGTH(text)
+             AS ink_ratio,
+           CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 30
+                  THEN 'short'
+                WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 70
+                  THEN 'medium'
+                ELSE 'long' END AS length_bucket,
+           (' ' || text || ' ' LIKE '% the %') AS has_stopword
+    FROM documents
+    """,
+    survey="X-UD5,A5",
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal extraction: ink ratio (non-space density), length
+    bucket, stopword presence — the filter basis of a pretraining
+    cleaning pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nospace = F.length(F.regexp_replace(text, " ", ""))
+    ntok = F.length(text) - nospace + F.lit(1)
+    return docs.select(
+        "doc_id",
+        (nospace.cast("double") / F.length(text)).alias("ink_ratio"),
+        F.when(ntok < 30, "short")
+        .when(ntok < 70, "medium")
+        .otherwise("long")
+        .alias("length_bucket"),
+        F.concat(F.lit(" "), text, F.lit(" ")).like("% the %").alias("has_stopword"),
+    )
+
+
+@query(
+    "t_doc_fingerprint",
+    """
+    SELECT doc_id, sha256(text) AS fingerprint,
+           LENGTH(text) AS n_chars
+    FROM documents
+    """,
+    survey="X-UD5,F1",
+)
+def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash document fingerprint — the join key for exact dedup
+    across shards/releases."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query("t_rolling_hash_fingerprint", None, survey="X-UD5")
+def t_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token stream (shift-resistant
+    fingerprint).  Pure JVM fold (aggregate over split) — modular
+    arithmetic keeps every intermediate in-range under ANSI mode.
+    xxhash64 seeds differ across engines → rows-only check."""
+    docs = read_table(spark, sf_dir, "documents")
+    p = 2147483647  # 2^31 - 1
+    expr = (
+        "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
+        f"(acc, w) -> pmod(acc * 31 + pmod(xxhash64(w), {p}) + {p}, {p}))"
+    )
+    return docs.select("doc_id", F.expr(expr).alias("rolling_fp"))

@@ -29,6 +29,10 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
+    from hfcommunity_spark.operators import multimodal  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from hfcommunity_spark.streaming import batch_parity  # noqa: F401
 except ImportError:  # pragma: no cover
     pass

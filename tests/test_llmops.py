@@ -1,0 +1,106 @@
+"""Behavioral tests for the LLM-pipeline operators: planted duplicates
+must be found, signatures must behave like the algorithms they claim,
+the multimodal stub must be explicit."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.operators.dedup import (
+    NGRAM,
+    doc_shingles,
+    minhash_signature,
+    _shingle_expr,
+)
+from hfcommunity_spark.operators.multimodal import (
+    byte_features_batches,
+    decode_media,
+)
+from hfcommunity_spark.operators.similarity import cosine, lsh_bucket
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    near = BASE.replace("today", "tonight")  # one-token edit
+    other = "completely different words about spark shuffles and parquet files here"
+    docs = _docs(
+        spark,
+        [
+            {"doc_id": 1, "text": BASE},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": other},
+        ],
+    )
+    sigs = (
+        docs.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= NGRAM)
+        .withColumn("shingles", F.array_distinct(F.expr(_shingle_expr(NGRAM))))
+        .select("doc_id", minhash_signature().alias("sig"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.sig for r in sigs}
+    shared_near = sum(a == b for a, b in zip(by_id[1], by_id[2]))
+    shared_far = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert shared_near > shared_far  # signature similarity tracks Jaccard
+    assert shared_far == 0  # disjoint shingle sets
+
+
+def test_exact_duplicate_same_signature(spark):
+    docs = _docs(
+        spark, [{"doc_id": 1, "text": BASE}, {"doc_id": 2, "text": BASE}]
+    )
+    sh = doc_shingles(docs).groupBy("doc_id").count().collect()
+    assert len({r["count"] for r in sh}) == 1
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0], [1.0, 0.0, 2.0]), (2, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+        ["id", "a", "b"],
+    )
+    got = {r.id: r.c for r in df.select("id", cosine("a", "b").alias("c")).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+
+
+def test_lsh_bucket_deterministic_and_locality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0] * 64),
+            (2, [1.0] * 63 + [1.001]),  # near-identical → same bucket
+            (3, [-1.0] * 64),           # antipodal → complementary bucket
+        ],
+        ["id", "e"],
+    )
+    got = {r.id: r.b for r in df.select("id", lsh_bucket("e").alias("b")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    # rerun → identical buckets (fixed-seed planes baked into the plan)
+    again = {r.id: r.b for r in df.select("id", lsh_bucket("e").alias("b")).collect()}
+    assert got == again
+
+
+def test_byte_features_deterministic():
+    pdf = pd.DataFrame(
+        {"media_id": [1, 2], "payload": [b"abcabc", None]}
+    )
+    out = pd.concat(list(byte_features_batches(iter([pdf]))))
+    r1 = out[out.media_id == 1].iloc[0]
+    assert r1.n_bytes == 6
+    assert r1.distinct_bytes == 3
+    assert r1.head_hex == b"abcabc".hex()
+    r2 = out[out.media_id == 2].iloc[0]
+    assert r2.n_bytes == 0 and pd.isna(r2.byte_mean)
+
+
+def test_decode_media_is_an_explicit_stub():
+    with pytest.raises(NotImplementedError, match="stubbed"):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
