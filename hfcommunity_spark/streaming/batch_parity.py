@@ -1,0 +1,123 @@
+"""Oracle-checked batch twins of the streaming operators (X3/X4/X7).
+
+Spark's unified API means the *same* transform functions from
+``jobs.py`` run here on a batch frame — the oracle checks the window
+semantics (alignment, session merging, join shape) that the streaming
+runs rely on.  Watermarks are no-ops in batch mode, so late-data
+discard (X2/X6) and stateful dedup (X5) are covered by the streaming
+tests instead (not SQL-expressible — the driver records those ops via
+the rows-only ``x5`` entry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.registry import query
+from hfcommunity_spark.streaming import jobs
+
+
+@query(
+    "x3_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    survey="X1,X2,X3,F6",
+)
+def x3_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows via window() — epoch-aligned, so the oracle
+    is date_trunc('hour')."""
+    return jobs.tumbling_counts(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "x3_sliding_halfhour",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS s1, event_type, value
+      FROM events
+    ), u AS (
+      SELECT s1 AS window_start, event_type, value FROM b
+      UNION ALL
+      SELECT s1 - INTERVAL '30 minutes', event_type, value FROM b
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM u GROUP BY window_start, event_type
+    """,
+    survey="X3",
+)
+def x3_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min windows: every event belongs to exactly two
+    windows (its 30-min bucket and the one before) — the oracle builds
+    the same assignment with time_bucket + UNION ALL."""
+    return jobs.sliding_counts(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "x4_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, MAX(ts) AS last_ts
+    FROM s GROUP BY user_id, sid
+    """,
+    survey="X4",
+)
+def x4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30min) — oracle is the gaps-and-islands
+    formulation with the same strict-gap merge rule (an event extends a
+    session iff its gap is strictly under 30 min)."""
+    return jobs.session_counts(read_table(spark, sf_dir, "events"))
+
+
+@query("x5_streaming_dedup", None, survey="X5,X6,D1")
+def x5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch projection of the stateful-dedup pipeline (the watermark
+    is a no-op in batch; the streaming semantics — bounded state,
+    cross-batch dedup, late discard — are locked by the streaming
+    tests).  rows-only check."""
+    return jobs.dedup_events(read_table(spark, sf_dir, "events")).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+@query(
+    "x7_stream_static_enrich",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+           COUNT(c_custkey) AS n_matched
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY segment
+    """,
+    survey="X7,J8",
+)
+def x7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events joined to the broadcast
+    customer dim (same plan the streaming job runs per micro-batch)."""
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_dir, "events")
+    customer = read_table(spark, sf_dir, "customer")
+    enriched = jobs.enrich_with_dim(events, customer, "user_id", "c_custkey")
+    return enriched.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("c_custkey").alias("n_matched"),
+    )

@@ -1,0 +1,186 @@
+"""Real Structured Streaming tests (X1-X7): micro-batch execution with
+file sources, watermark-driven late-data discard, cross-batch stateful
+dedup, and batch/stream result parity on the same transform."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.streaming import jobs
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _events_pdf(rows):
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def _write_batch(spark, pdf, path):
+    spark.createDataFrame(pdf, schema=jobs.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_stream(spark, stream_df, tmp, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"{tmp}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_batch_parity_tumbling(spark, tmp_path):
+    """The same transform fn on readStream vs read gives identical
+    results (unified API, X1/X3)."""
+    src = str(tmp_path / "in")
+    sf = "/root/testdata/sf0.001"
+    batch_events = read_table(spark, sf, "events")
+    batch_events.write.parquet(src, mode="overwrite")
+
+    stream = jobs.tumbling_counts(
+        jobs.read_event_stream(spark, src), watermark="100 days"
+    )
+    got = _run_stream(
+        spark, stream, tmp_path, "t_tumbling", "complete"
+    ).toPandas()
+    want = jobs.tumbling_counts(batch_events).toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def _run_two_batches(spark, make_stream, tmp, name, output_mode, src, b1, b2):
+    """Write batch 1, start the stream, drain; write batch 2, drain —
+    guarantees two micro-batches with a watermark update in between."""
+    _write_batch(spark, b1, src)
+    q = (
+        make_stream()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"{tmp}/ckpt_{name}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, b2, src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def test_watermark_discards_late_data(spark, tmp_path):
+    """X2/X6: an event older than the watermark horizon arriving in a
+    later micro-batch is dropped from an append-mode windowed agg."""
+    src = str(tmp_path / "in")
+    b1 = _events_pdf(
+        [
+            (1, T0, 1, "click", 1.0, None),
+            (2, T0 + dt.timedelta(hours=3), 1, "click", 1.0, None),
+        ]
+    )
+    # batch 2: one on-time event; one 3h-late event (watermark = 10 min)
+    b2 = _events_pdf(
+        [
+            (3, T0 + dt.timedelta(hours=3, minutes=5), 1, "click", 1.0, None),
+            (4, T0 + dt.timedelta(minutes=1), 1, "click", 99.0, None),
+        ]
+    )
+    out = _run_two_batches(
+        spark,
+        lambda: jobs.tumbling_counts(
+            jobs.read_event_stream(spark, src), watermark="10 minutes"
+        ),
+        tmp_path,
+        "t_late",
+        "append",
+        src,
+        b1,
+        b2,
+    ).toPandas()
+    # window T0 was finalized with exactly 1 event when the watermark
+    # (13:00 − 10min) passed its end after batch 1; the late event (id 4,
+    # value 99) arriving in batch 2 must not reopen it
+    first_window = out[out.window_start == T0]
+    assert first_window.n_events.tolist() == [1]
+    assert 99.0 not in out.sum_value.tolist()
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """X5: dropDuplicatesWithinWatermark suppresses a same-id event
+    arriving in a later micro-batch within the horizon."""
+    src = str(tmp_path / "in")
+    b1 = _events_pdf([(10, T0, 1, "click", 1.0, None)])
+    b2 = _events_pdf(
+        [
+            (10, T0 + dt.timedelta(minutes=1), 1, "click", 1.0, None),  # dup id
+            (11, T0 + dt.timedelta(minutes=2), 1, "click", 1.0, None),
+        ]
+    )
+    out = _run_two_batches(
+        spark,
+        lambda: jobs.dedup_events(
+            jobs.read_event_stream(spark, src), watermark="1 hour"
+        ),
+        tmp_path,
+        "t_dedup",
+        "append",
+        src,
+        b1,
+        b2,
+    ).toPandas()
+    assert sorted(out.event_id.tolist()) == [10, 11]
+
+
+def test_stream_static_join(spark, tmp_path):
+    """X7: per-micro-batch broadcast enrichment against a static dim."""
+    src = str(tmp_path / "in")
+    b1 = _events_pdf(
+        [(1, T0, 7, "click", 1.0, None), (2, T0, 999999, "click", 1.0, None)]
+    )
+    _write_batch(spark, b1, src)
+    dim = spark.createDataFrame(
+        [(7, "SEG-A")], ["c_custkey", "c_mktsegment"]
+    )
+    stream = jobs.enrich_with_dim(
+        jobs.read_event_stream(spark, src), dim, "user_id", "c_custkey"
+    ).select("event_id", "c_mktsegment")
+    out = _run_stream(spark, stream, tmp_path, "t_join", "append").toPandas()
+    by_id = dict(zip(out.event_id, out.c_mktsegment))
+    assert by_id[1] == "SEG-A"
+    assert pd.isna(by_id[2])
+
+
+def test_session_window_merge_rule(spark):
+    """X4 batch-mode semantics: gap strictly under 30 min merges, exactly
+    30 min starts a new session (the rule the oracle encodes)."""
+    rows = _events_pdf(
+        [
+            (1, T0, 1, "a", 0.0, None),
+            (2, T0 + dt.timedelta(minutes=29, seconds=59), 1, "a", 0.0, None),
+            (3, T0 + dt.timedelta(minutes=59, seconds=59), 1, "a", 0.0, None),
+            (4, T0 + dt.timedelta(minutes=89, seconds=59), 1, "a", 0.0, None),
+            (5, T0 + dt.timedelta(hours=5), 1, "a", 0.0, None),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema=jobs.EVENT_SCHEMA)
+    out = jobs.session_counts(df).orderBy("session_start").collect()
+    # events 1-4 chain with sub-30min gaps → one session; 5 is alone
+    assert [(r.session_start, r.n_events) for r in out] == [
+        (T0, 4),
+        (T0 + dt.timedelta(hours=5), 1),
+    ]
