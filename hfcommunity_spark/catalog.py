@@ -1,0 +1,54 @@
+"""Catalog / DDL layer (SURVEY §2.1 S11/S13): the reference's
+create_schema_mysql (databaseImport.py:150-253) and information_schema
+probe (:61-75) re-expressed against the Spark catalog.
+
+No FK-safe drop ordering is needed (FKs are audit-time metadata,
+schema.FOREIGN_KEYS); table creation is per-table idempotent
+(CREATE TABLE IF NOT EXISTS ... USING PARQUET), mirroring the
+reference's IF NOT EXISTS DDL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from hfcommunity_spark.schema import SCHEMAS
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Catalog introspection (information_schema.TABLES probe, :70-75)."""
+    return spark.catalog.tableExists(name)
+
+
+def missing_tables(spark: SparkSession) -> list[str]:
+    """The check_database_schema walk (:61-75): which of the 17 are
+    absent from the catalog."""
+    return [t for t in SCHEMAS if not table_exists(spark, t)]
+
+
+def create_schema(spark: SparkSession, base_dir: str,
+                  if_not_exists: bool = True) -> list[str]:
+    """Create all 17 tables as external parquet tables rooted at
+    ``base_dir/<table>`` (the auto-create at :909-914).  Returns the
+    tables actually created."""
+    created = []
+    clause = "IF NOT EXISTS " if if_not_exists else ""
+    for name, schema in SCHEMAS.items():
+        if if_not_exists and table_exists(spark, name):
+            continue
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {clause}`{name}` ({ddl}) USING PARQUET "
+            f"LOCATION '{base_dir}/{name}'"
+        )
+        created.append(name)
+    return created
+
+
+def drop_schema(spark: SparkSession) -> None:
+    """Drop all 17 tables (the reference's DROP block :161-177; order
+    is irrelevant without FK enforcement)."""
+    for name in SCHEMAS:
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")

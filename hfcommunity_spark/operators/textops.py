@@ -152,6 +152,34 @@ def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_text(col):
+    """F3: the reference's clean(config, no_emoji=True) call
+    (databaseImport.py:633-635, clean-text lib) approximated engine-
+    side: lowercase, strip non-printable-ASCII (covers emoji), collapse
+    runs of whitespace, trim.  Vectorized JVM regexp — no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), "[^\\x20-\\x7e]", "")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
+@query(
+    "f3_clean_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+                regexp_replace(lower(text), '[^\x20-\x7e]', '', 'g'),
+                ' +', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+    survey="F3,UD1",
+)
+def f3_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning applied to the documents corpus (the reference
+    applies it only to model.config — same operator, bigger column)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text("text").alias("cleaned"))
+
+
 @query("t_rolling_hash_fingerprint", None, survey="X-UD5")
 def t_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the token stream (shift-resistant

@@ -11,6 +11,7 @@ from hfcommunity_spark.registry import REGISTRY, QuerySpec
 
 # Import for registration side effects — order defines display order.
 from hfcommunity_spark.operators import relational  # noqa: F401
+from hfcommunity_spark.operators import relational_ext  # noqa: F401
 
 try:  # modules added incrementally; keep the registry importable
     from hfcommunity_spark.operators import mergeops  # noqa: F401
