@@ -1,0 +1,85 @@
+"""Pandas-UDF surface (SURVEY §2.11 UD1/UD3): the sanctioned Python
+escape hatches, Arrow-vectorized — never row-at-a-time.
+
+UDF objects are built lazily inside the query builders:
+``pandas_udf(...)`` parses its return type against the active session,
+so decorating at import time would require a SparkContext before the
+registry can even be imported.
+
+Determinism note: the GROUPED_AGG demo accumulates in integer cents
+(the values are 2-decimal), so the Python path produces the same bits
+as the SQL oracle despite floating-point summation being order-
+dependent in general — same convention as the DECIMAL trick on the
+JVM side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.registry import query
+
+
+def _ascii_ratio_impl(text: pd.Series) -> pd.Series:
+    """UD1 scalar (vectorized batch in, batch out): share of ASCII
+    letters per document — the clean-text-style per-row Python
+    computation (databaseImport.py:635) done on Arrow batches."""
+    total = text.str.len().clip(lower=1)
+    letters = text.str.count("[A-Za-z]")
+    return letters / total
+
+
+def _sum_cents_impl(value: pd.Series) -> int:
+    """UD3 grouped-agg (Series -> scalar): exact integer-cent sum of a
+    2-decimal double column (deterministic at any partitioning)."""
+    return int((value * 100).round().astype("int64").sum())
+
+
+def _count_impl(value: pd.Series) -> int:
+    return len(value)
+
+
+@query(
+    "ud1_ascii_ratio",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS letter_ratio
+    FROM documents
+    """,
+    survey="UD1,F12",
+)
+def ud1_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF vs pure-SQL oracle: identical integer counts,
+    one final double division on both sides."""
+    ascii_ratio = pandas_udf(_ascii_ratio_impl, "double")
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", ascii_ratio(F.col("text")).alias("letter_ratio"))
+
+
+@query(
+    "ud3_grouped_agg_cents",
+    """
+    SELECT event_type,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    survey="UD3,A7",
+)
+def ud3_grouped_agg_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDFs over event values in integer cents
+    (grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    ``agg`` — both measures ride the Arrow path)."""
+    sum_cents = pandas_udf(_sum_cents_impl, "long")
+    pd_count = pandas_udf(_count_impl, "long")
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        sum_cents(F.col("value")).alias("total_cents"),
+        pd_count(F.col("value")).alias("n"),
+    )

@@ -204,6 +204,38 @@ def p2_watermark_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ri_orphan_audit",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders
+       WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        AS orphan_orders
+    """,
+    survey="J2,U3,S13",
+)
+def ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit as a query: left-anti orphan counts
+    must be zero for a consistent snapshot — the Spark replacement for
+    MariaDB FK enforcement (SURVEY §1.3; schema.fk_violations is the
+    generic form over the 17-table FK metadata)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    a = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    b = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    return a.crossJoin(b)
+
+
+@query(
     "q3_unshipped_revenue_topk",
     """
     SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -1,0 +1,123 @@
+"""Skew mitigation (SURVEY §4.2 shuffle/spill row): salting utilities
+for the hot-key pathology the reference sidesteps by skipping mega
+repos entirely (databaseImport.py:374-382, thresholds
+usage.rst.txt:64).
+
+AQE's skew-join split (enabled in the session factory) handles most
+cases at runtime; explicit salting remains the tool for skewed
+*aggregations* (AQE cannot split a single group) and for forcing a
+uniform first-stage shuffle.  Both are pure DataFrame rewrites with
+bit-identical results to the unsalted plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.registry import query
+
+DEFAULT_SALT = 16
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt: phase 1 aggregates
+    on (keys, salt) — uniform partitions even if one key holds half the
+    data — phase 2 merges the ≤ salt partials per key.
+
+    ``aggs`` entries are (agg, col, alias) with agg ∈ {count, sum,
+    min, max} (the mergeable subset; avg = sum/count downstream).
+    Counts/sums merge by sum, min/max by themselves.
+    """
+    phase1 = []
+    phase2 = []
+    for agg, col, alias in aggs:
+        if agg == "count":
+            phase1.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(alias))
+            phase2.append(F.sum(alias).alias(alias))
+        elif agg == "sum":
+            phase1.append(F.sum(col).alias(alias))
+            phase2.append(F.sum(alias).alias(alias))
+        elif agg in ("min", "max"):
+            fn = F.min if agg == "min" else F.max
+            phase1.append(fn(col).alias(alias))
+            phase2.append(fn(alias).alias(alias))
+        else:  # pragma: no cover
+            raise ValueError(f"non-mergeable agg: {agg}")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in df.columns]), F.lit(salt))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(*phase1)
+    return partial.groupBy(*keys).agg(*phase2)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Skew-safe inner equi-join: the (big, skewed) left side gets a
+    random-ish salt; the (smaller) right side is replicated ``salt``
+    times so every salted partition finds its match.  Same rows as the
+    plain join, but the hot key's probe work spreads over ``salt``
+    tasks.  (Prefer AQE skew-join; use this when a single key exceeds
+    what one task can hold.)"""
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    out = salted_left.join(
+        replicated_right,
+        (salted_left[left_key] == replicated_right[right_key])
+        & (salted_left["__salt"] == replicated_right["__salt"]),
+    )
+    return out.drop("__salt")
+
+
+@query(
+    "skew_salted_agg_parity",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    survey="A10,J9",
+)
+def skew_salted_agg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation, oracle-checked against the
+    plain GROUP BY — proving the rewrite is semantics-preserving
+    (decimal accumulation keeps the sum bit-stable through both
+    phases)."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "__v", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_two_phase_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("count", "*", "n_events"),
+            ("sum", "__v", "sum_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+        ],
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

@@ -34,6 +34,14 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
+    from hfcommunity_spark.operators import pandas_udfs  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from hfcommunity_spark.operators import skew  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from hfcommunity_spark.streaming import batch_parity  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
