@@ -204,6 +204,43 @@ def p2_watermark_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f12_scalar_function_sweep",
+    """
+    SELECT o_orderkey,
+           upper(substring(o_orderpriority, 1, 1)) AS prio_code,
+           lower(o_orderstatus) AS status_lc,
+           replace(o_orderpriority, '-', '_') AS prio_norm,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    """,
+    survey="F12,F6,P1",
+)
+def f12_scalar_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General string/date scalar-function surface (the delegated
+    MariaDB SQL capability, reference README.md:5): substring, case
+    mapping, replace, padding, date part extraction, interval math —
+    all whole-stage-codegen built-ins."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_code"),
+        F.lower("o_orderstatus").alias("status_lc"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "prio_norm"
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+@query(
     "ri_orphan_audit",
     """
     SELECT
