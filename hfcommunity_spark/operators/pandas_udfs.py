@@ -66,7 +66,8 @@ def ud1_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ud3_grouped_agg_cents",
     """
     SELECT event_type,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,

@@ -133,8 +133,9 @@ def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey,
            LEAD(o_orderkey) OVER w AS next_orderkey,
-           date_diff('day', CAST(o_orderdate AS DATE),
-                     CAST(LEAD(o_orderdate) OVER w AS DATE)) AS gap_days
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(LEAD(o_orderdate) OVER w AS DATE))
+                AS INTEGER) AS gap_days
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -211,9 +212,9 @@ def p2_watermark_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(o_orderstatus) AS status_lc,
            replace(o_orderpriority, '-', '_') AS prio_norm,
            lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
-           year(o_orderdate) AS y,
-           month(o_orderdate) AS m,
-           day(o_orderdate) AS d,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
            o_orderdate + INTERVAL 30 DAY AS due_date
     FROM orders
     """,

@@ -32,8 +32,9 @@ def token_count(text: Column) -> Column:
     "t_token_stats",
     """
     SELECT doc_id,
-           LENGTH(text) AS n_chars,
-           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS INTEGER)
+             AS n_tokens,
            CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
              / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
              AS avg_token_len
@@ -136,7 +137,7 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_doc_fingerprint",
     """
     SELECT doc_id, sha256(text) AS fingerprint,
-           LENGTH(text) AS n_chars
+           CAST(LENGTH(text) AS INTEGER) AS n_chars
     FROM documents
     """,
     survey="X-UD5,F1",

@@ -59,6 +59,16 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame,
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs "
         f"{sorted(duck_pdf.columns)}"
     )
+    # strict physical-type agreement (int widths included): the driver's
+    # schema comparison may not normalize int32 vs int64 the way the
+    # value comparison below does
+    for c in sorted(spark_pdf.columns):
+        a, b = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
+        norm = lambda d: ("datetime" if d.startswith("datetime") else
+                          "object" if d in ("object", "category", "string") else d)
+        assert norm(a) == norm(b), (
+            f"{name}: dtype mismatch on {c}: spark={a} duck={b}"
+        )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
     )
