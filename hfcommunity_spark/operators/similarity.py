@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
@@ -83,8 +83,6 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine("embedding", "q_emb").alias("sim"))
     )
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -144,8 +142,89 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q), near_bucket)
         .select("vec_id", cosine("embedding", "q_emb").alias("sim"))
     )
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "rank", F.round("sim", 4).alias("sim_rounded"))
+    )
+
+
+@query(
+    "dd_embedding_nearest_neighbor",
+    """
+    SELECT vec_id, nn_id FROM (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                        b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rn = 1
+    """,
+    survey="X-UD5,J6,W1",
+)
+def dd_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup baseline: every vector's exact nearest
+    neighbor (all-pairs cosine + rank-1 per vector).  This is the
+    ground truth the LSH/IVF variants approximate; at 100 TB you run
+    those instead — this op is the recall oracle on samples."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     from pyspark.sql import Window
 
+    pairs = a.join(b, F.col("a_id") != F.col("b_id")).select(
+        "a_id", "b_id", cosine("a_emb", "b_emb").alias("sim")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("a_id").alias("vec_id"), F.col("b_id").alias("nn_id"))
+    )
+
+
+@query("sim_ivf_topk", None, survey="X-UD5,J9,A12")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label centroids act as the coarse quantizer
+    (k-means stand-in); every vector is assigned to its nearest
+    centroid cell, and the query probes only its own cell.  rows-only
+    (approximate by construction; dd_embedding_nearest_neighbor is the
+    exact recall oracle)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # coarse quantizer: per-label mean vectors (cheap, deterministic)
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg((F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            F.expr("transform(dm, x -> x.m)").alias("centroid"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_c"), F.asc("cell")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("sim_c", cosine("embedding", "centroid"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    )
+    scored = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("cell") == F.col("q_cell"))
+        .select("vec_id", cosine("embedding", "q_emb").alias("sim"))
+    )
     w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

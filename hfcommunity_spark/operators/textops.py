@@ -153,6 +153,37 @@ def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS INTEGER) AS n_regex_tokens,
+           CAST((SELECT SUM(CAST(ceil(length(w) / 4.0) AS INTEGER))
+                 FROM unnest(string_split(text, ' ')) AS t(w))
+                AS INTEGER) AS n_subword_units
+    FROM documents
+    """,
+    survey="X-UD5,F12",
+)
+def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting for training-data budgeting: a GPT-style
+    regex pre-tokenizer count plus a subword-unit estimate (≤4-char
+    chunks per word — the fixed-fanout stand-in for a learned merge
+    table).  Both are engine-neutral integer counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(
+            F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")
+        ).alias("n_regex_tokens"),
+        F.expr(
+            "CAST(aggregate(split(text, ' '), 0, "
+            "(a, w) -> a + CAST(ceil(length(w) / 4.0) AS INT)) AS INT)"
+        ).alias("n_subword_units"),
+    )
+
+
 def clean_text(col):
     """F3: the reference's clean(config, no_emoji=True) call
     (databaseImport.py:633-635, clean-text lib) approximated engine-
