@@ -1,0 +1,79 @@
+"""Physical-plan audit: the scale properties ARCHITECTURE.md claims
+must actually appear in the optimized plans — filter/projection
+pushdown to the parquet scan, broadcast joins on dims, heap top-k,
+semi/anti join strategies.  A regression here is a perf bug even when
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from hfcommunity_spark.queries import all_queries
+from tests.conftest import SF_ORACLE
+
+SPECS = all_queries()
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = SPECS[name].spark(spark, SF_ORACLE)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+@pytest.mark.parametrize(
+    "name,needles",
+    [
+        # conjunctive predicates reach the parquet scan; projection pruned
+        ("p12_q6_revenue_pushdown",
+         ["PushedFilters: [IsNotNull(l_shipdate)", "GreaterThanOrEqual(l_shipdate"]),
+        # top-k compiles to a heap, never a full sort
+        ("a4_topk_customers_by_orders",
+         ["TakeOrderedAndProject", "BroadcastHashJoin"]),
+        ("o1_top_lineitems_by_price", ["TakeOrderedAndProject"]),
+        # dims broadcast; fact side never builds the hash table
+        ("j3_orders_per_nation", ["BroadcastHashJoin"]),
+        ("q5_supplier_nation_volume", ["BroadcastHashJoin"]),
+        ("x7_stream_static_enrich", ["BroadcastHashJoin"]),
+        # existence checks stay semi/anti — no row multiplication
+        ("j2_semi_join_customers_with_orders", ["LeftSemi"]),
+        ("u3_anti_join_customers_without_orders", ["LeftAnti"]),
+    ],
+)
+def test_plan_contains(spark, name, needles):
+    plan = _formatted_plan(spark, name)
+    for needle in needles:
+        assert needle in plan, f"{name}: expected {needle!r} in plan"
+
+
+def test_q6_reads_only_needed_columns(spark):
+    plan = _formatted_plan(spark, "p12_q6_revenue_pushdown")
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    # 4 of lineitem's 11 columns — projection pruning reached the scan
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_partkey", "l_comment", "l_returnflag"):
+        assert col not in read_schema
+
+
+def test_no_cartesian_products_in_inventory(spark):
+    """Only intentional scalar-combiner cross joins (tiny 1-row sides)
+    may appear; anything else is a missing join condition."""
+    allowed = {
+        "a6_ratio_customers_with_orders",  # two 1-row aggregates
+        "ri_orphan_audit",                 # two 1-row aggregates
+        "sim_bruteforce_topk",             # 1-row broadcast query vector
+        "sim_lsh_bucketed_topk",
+        "sim_ivf_topk",                    # K-row broadcast centroids
+        "sim_label_centroid_topk",
+        "j10_asof_last_view_before_purchase",
+    }
+    for name in SPECS:
+        if name in allowed:
+            continue
+        plan = _formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
