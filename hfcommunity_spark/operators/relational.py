@@ -199,6 +199,19 @@ def a9_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(F.count_distinct("o_custkey").alias("n_active_customers"))
 
 
+@query("a12_percentile_sketch", None, survey="A12")
+def a12_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (percentile_approx / KLL-style) — the
+    100 TB substitute for exact sorting percentiles.  rows-only check
+    (sketch outputs are engine-specific by construction)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95, 0.99], 10000
+        ).alias("price_quantiles")
+    )
+
+
 @query("a12_approx_count_distinct", None, survey="A12")
 def a12_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch — the 100 TB substitute for exact distinct.
