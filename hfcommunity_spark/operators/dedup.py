@@ -207,20 +207,31 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 63  # avoid the sign bit so the signature stays a positive long
 
 
-def simhash() -> Column:
-    """63-bit SimHash over a prepared ``_sh_hashes`` array<long> column:
-    per bit, majority vote of the hashes' bits; shift/and/sum — all JVM."""
-    total = F.size(F.col("_sh_hashes"))
-    bit_cols = []
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """63-bit SimHash per doc: explode distinct word hashes, then ONE
+    hash aggregation computing all 63 majority votes as codegen'd
+    shift/and sums (an aggregate() lambda per bit would run
+    interpreted per element — ~10× slower)."""
+    hashes = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")
+        ).alias("h"),
+    )
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = hashes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *votes
+    )
+    sig = None
     for b in range(SIMHASH_BITS):
-        ones = F.expr(
-            f"aggregate(_sh_hashes, 0L, (acc, h) -> acc + ((h >> {b}) & 1))"
+        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(
+            F.lit(0)
         )
-        bit_cols.append(F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 @query("dd_simhash_near_dups", None, survey="X-UD5,J9")
@@ -229,14 +240,7 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk equality (pigeonhole for hamming ≤ 3), verified with
     bit_count(xor).  rows-only check (xxhash64 has no DuckDB twin)."""
     docs = read_table(spark, sf_dir, "documents")
-    sigs = (
-        docs.withColumn("w", F.split(F.col("text"), " "))
-        .withColumn(
-            "_sh_hashes",
-            F.expr("transform(array_distinct(w), t -> xxhash64(t))"),
-        )
-        .select("doc_id", simhash().alias("simhash"))
-    )
+    sigs = simhash_signatures(docs)
     chunks = sigs.select(
         "doc_id",
         "simhash",
