@@ -62,6 +62,52 @@ def ud1_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", ascii_ratio(F.col("text")).alias("letter_ratio"))
 
 
+def _group_profile_impl(pdf: pd.DataFrame) -> pd.DataFrame:
+    """UD4 grouped-map: whole-group in, whole-group out.  Rows are
+    sorted by event_id first so every statistic is computed over a
+    deterministic order regardless of shuffle arrival."""
+    pdf = pdf.sort_values("event_id")
+    cents = (pdf["value"] * 100).round().astype("int64")
+    n = len(pdf)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [n],
+            "total_cents": [int(cents.sum())],
+            "first_event_id": [int(pdf["event_id"].iloc[0])],
+            "last_event_id": [int(pdf["event_id"].iloc[-1])],
+        }
+    )
+
+
+@query(
+    "ud4_grouped_map_profile",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           MIN(event_id) AS first_event_id,
+           MAX(event_id) AS last_event_id
+    FROM events GROUP BY event_type
+    """,
+    survey="UD4,A7",
+)
+def ud4_grouped_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map transform (UD4): arbitrary per-group
+    Python over the whole group's frame, Arrow both ways — here
+    computing a group profile whose every field is integer-exact so the
+    SQL oracle matches bit-for-bit."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select("event_id", "event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandas(
+        _group_profile_impl,
+        "event_type string, n long, total_cents long, "
+        "first_event_id long, last_event_id long",
+    )
+
+
 @query(
     "ud3_grouped_agg_cents",
     """
