@@ -254,6 +254,33 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_kmeans_ivf_topk", None, survey="X-UD5,J9,A12")
+def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL learned quantizer: distributed Lloyd's k-means
+    (k=8, 3 iterations — operators/kmeans.py) trains the cell
+    centroids, then the query probes only its own cell.  Iterative
+    algorithm → rows-only check per the driver contract."""
+    from hfcommunity_spark.operators.kmeans import assign_cells, kmeans_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    assigned = assign_cells(emb, centroids).select("vec_id", "embedding", "cell")
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    )
+    scored = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("cell") == F.col("q_cell"))
+        .select("vec_id", cosine("embedding", "q_emb").alias("sim"))
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "rank", F.round("sim", 4).alias("sim_rounded"))
+    )
+
+
 @query(
     "sim_label_centroid_topk",
     """

@@ -86,6 +86,60 @@ def x4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.session_counts(read_table(spark, sf_dir, "events"))
 
 
+@query(
+    "x8_hourly_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events WHERE user_id < 10 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n_events
+      FROM events WHERE user_id < 10 GROUP BY user_id, h
+    )
+    SELECT g.user_id, g.h AS hour,
+           COALESCE(hourly.n_events, 0) AS n_events,
+           (hourly.h IS NULL) AS gap_filled
+    FROM grid g LEFT JOIN hourly
+      ON g.user_id = hourly.user_id AND g.h = hourly.h
+    """,
+    survey="X3,F6,J8",
+)
+def x8_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: a dense hourly grid per user
+    (sequence + explode — generate_series, Spark-style) left-joined to
+    the actual hourly counts; silent hours appear as explicit zero rows
+    flagged gap_filled.  The grid is derived per key, so the operator
+    is one agg + one narrow explode + one equi join at any scale."""
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("gap_filled"),
+    )
+
+
 @query("x5_streaming_dedup", None, survey="X5,X6,D1")
 def x5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch projection of the stateful-dedup pipeline (the watermark
