@@ -1,0 +1,163 @@
+"""`hubfeed` — a Spark 4 Python Data Source for the hub listing feeds.
+
+The reference's listing scan is an API call with server-side sort,
+limit, and projection options (api.list_models(sort=..., limit=...),
+databaseImport.py:597).  This plugin is the engine-native analog: a
+registered source whose options and pushed filters cut work *before*
+rows reach Spark:
+
+- ``kind``  : which feed schema (models/datasets/spaces/commits/
+              discussions — etl.pipeline feed StructTypes)
+- ``path``  : directory of ``{kind}.jsonl`` dump files
+- ``limit`` : source-side row cap per partition file (the ``-i N``
+              semantics, usage.rst.txt:79-85)
+- filter pushdown: top-level equality/IsNotNull filters are evaluated
+  on the parsed JSON object and never materialize non-matching rows
+  (Spark 4 ``pushFilters`` — the Python-source equivalent of parquet
+  PushedFilters)
+
+Each dump file is one InputPartition → file-parallel scans.  Usage:
+
+    spark.dataSource.register(HubFeedDataSource)
+    spark.read.format("hubfeed").option("path", d).option("kind",
+        "models").load()
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    IsNotNull,
+)
+
+
+def _feed_schemas() -> dict[str, T.StructType]:
+    from hfcommunity_spark.etl.pipeline import (
+        COMMITS_FEED_SCHEMA,
+        DATASET_FEED_SCHEMA,
+        DISCUSSIONS_FEED_SCHEMA,
+        MODEL_FEED_SCHEMA,
+        SPACE_FEED_SCHEMA,
+    )
+
+    return {
+        "models": MODEL_FEED_SCHEMA,
+        "datasets": DATASET_FEED_SCHEMA,
+        "spaces": SPACE_FEED_SCHEMA,
+        "commits": COMMITS_FEED_SCHEMA,
+        "discussions": DISCUSSIONS_FEED_SCHEMA,
+    }
+
+
+def _convert(value, dtype):
+    """JSON value → the tuple/typed value Spark expects for ``dtype``."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.StructType):
+        return tuple(_convert(value.get(f.name), f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return [_convert(v, dtype.elementType) for v in value]
+    if isinstance(dtype, T.TimestampType):
+        return dt.datetime.fromisoformat(str(value).replace("Z", "+00:00"))
+    if isinstance(dtype, T.LongType) or isinstance(dtype, T.IntegerType):
+        return int(value)
+    if isinstance(dtype, T.DoubleType):
+        return float(value)
+    if isinstance(dtype, T.BooleanType):
+        return bool(value)
+    return str(value)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class HubFeedReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options) -> None:
+        self.schema_ = schema
+        self.path = options.get("path")
+        self.kind = options.get("kind")
+        self.limit = int(options.get("limit", 0)) or None
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept top-level EqualTo / IsNotNull; everything else stays
+        with Spark (returned = not handled here)."""
+        names = {f.name for f in self.schema_.fields}
+        for f in filters:
+            simple = (
+                isinstance(f, (EqualTo, IsNotNull))
+                and len(f.attribute) == 1
+                and f.attribute[0] in names
+            )
+            if simple:
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        target = os.path.join(self.path, f"{self.kind}.jsonl")
+        if os.path.isdir(target):
+            files = [
+                os.path.join(target, n)
+                for n in sorted(os.listdir(target))
+                if n.endswith(".jsonl")
+            ]
+        else:
+            files = [target]
+        return [_FilePartition(p) for p in files]
+
+    def _keep(self, obj: dict) -> bool:
+        for f in self.pushed:
+            v = obj.get(f.attribute[0])
+            if isinstance(f, EqualTo) and v != f.value:
+                return False
+            if isinstance(f, IsNotNull) and v is None:
+                return False
+        return True
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        emitted = 0
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                obj = json.loads(line)
+                if not self._keep(obj):
+                    continue
+                yield tuple(
+                    _convert(obj.get(f.name), f.dataType)
+                    for f in self.schema_.fields
+                )
+                emitted += 1
+                if self.limit and emitted >= self.limit:
+                    return
+
+
+class HubFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "hubfeed"
+
+    def schema(self) -> T.StructType:
+        kind = self.options.get("kind")
+        schemas = _feed_schemas()
+        if kind not in schemas:
+            raise ValueError(
+                f"hubfeed: unknown kind {kind!r}; one of {sorted(schemas)}"
+            )
+        return schemas[kind]
+
+    def reader(self, schema: T.StructType) -> HubFeedReader:
+        return HubFeedReader(schema, self.options)

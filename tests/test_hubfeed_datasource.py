@@ -1,0 +1,61 @@
+"""The `hubfeed` Python Data Source: registration, schema-typed reads,
+source-side limit, filter pushdown parity with the plain JSON reader."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.sources.hubfeed_datasource import HubFeedDataSource
+from tests.test_hub_feeds import MODELS
+
+
+@pytest.fixture(scope="module")
+def feed_dir(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("hubfeed")
+    rows = list(MODELS) + [
+        {**MODELS[0], "name": "org/m9", "author": "other", "likes": 42}
+    ]
+    with open(d / "models.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(HubFeedDataSource)
+    return str(d)
+
+
+def _load(spark, feed_dir, **opts):
+    r = spark.read.format("hubfeed").option("path", feed_dir).option(
+        "kind", "models"
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_reads_typed_rows(spark, feed_dir):
+    df = _load(spark, feed_dir)
+    rows = {r.name: r for r in df.collect()}
+    assert set(rows) == {"org/m1", "org/m9"}
+    m1 = rows["org/m1"]
+    assert m1.last_modified is not None  # timestamp parsed
+    assert m1.siblings[1].lfs.size == 999  # nested struct/array typed
+    assert m1.tags == ["nlp"]
+
+
+def test_source_side_limit(spark, feed_dir):
+    assert _load(spark, feed_dir, limit=1).count() == 1
+
+
+def test_filter_pushdown_matches_post_filter(spark, feed_dir):
+    pushed = _load(spark, feed_dir).filter(F.col("author") == "other")
+    assert [r.name for r in pushed.collect()] == ["org/m9"]
+
+
+def test_unknown_kind_rejected(spark, feed_dir):
+    with pytest.raises(Exception, match="unknown kind"):
+        spark.read.format("hubfeed").option("path", feed_dir).option(
+            "kind", "bogus"
+        ).load().count()
