@@ -205,6 +205,59 @@ def p2_watermark_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sub_correlated_scalar",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    survey="J2,A7,P12",
+)
+def sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's mean
+    balance) through the SQL surface — Catalyst decorrelates it into
+    an aggregate + join (RewriteCorrelatedScalarSubquery, SURVEY §4.2),
+    exactly what MariaDB's optimizer did for the reference."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "sub_having_vs_global_avg",
+    """
+    SELECT n_name, n_customers FROM (
+      SELECT n_name, COUNT(*) AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ) WHERE n_customers > (SELECT COUNT(*) FROM customer)
+                          / (SELECT COUNT(*) FROM nation)
+    """,
+    survey="A4,J3,U2",
+)
+def sub_having_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING against uncorrelated scalar subqueries (nations with an
+    above-average customer count) — integer-exact comparison."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_name, n_customers FROM (
+          SELECT n_name, COUNT(*) AS n_customers
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        ) WHERE n_customers > (SELECT COUNT(*) FROM customer)
+                              / (SELECT COUNT(*) FROM nation)
+        """
+    )
+
+
+@query(
     "f12_scalar_function_sweep",
     """
     SELECT o_orderkey,
