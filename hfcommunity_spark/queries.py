@@ -12,6 +12,7 @@ from hfcommunity_spark.registry import REGISTRY, QuerySpec
 # Import for registration side effects — order defines display order.
 from hfcommunity_spark.operators import relational  # noqa: F401
 from hfcommunity_spark.operators import relational_ext  # noqa: F401
+from hfcommunity_spark.operators import relational_ext2  # noqa: F401
 
 try:  # modules added incrementally; keep the registry importable
     from hfcommunity_spark.operators import mergeops  # noqa: F401
