@@ -184,3 +184,42 @@ def test_session_window_merge_rule(spark):
         (T0, 4),
         (T0 + dt.timedelta(hours=5), 1),
     ]
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across
+    micro-batches via the checkpointed state store (custom stateful
+    operator beyond built-in windows/dedup)."""
+    from hfcommunity_spark.streaming.stateful import user_running_totals
+
+    src = str(tmp_path / "in")
+    b1 = _events_pdf(
+        [
+            (1, T0, 7, "click", 1.50, None),
+            (2, T0, 7, "view", 2.25, None),
+            (3, T0, 8, "click", 10.00, None),
+        ]
+    )
+    b2 = _events_pdf(
+        [
+            (4, T0 + dt.timedelta(minutes=1), 7, "click", 0.25, None),
+        ]
+    )
+    out = _run_two_batches(
+        spark,
+        lambda: user_running_totals(jobs.read_event_stream(spark, src)),
+        tmp_path,
+        "t_stateful",
+        "append",
+        src,
+        b1,
+        b2,
+    ).toPandas()
+    u7 = out[out.user_id == 7].sort_values("total_events")
+    # batch 1: two events, 375 cents; batch 2: one more, 400 cents total
+    assert u7.batch_events.tolist() == [2, 1]
+    assert u7.total_events.tolist() == [2, 3]
+    assert u7.total_cents.tolist() == [375, 400]
+    u8 = out[out.user_id == 8]
+    assert u8.total_events.tolist() == [1]
+    assert u8.total_cents.tolist() == [1000]
