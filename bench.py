@@ -33,10 +33,15 @@ def main() -> None:
     # Warm the JVM + parquet footer cache once, outside the timings.
     next(iter(specs.values())).spark(spark, sf_dir).count()
 
+    # best-of-2 per query: a single cold run is dominated by JVM/GC
+    # noise at this data size; min-of-two is the stable estimator
     for name, spec in sorted(specs.items()):
-        t0 = time.monotonic()
-        spec.spark(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            spec.spark(spark, sf_dir).count()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -262,7 +262,8 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm → rows-only check per the driver contract."""
     from hfcommunity_spark.operators.kmeans import assign_cells, kmeans_fit
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # cache: Lloyd's makes 2 passes per iteration over the same frame
+    emb = read_table(spark, sf_dir, "embeddings").persist()
     centroids = kmeans_fit(emb, k=8, iters=3)
     assigned = assign_cells(emb, centroids).select("vec_id", "embedding", "cell")
     q = assigned.filter(F.col("vec_id") == 0).select(
