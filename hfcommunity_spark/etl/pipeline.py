@@ -210,6 +210,26 @@ def _repository_rows(feed: DataFrame, repo_type: str) -> DataFrame:
     ).withColumn("type", F.lit(repo_type))
 
 
+def apply_commit_threshold(commits_feed: DataFrame,
+                           max_num_commits: int | None) -> DataFrame:
+    """P4: drop the ENTIRE commit history of repos exceeding the
+    commit-count threshold (the reference's -s flag skips populate_
+    commits for the repo but keeps the repo row, databaseImport.py:
+    374-382; recommended 1500, usage.rst.txt:64).  One count-aggregate
+    + semi join — the set equivalent of the rev-list pre-check."""
+    if max_num_commits is None:
+        return commits_feed
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    within = (
+        commits_feed.groupBy("repo_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_num_commits)
+        .select("repo_id")
+    )
+    return commits_feed.join(within, "repo_id", "left_semi")
+
+
 def run_offline(
     spark,
     models: DataFrame,
@@ -218,10 +238,12 @@ def run_offline(
     commits_feed: DataFrame,
     discussions_feed: DataFrame,
     skiplist: tuple[str, ...] = (),
+    max_num_commits: int | None = None,
 ) -> dict[str, DataFrame]:
     """Build all 17 tables. Returns name → DataFrame (un-materialized
     plans; callers write snapshots via io.write_snapshot)."""
     feeds = {"model": models, "dataset": datasets, "space": spaces}
+    commits_feed = apply_commit_threshold(commits_feed, max_num_commits)
 
     # P3 skip-list predicate (:624, :712, :787)
     if skiplist:

@@ -114,3 +114,17 @@ def _feeds(spark):
     commits = spark.createDataFrame([], schema=P.COMMITS_FEED_SCHEMA)
     discussions = spark.createDataFrame([], schema=P.DISCUSSIONS_FEED_SCHEMA)
     return models, datasets, spaces, commits, discussions
+
+
+def test_commit_threshold_skips_mega_repo(spark):
+    """P4: a repo over the commit threshold loses its history (the
+    repo itself survives — only populate_commits is skipped)."""
+    from hfcommunity_spark.etl.pipeline import apply_commit_threshold
+
+    rows = [("models/big/r", f"s{i:039d}") for i in range(5)] + [
+        ("models/small/r", "t" + "0" * 39)
+    ]
+    feed = spark.createDataFrame(rows, ["repo_id", "sha"])
+    out = apply_commit_threshold(feed, max_num_commits=3)
+    assert [r.repo_id for r in out.collect()] == ["models/small/r"]
+    assert apply_commit_threshold(feed, None).count() == 6
