@@ -154,6 +154,98 @@ def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_corpus_dedup_keep_first",
+    """
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN (SELECT sha256(text) AS fp, MIN(doc_id) AS keep
+          FROM documents GROUP BY fp) s
+      ON sha256(d.text) = s.fp AND d.doc_id = s.keep
+    """,
+    survey="X-UD5,D1,A9,J2",
+)
+def dd_corpus_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing corpus dedup: materialize the surviving
+    documents (lowest doc_id per content fingerprint) — what a
+    training-data pipeline actually writes out after exact dedup."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "fp", F.sha2(F.col("text"), 256)
+    )
+    keep = docs.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, ["fp", "doc_id"], "left_semi").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+CHUNK_CHARS = 128
+
+
+@query(
+    "t_chunk_documents",
+    f"""
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           substring(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS}) AS chunk
+    FROM documents,
+         (SELECT unnest(range(0, 64)) AS i)
+    WHERE i * {CHUNK_CHARS} < LENGTH(text)
+    """,
+    survey="X-UD5,F12,P1",
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document chunking for training windows: substring
+    arithmetic over a generated index — a narrow explode, no UDF, no
+    shuffle; chunk count derives from the length so no trailing empty
+    chunks (the 64-slot range upper bound is just the oracle's static
+    iterator — the WHERE clause prunes it to ceil(len/width))."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(length(text) / "
+                    f"{CHUNK_CHARS}.0) AS INT) - 1), "
+                    f"i -> substring(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS}))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .select("doc_id", "chunk_idx", "chunk")
+    )
+
+
+@query(
+    "t_stopword_ratio",
+    """
+    SELECT doc_id,
+           CAST((LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' the ', ' '))) / 4
+                AS INTEGER) AS the_count,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS INTEGER)
+             AS n_tokens
+    FROM documents
+    """,
+    survey="X-UD5,F12",
+)
+def t_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword frequency signal via replace-length arithmetic —
+    non-overlapping left-to-right replacement is identical in both
+    engines, so the count is engine-neutral (' the ' is 6 chars
+    replaced by 1 → each hit removes 4)."""
+    docs = read_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    the_count = (
+        (F.length(padded) - F.length(F.regexp_replace(padded, " the ", " "))) / 4
+    ).cast("int")
+    nospace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return docs.select(
+        "doc_id",
+        the_count.alias("the_count"),
+        (F.length("text") - nospace + F.lit(1)).alias("n_tokens"),
+    )
+
+
+@query(
     "t_bpe_token_count",
     """
     SELECT doc_id,
