@@ -44,17 +44,20 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_inventory_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Output discipline: the driver captures a bounded TAIL of stdout
+    # (round-1's line was clipped at the head and failed to parse), so
+    # emit one COMPACT line with the fast queries first and the slow
+    # queries + aggregate fields last — whatever survives clipping is
+    # the part worth reading.
+    by_time = dict(sorted(timings.items(), key=lambda kv: kv[1]))
+    payload = {
+        "queries": {k: round(v, 2) for k, v in by_time.items()},
+        "metric": "declared_query_inventory_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

@@ -23,9 +23,28 @@ OVERSIZE_DIFF_BYTES = 1 << 20
 def surrogate_key(*cols: Column | str) -> Column:
     """sha256 hex digest of '_'-joined key parts — byte-identical to
     hashlib.sha256((a + '_' + b).encode()).hexdigest()
-    (databaseImport.py:309,:419,:501)."""
+    (databaseImport.py:309,:419,:501).
+
+    NULL-propagating by design: the reference would raise on a None
+    part (str + None TypeError), so a NULL part must surface as a NULL
+    key — concat_ws would silently DROP the part and produce a
+    plausible-looking wrong digest that collides across rows."""
     parts = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.sha2(F.concat_ws("_", *parts), 256)
+    interleaved: list[Column] = []
+    for i, p in enumerate(parts):
+        if i:
+            interleaved.append(F.lit("_"))
+        interleaved.append(p)
+    return F.sha2(F.concat(*interleaved), 256)
+
+
+def path_basename(path: Column | str) -> Column:
+    """Last '/'-separated path segment — pydriller's ``file.filename``
+    (Path(new_path or old_path).name), the component the reference
+    hashes into modified_file_id and stores as rfilename
+    (databaseImport.py:419,:422)."""
+    p = F.col(path) if isinstance(path, str) else path
+    return F.element_at(F.split(p, "/"), -1)
 
 
 def repo_full_id(repo_type: Column | str, name: Column | str) -> Column:

@@ -47,6 +47,7 @@ from hfcommunity_spark.etl.normalize import (
     guard_oversize_diff,
     modified_file_path,
     normalize_gated,
+    path_basename,
     normalize_repo_files,
     repo_full_id,
     surrogate_key,
@@ -345,12 +346,15 @@ def run_offline(
         F.col("f.change_type"), F.col("f.old_path"), F.col("f.new_path")
     )
     modified_file = mf_raw.select(
-        # sha256(repo_name + '_' + filename + '_' + commit_sha), :419
-        surrogate_key(F.col("repo_name"), keyed_path, F.col("sha")).alias(
-            "modified_file_id"
-        ),
+        # sha256(repo_name + '_' + file.filename + '_' + commit_sha),
+        # :419 — file.filename is pydriller's BASENAME of the keyed
+        # path, while the repo_file FK probe (:423) uses the full path;
+        # the two deliberately differ for files in subdirectories
+        surrogate_key(
+            F.col("repo_name"), path_basename(keyed_path), F.col("sha")
+        ).alias("modified_file_id"),
         surrogate_key(F.col("repo_id"), keyed_path).alias("repo_file_id"),
-        keyed_path.alias("rfilename"),
+        path_basename(keyed_path).alias("rfilename"),  # :422 file.filename
         F.col("f.old_path").alias("old_path"),
         F.col("f.new_path").alias("new_path"),
         F.col("f.change_type").alias("change_type"),

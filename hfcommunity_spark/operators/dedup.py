@@ -241,20 +241,24 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             F.expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")
         ).alias("h"),
     )
+    # build the 63 vote sums and the signature reassembly as PARSED SQL
+    # strings: constructing them as Column chains costs hundreds of
+    # py4j round-trips and a 63-deep Add tree the analyzer walks
+    # per-rule (~3s of plan build at zero data); one expr parse is
+    # milliseconds for the identical codegen'd plan
     votes = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        F.expr(f"sum(shiftright(h, {b}) & 1)").alias(f"b{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = hashes.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"), *votes
     )
-    sig = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
-        sig = bit if sig is None else sig + bit
-    return agg.select("doc_id", sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 @query("dd_simhash_near_dups", None, survey="X-UD5,J9")

@@ -4,10 +4,13 @@ declared rows-only per the driver contract) and the real coarse
 quantizer for IVF similarity search.
 
 Execution shape per iteration (the only shape that survives 100 TB):
-- assignment: map-side only — centroids are k×dim doubles broadcast to
-  every task; no shuffle touches the big side
+- assignment: map-side only — the k×dim centroid matrix is a closure
+  constant in an Arrow-batched pandas UDF; each batch does ONE
+  pairwise-distance GEMM and an argmin.  No shuffle touches the big
+  side, and no interpreted per-element lambdas (the round-1 shape — k
+  separate ``aggregate(zip_with(...))`` folds — was ~50x slower).
 - update: posexplode + (cell, dim) partial aggregation — one shuffle
-  of k×dim partial sums, independent of row count
+  of k×dim partial sums, independent of row count.
 
 Initialization is deterministic (k lowest vec_ids), so runs are
 reproducible at any parallelism; iterations run eagerly (centroids are
@@ -16,38 +19,45 @@ collected each round — k×dim values, driver-side small by design).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(a: str | Column, centroid: list[float]) -> Column:
-    e = F.col(a) if isinstance(a, str) else a
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(e, lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _pairwise_sq_dists(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, dim) × (k, dim) → (n, k) squared euclidean distances,
+    computed as literal (x - c)² sums (not the expanded ‖x‖²-2xc+‖c‖²
+    form) so the arithmetic matches the objective exactly."""
+    return ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+
+
+def _nearest_cells(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Argmin cell per row; ties → lowest cell id (argmin is
+    first-occurrence)."""
+    return np.argmin(_pairwise_sq_dists(m, cents), axis=1)
+
+
+def _rows_matrix(series: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
 
 
 def assign_cells(emb: DataFrame, centroids: list[list[float]],
                  emb_col: str = "embedding") -> DataFrame:
     """Nearest-centroid cell id per row (ties → lowest cell id).
-    Pure projection: k distance expressions + least()."""
-    dists = [
-        _sq_dist(emb_col, centroids[i]).alias(f"__d{i}")
-        for i in range(len(centroids))
-    ]
-    with_d = emb.select("*", *dists)
-    cell = F.lit(0)
-    best = F.col("__d0")
-    for i in range(1, len(centroids)):
-        is_better = F.col(f"__d{i}") < best
-        cell = F.when(is_better, F.lit(i)).otherwise(cell)
-        best = F.when(is_better, F.col(f"__d{i}")).otherwise(best)
-    return with_d.withColumn("cell", cell).drop(
-        *[f"__d{i}" for i in range(len(centroids))]
-    )
+    Map-side only: one GEMM + argmin per Arrow batch."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("integer")
+    def _cell(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=np.int32)
+        return pd.Series(
+            _nearest_cells(_rows_matrix(s), cents).astype(np.int32)
+        )
+
+    return emb.withColumn("cell", _cell(F.col(emb_col)))
 
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 5,
@@ -84,14 +94,19 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 5,
 def inertia(emb: DataFrame, centroids: list[list[float]],
             emb_col: str = "embedding") -> float:
     """Sum of squared distances to the assigned centroid (the k-means
-    objective — must be non-increasing over iterations)."""
-    assigned = assign_cells(emb, centroids, emb_col)
-    dist_cases = F.lit(None).cast("double")
-    expr = None
-    for i, c in enumerate(centroids):
-        d = _sq_dist(emb_col, c)
-        expr = F.when(F.col("cell") == i, d) if expr is None else expr.when(
-            F.col("cell") == i, d
+    objective — must be non-increasing over iterations).  Vectorized:
+    min-distance per Arrow batch, one scalar aggregation."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _min_d(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=np.float64)
+        return pd.Series(
+            _pairwise_sq_dists(_rows_matrix(s), cents).min(axis=1)
         )
-    row = assigned.select(expr.alias("d")).agg(F.sum("d").alias("t")).collect()
-    return float(row[0].t)
+
+    row = emb.select(_min_d(F.col(emb_col)).alias("d")).agg(
+        F.sum("d").alias("t")
+    ).first()
+    return float(row.t)

@@ -199,28 +199,51 @@ def a9_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(F.count_distinct("o_custkey").alias("n_active_customers"))
 
 
-@query("a12_percentile_sketch", None, survey="A12")
-def a12_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketch (percentile_approx / KLL-style) — the
-    100 TB substitute for exact sorting percentiles.  rows-only check
-    (sketch outputs are engine-specific by construction)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.95, 0.99], 10000
-        ).alias("price_quantiles")
-    )
-
-
-@query("a12_approx_count_distinct", None, survey="A12")
-def a12_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch — the 100 TB substitute for exact distinct.
-    No oracle (approximate by construction) → rows-only check."""
+@query(
+    "a12_sketch_tolerance",
+    """
+    SELECT COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok,
+           TRUE AS pct_ok
+    FROM events
+    """,
+    survey="A12",
+)
+def a12_sketch_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HyperLogLog++ distinct, percentile_approx
+    quantile) asserted against EXACT values within their documented
+    error bounds, so the driver can hash-check them: the exact distinct
+    count is emitted verbatim, and the sketch outputs are reduced to
+    within-tolerance booleans (TRUE on both engines when the sketch
+    honours its error contract).  rsd=0.01 → we allow 5x slack (5%);
+    percentile_approx(accuracy=10000) must land between the exact p40
+    and p60.  At 100 TB the sketches are the only affordable plan —
+    this query keeps them honest against the exact path at test scale.
+    """
     events = read_table(spark, sf_dir, "events")
-    return events.agg(
+    li = read_table(spark, sf_dir, "lineitem")
+    dist = events.agg(
+        F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
+    ).select(
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_ok"),
     )
+    pct = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.40, 0.60))"
+        ).alias("p_exact"),
+    ).select(
+        (
+            (F.col("p50_approx") >= F.col("p_exact")[0])
+            & (F.col("p50_approx") <= F.col("p_exact")[1])
+        ).alias("pct_ok")
+    )
+    return dist.crossJoin(pct)
 
 
 @query(
@@ -420,11 +443,17 @@ def u3_anti_join_customers_without_orders(
 )
 def j7_composite_key_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-key equi join (discussion_event⋈discussion on
-    (num, repo_id), databaseImport.py:250)."""
+    (num, repo_id), databaseImport.py:250).
+
+    Single-shuffle shape: instead of groupBy-min + join back (two
+    lineitem shuffles), one window partitioned on the composite key —
+    rank()==1 keeps every row tied at MIN(l_linenumber), exactly the
+    join-back semantics (the synthetic key is not unique)."""
     li = read_table(spark, sf_dir, "lineitem")
-    first = li.groupBy("l_orderkey").agg(F.min("l_linenumber").alias("l_linenumber"))
+    w = Window.partitionBy("l_orderkey").orderBy(F.asc("l_linenumber"))
     return (
-        li.join(first, ["l_orderkey", "l_linenumber"])
+        li.withColumn("rn", F.rank().over(w))
+        .filter(F.col("rn") == 1)
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
     )

@@ -1,25 +1,42 @@
 """Similarity search over embedding columns (north-star X-UD5) on the
 ``embeddings`` table (vec_id, embedding array<float>, label).
 
-Two tiers, as a 100 TB ANN story requires:
-- brute-force cosine top-k — the exact baseline; one broadcast of the
-  query vector, one pass, TakeOrderedAndProject for the top-k.
+Tiers, as a 100 TB ANN story requires:
+- brute-force cosine top-k — the exact baseline: one Arrow-vectorized
+  GEMV pass (query vector baked into the UDF closure), top-k via
+  ``orderBy().limit(k)`` which compiles to TakeOrderedAndProject (heap
+  per partition + k-row merge at the driver — never a global sort).
 - hyperplane-LSH bucketed top-k — the scale path: 16 fixed random
-  hyperplanes give a 16-bit bucket id; the probe touches only the
-  query's bucket (and is trivially extended to multi-probe).  Bucket
-  assignment is a narrow projection; at 100 TB the bucket id becomes a
-  partition key so a probe is a partition-pruned scan, not a full pass.
+  hyperplanes give a 16-bit bucket id computed by ONE vectorized
+  matrix multiply per Arrow batch; the ≤2,517 hamming-≤4 probe buckets
+  are enumerated DRIVER-side and pushed as an equi ``isin`` filter, so
+  the probe is a prunable scan (at 100 TB the persisted bucket column
+  is the partition key and the filter becomes partition pruning) —
+  never a nested-loop over the corpus.
+- exact all-pairs nearest neighbor — the recall oracle: candidate
+  matrix is processed in BOUNDED driver chunks (``NN_CHUNK_ROWS`` rows
+  collected per step, never the whole table), each chunk broadcast and
+  scored with one BLAS GEMM inside ``mapInPandas``, partial winners
+  reduced by a final max-struct aggregation.  Driver memory is O(chunk),
+  not O(corpus).
 
-All vector math is JVM array ops (zip_with/aggregate) in double
-precision — no Python, no UDF.
+All hot-path vector math is Arrow-batched numpy (pandas UDFs) — a
+per-pair SQL higher-order-function fold is interpreted per element and
+~50x slower.  JVM ``aggregate``/``zip_with`` folds are kept only for
+the tiny post-prune scoring sets where plan shape matters more than
+arithmetic throughput.
 """
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from hfcommunity_spark.io import read_table
 from hfcommunity_spark.registry import query
@@ -27,6 +44,8 @@ from hfcommunity_spark.registry import query
 DIM = 64
 N_PLANES = 16
 TOP_K = 20
+MULTIPROBE_HAMMING = 4
+NN_CHUNK_ROWS = 4096  # driver-side bound per candidate chunk
 
 
 def dot(a: str | Column, b: str | Column) -> Column:
@@ -54,6 +73,49 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _np_rows(series: pd.Series) -> np.ndarray:
+    """Arrow batch of array<float> → (n, dim) float64 matrix."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _cosine_to_query_udf(q: np.ndarray):
+    """Vectorized cosine against a fixed query vector: one GEMV per
+    Arrow batch (the query is a closure constant — no join needed)."""
+    qn = (q / np.linalg.norm(q)).astype(np.float64)
+
+    @F.pandas_udf("double")
+    def cos(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype=np.float64)
+        m = _np_rows(emb)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(mn @ qn)
+
+    return cos
+
+
+def _query_vector(emb: DataFrame, vec_id: int = 0) -> np.ndarray:
+    """Driver-side fetch of ONE query vector (bounded by construction)."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return np.asarray(row[0], dtype=np.float64)
+
+
+def _rank_topk(scored: DataFrame, k: int = TOP_K,
+               with_sim: bool = False) -> DataFrame:
+    """Top-k that scales: ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition heap, k-row driver merge).
+    The rank window then runs over the ≤k surviving rows only — never
+    a single-partition shuffle of the full scored set."""
+    top = scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    if with_sim:
+        return ranked.select(
+            "vec_id", "rank", F.round("sim", 4).alias("sim_rounded")
+        )
+    return ranked.select("vec_id", "rank")
+
+
 @query(
     "sim_bruteforce_topk",
     f"""
@@ -75,79 +137,78 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines to ~1e-12, far below the neighbor spacing, so ranks hash
     identically while raw float output would not."""
     emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
+    q = _query_vector(emb)
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", _cosine_to_query_udf(q)(F.col("embedding")).alias("sim")
     )
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", cosine("embedding", "q_emb").alias("sim"))
-    )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "rank")
-    )
+    return _rank_topk(scored)
 
 
-def _hyperplanes(seed: int = 42) -> list[list[float]]:
-    """Fixed projection planes — deterministic, baked into the plan as
-    literals (no data dependency, no broadcast needed)."""
+def _hyperplanes(seed: int = 42) -> np.ndarray:
+    """Fixed projection planes — deterministic, identical on driver and
+    executors (same seed, same dtype, same op order)."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((N_PLANES, DIM)).tolist()
+    return rng.standard_normal((N_PLANES, DIM))
 
 
-def lsh_bucket(emb: str | Column) -> Column:
-    """16-bit hyperplane signature: bit i = sign(<emb, plane_i>)."""
-    e = F.col(emb) if isinstance(emb, str) else emb
-    planes = _hyperplanes()
-    acc = F.lit(0)
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        proj = F.aggregate(
-            F.zip_with(e, lit_plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        acc = acc + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return acc
+def _signatures(m: np.ndarray) -> np.ndarray:
+    """(n, dim) → (n,) int64 bucket ids: bit i = sign(<row, plane_i>).
+    One GEMM for the whole batch."""
+    proj = m @ _hyperplanes().T
+    bits = (proj > 0).astype(np.int64)
+    return (bits << np.arange(N_PLANES, dtype=np.int64)).sum(axis=1)
 
 
-MULTIPROBE_HAMMING = 4
+@F.pandas_udf(LongType())
+def lsh_bucket_udf(emb: pd.Series) -> pd.Series:
+    if not len(emb):
+        return pd.Series([], dtype=np.int64)
+    return pd.Series(_signatures(_np_rows(emb)))
+
+
+def _probe_buckets(center: int, max_hamming: int = MULTIPROBE_HAMMING) -> list[int]:
+    """All bucket ids within the hamming ball — C(16,0..4) = 2,517
+    values, enumerated once on the driver (index-side pruning, the
+    multi-probe trick from the LSH literature)."""
+    out = [center]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(N_PLANES), h):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            out.append(center ^ mask)
+    return out
 
 
 @query("sim_lsh_bucketed_topk", None, survey="X-UD5,J9,A12")
 def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via hyperplane LSH with multi-probe: score vectors
-    whose 16-bit bucket signature is within hamming distance 4 of the
-    query's (sign flips on near-orthogonal planes are the common miss;
-    multi-probe recovers them without touching the full corpus).
-    Approximate by construction → rows-only check (the exact baseline
-    above is the oracle-checked twin)."""
-    emb = read_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket("embedding")
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
-    )
-    near_bucket = (
-        F.bit_count(
-            F.col("bucket").bitwiseXOR(F.col("q_bucket"))
-        )
-        <= MULTIPROBE_HAMMING
-    )
-    scored = (
+    """ANN top-k via hyperplane LSH with multi-probe.  The query's
+    bucket is computed driver-side; the ≤2,517 hamming-≤4 neighbor
+    buckets are enumerated driver-side and pushed as one ``isin``
+    equi-filter (3.8% of the 16-bit bucket space) — the probe PRUNES
+    instead of nested-looping the corpus.  Signatures are one GEMM per
+    Arrow batch.  At 100 TB the bucket is a persisted partition column
+    and this same filter becomes partition pruning.  Approximate by
+    construction → rows-only check (the exact baseline above is the
+    oracle-checked twin)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = _query_vector(emb)
+    q_bucket = int(_signatures(q[None, :])[0])
+    probes = _probe_buckets(q_bucket)
+    # one parsed SQL IN-list, not Column.isin(list): isin round-trips
+    # every literal through py4j (2,517 driver calls ≈ seconds of plan
+    # build); a single expr string parses JVM-side in one call and
+    # still compiles to the same INSET membership test
+    in_list = ",".join(str(p) for p in probes)
+    cand = (
         emb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), near_bucket)
-        .select("vec_id", cosine("embedding", "q_emb").alias("sim"))
+        .withColumn("bucket", lsh_bucket_udf(F.col("embedding")))
+        .filter(F.expr(f"bucket IN ({in_list})"))
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "rank", F.round("sim", 4).alias("sim_rounded"))
+    scored = cand.select(
+        "vec_id", _cosine_to_query_udf(q)(F.col("embedding")).alias("sim")
     )
+    return _rank_topk(scored, with_sim=True)
 
 
 @query(
@@ -168,118 +229,136 @@ def dd_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame
     """Embedding-cosine near-dup baseline: every vector's exact nearest
     neighbor — the ground truth the LSH/IVF variants approximate.
 
-    Scale design: the candidate side is a broadcast numpy matrix and
-    each Arrow batch of query vectors does one BLAS GEMM against it —
-    a per-pair SQL lambda fold is ~50× slower because higher-order-
-    function lambdas are interpreted per element.  At 100 TB the
-    candidate matrix is blocked (loop over broadcast chunks, keep a
-    running top-1), which is this same kernel in a loop; the row-level
-    tie-break (max sim, then min id) matches the oracle exactly."""
-    import numpy as np
-    import pandas as pd
+    Blocked-broadcast design: the candidate set is processed in
+    BOUNDED chunks (pmod(vec_id, n_chunks) buckets of ~NN_CHUNK_ROWS
+    rows).  Each step collects ONE chunk (driver memory O(chunk), never
+    O(corpus)), broadcasts it, and a ``mapInPandas`` pass scores every
+    query row against the chunk with one BLAS GEMM, keeping the
+    chunk-local best.  A final max-struct aggregation merges the
+    per-chunk winners (max sim, then min nn_id — matching the oracle's
+    tie-break exactly).  Work is the inherent O(n²) of exact all-pairs;
+    memory is bounded everywhere.  At 100 TB you run the LSH/SimHash
+    candidate path instead and exact-re-rank candidates with this same
+    GEMM kernel."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    n_chunks = max(1, -(-n // NN_CHUNK_ROWS))  # ceil
+    partials: list[DataFrame] = []
+    for i in range(n_chunks):
+        chunk = emb.filter(F.pmod(F.col("vec_id"), n_chunks) == i).collect()
+        if not chunk:
+            continue
+        order = np.argsort([r.vec_id for r in chunk], kind="stable")
+        ids = np.array([r.vec_id for r in chunk], dtype=np.int64)[order]
+        m = np.array([r.embedding for r in chunk], dtype=np.float64)[order]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((ids, mn))
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    cand = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in cand], dtype=np.int64)
-    m = np.array([r.embedding for r in cand], dtype=np.float64)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mn))
+        def best_in_chunk(batches, _bc=bc):
+            # candidates are id-sorted, so argmax (first max) breaks
+            # similarity ties toward the LOWEST nn_id — the oracle's
+            # tie-break — with no per-row sort.
+            c_ids, c_mn = _bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = _np_rows(pdf["embedding"])
+                an = a / np.linalg.norm(a, axis=1, keepdims=True)
+                sims = an @ c_mn.T
+                qids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                sims[c_ids[None, :] == qids[:, None]] = -np.inf  # self
+                best = np.argmax(sims, axis=1)
+                best_sim = sims[np.arange(len(qids)), best]
+                keep = ~np.isneginf(best_sim)  # chunk may hold only self
+                yield pd.DataFrame({
+                    "vec_id": qids[keep],
+                    "nn_id": c_ids[best[keep]],
+                    "sim": best_sim[keep],
+                })
 
-    def nn_batches(batches):
-        c_ids, c_mn = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            an = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = an @ c_mn.T
-            out = []
-            for i, qid in enumerate(pdf["vec_id"]):
-                row = sims[i]
-                row = np.where(c_ids == qid, -np.inf, row)
-                best = np.lexsort((c_ids, -row))[0]  # max sim, then min id
-                out.append((int(qid), int(c_ids[best])))
-            yield pd.DataFrame(out, columns=["vec_id", "nn_id"])
-
-    return emb.select("vec_id", "embedding").mapInPandas(
-        nn_batches, "vec_id long, nn_id long"
+        partials.append(
+            emb.mapInPandas(best_in_chunk, "vec_id long, nn_id long, sim double")
+        )
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionAll(p)
+    # cross-chunk winner: max sim, then min nn_id (struct max is
+    # lexicographic, so negate the id for the tie-break)
+    return (
+        merged.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("nn_id")).alias("neg_id"))).alias("b"))
+        .select("vec_id", (-F.col("b.neg_id")).alias("nn_id"))
     )
+
+
+def _centroid_rows(emb: DataFrame) -> DataFrame:
+    """Per-label mean vectors via posexplode + (label, dim) partial
+    aggregation — one k×dim-sized shuffle regardless of row count."""
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg((F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            F.col("label").alias("cell"),
+            F.expr("transform(dm, x -> x.m)").alias("centroid"),
+        )
+    )
+
+
+def _ivf_probe_topk(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Shared IVF probe: vectorized cell assignment (one GEMM per Arrow
+    batch — operators/kmeans.assign_cells), query cell computed
+    driver-side with the same arithmetic, equi-filter on the cell id
+    (partition-prunable at scale), then vectorized scoring + heap
+    top-k."""
+    from hfcommunity_spark.operators.kmeans import _nearest_cells, assign_cells
+
+    q = _query_vector(emb)
+    q_cell = int(_nearest_cells(q[None, :], np.asarray(centroids, np.float64))[0])
+    assigned = assign_cells(emb, centroids)
+    scored = (
+        assigned.filter((F.col("vec_id") != 0) & (F.col("cell") == q_cell))
+        .select("vec_id", _cosine_to_query_udf(q)(F.col("embedding")).alias("sim"))
+    )
+    return _rank_topk(scored, with_sim=True)
 
 
 @query("sim_ivf_topk", None, survey="X-UD5,J9,A12")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label centroids act as the coarse quantizer
     (k-means stand-in); every vector is assigned to its nearest
-    centroid cell, and the query probes only its own cell.  rows-only
-    (approximate by construction; dd_embedding_nearest_neighbor is the
-    exact recall oracle)."""
+    centroid cell by a vectorized GEMM projection (no per-row window,
+    no shuffle), and the query probes only its own cell.  The k×dim
+    centroid matrix is collected driver-side — bounded by k, the
+    standard IVF codebook shape.  rows-only (approximate by
+    construction; dd_embedding_nearest_neighbor is the exact recall
+    oracle)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    # coarse quantizer: per-label mean vectors (cheap, deterministic)
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg((F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("m"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
-        )
-        .select(
-            F.col("label").alias("cell"),
-            F.expr("transform(dm, x -> x.m)").alias("centroid"),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim_c"), F.asc("cell")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("sim_c", cosine("embedding", "centroid"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-    q = assigned.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
-    )
-    scored = (
-        assigned.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), F.col("cell") == F.col("q_cell"))
-        .select("vec_id", cosine("embedding", "q_emb").alias("sim"))
-    )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "rank", F.round("sim", 4).alias("sim_rounded"))
-    )
+    cent = {r.cell: list(map(float, r.centroid)) for r in _centroid_rows(emb).collect()}
+    centroids = [cent[k] for k in sorted(cent)]
+    return _ivf_probe_topk(emb, centroids)
 
 
 @query("sim_kmeans_ivf_topk", None, survey="X-UD5,J9,A12")
 def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a REAL learned quantizer: distributed Lloyd's k-means
-    (k=8, 3 iterations — operators/kmeans.py) trains the cell
-    centroids, then the query probes only its own cell.  Iterative
-    algorithm → rows-only check per the driver contract."""
-    from hfcommunity_spark.operators.kmeans import assign_cells, kmeans_fit
+    (k=8, 3 iterations — operators/kmeans.py, GEMM-vectorized
+    assignment) trains the cell centroids, then the query probes only
+    its own cell.  Iterative algorithm → rows-only check per the
+    driver contract."""
+    from hfcommunity_spark.operators.kmeans import kmeans_fit
 
-    # cache: Lloyd's makes 2 passes per iteration over the same frame
+    # cache: Lloyd's makes 2 passes per iteration over the same frame;
+    # unpersist once the codebook is learned — the probe plan re-reads
+    # the (column-pruned) parquet instead of pinning executor memory.
     emb = read_table(spark, sf_dir, "embeddings").persist()
-    centroids = kmeans_fit(emb, k=8, iters=3)
-    assigned = assign_cells(emb, centroids).select("vec_id", "embedding", "cell")
-    q = assigned.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
-    )
-    scored = (
-        assigned.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), F.col("cell") == F.col("q_cell"))
-        .select("vec_id", cosine("embedding", "q_emb").alias("sim"))
-    )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "rank", F.round("sim", 4).alias("sim_rounded"))
-    )
+    try:
+        centroids = kmeans_fit(emb, k=8, iters=3)
+    finally:
+        emb.unpersist()
+    return _ivf_probe_topk(emb, centroids)
 
 
 @query(
@@ -307,9 +386,11 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_label_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (exact decimal mean per dimension) and the 5
     most-central members of each label — the IVF building block
-    (centroid assignment) expressed relationally."""
+    (centroid assignment) expressed relationally.  The rank window IS
+    partitioned (by label), so it scales; JVM fold arithmetic is kept
+    here because the decimal accumulation is what makes the oracle
+    hash-match."""
     emb = read_table(spark, sf_dir, "embeddings")
-    # exact per-dimension mean: decimal accumulation, final double div
     per_dim = emb.select(
         "label",
         "vec_id",
@@ -334,8 +415,6 @@ def sim_label_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.expr("transform(dm, x -> x.m)").alias("centroid")
         )
     )
-    from pyspark.sql import Window
-
     scored = emb.join(F.broadcast(cent), "label").select(
         "vec_id", "label", cosine("embedding", "centroid").alias("sim")
     )

@@ -196,7 +196,9 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over a generated index — a narrow explode, no UDF, no
     shuffle; chunk count derives from the length so no trailing empty
     chunks (the 64-slot range upper bound is just the oracle's static
-    iterator — the WHERE clause prunes it to ceil(len/width))."""
+    iterator — the WHERE clause prunes it to ceil(len/width)).  Empty
+    documents emit NO chunks: without the guard, sequence(0, -1) yields
+    [0, -1] and posexplode would fabricate two bogus empty chunks."""
     docs = read_table(spark, sf_dir, "documents")
     return (
         docs.select(
@@ -204,9 +206,11 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             F.posexplode(
                 F.expr(
+                    f"CASE WHEN length(text) > 0 THEN "
                     f"transform(sequence(0, CAST(ceil(length(text) / "
                     f"{CHUNK_CHARS}.0) AS INT) - 1), "
-                    f"i -> substring(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS}))"
+                    f"i -> substring(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) "
+                    f"ELSE CAST(array() AS array<string>) END"
                 )
             ).alias("chunk_idx", "chunk"),
         )

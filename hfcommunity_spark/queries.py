@@ -3,13 +3,23 @@
 Importing this module imports every operator module so its ``@query``
 registrations land in ``REGISTRY``.  The driver contract
 (``__spark_entry__.py``) and the tests both consume this.
+
+Ordering contract: the driver oracle-checks only the FIRST 50 entries
+of ``queries()``, so ``DRIVER_WINDOW`` pins the window explicitly —
+every north-star LLM-data-pipeline query (dedup, similarity, text,
+multimodal, pandas-UDF, skew, merge, streaming twins) plus one
+representative relational query per remaining SURVEY §2 operator id.
+Queries outside the window stay declared (and locally oracle-tested in
+``tests/test_oracle_parity.py``); they simply aren't the driver's
+evidence rows.  ``tests/test_registry_window.py`` asserts the window
+covers every SURVEY id that any declared query covers.
 """
 
 from __future__ import annotations
 
 from hfcommunity_spark.registry import REGISTRY, QuerySpec
 
-# Import for registration side effects — order defines display order.
+# Import for registration side effects.
 from hfcommunity_spark.operators import relational  # noqa: F401
 from hfcommunity_spark.operators import relational_ext  # noqa: F401
 from hfcommunity_spark.operators import relational_ext2  # noqa: F401
@@ -48,5 +58,81 @@ except ImportError:  # pragma: no cover
     pass
 
 
+# The first 50 registry entries — the driver's correctness window.
+# 34 north-star LLM-pipeline/streaming/merge queries, then 16
+# relational representatives chosen so every SURVEY §2 id keeps at
+# least one hash-checkable query inside the window.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # merge semantics (D1-D3, U1/U2)
+    "d1_insert_ignore_first_writer",
+    "d2_upsert_last_writer",
+    "d3_partial_update_stale",
+    "u1_priority_union_sources",
+    # text analysis + corpus dedup materialization (X-UD5, F1/F3/F12, P1, A5)
+    "t_token_stats",
+    "t_lang_id_heuristic",
+    "t_quality_score",
+    "t_doc_fingerprint",
+    "dd_corpus_dedup_keep_first",
+    "t_chunk_documents",
+    "t_stopword_ratio",
+    "t_bpe_token_count",
+    "f3_clean_text",
+    # deduplication family (X-UD5, A9, J5, J9, UD1)
+    "dd_exact_duplicates",
+    "dd_ngram_jaccard_pairs",
+    "dd_minhash_lsh_pairs",
+    "dd_simhash_near_dups",
+    # similarity / ANN family (X-UD5, O1, J6, J9, W1, A7)
+    "sim_bruteforce_topk",
+    "sim_lsh_bucketed_topk",
+    "dd_embedding_nearest_neighbor",
+    "sim_ivf_topk",
+    "sim_kmeans_ivf_topk",
+    "sim_label_centroid_topk",
+    # multimodal plumbing (UD2, UD4)
+    "mm_byte_features",
+    # pandas-UDF tiers (UD1, UD3, UD4, A7)
+    "ud1_ascii_ratio",
+    "ud3_grouped_agg_cents",
+    "ud4_grouped_map_profile",
+    # skew mitigation (A10, J9)
+    "skew_salted_agg_parity",
+    # streaming batch-parity twins (X1-X7, F6, J8)
+    "x3_tumbling_hourly",
+    "x3_sliding_halfhour",
+    "x4_session_windows",
+    "x8_hourly_gap_fill",
+    "x5_streaming_dedup",
+    "x7_stream_static_enrich",
+    # relational representatives (one per remaining SURVEY id)
+    "a4_topk_customers_by_orders",  # A4, O2, J3
+    "a6_ratio_customers_with_orders",  # A6
+    "a8_null_partition_count",  # A8, P8
+    "a11_rollup_customers",  # A11, J4
+    "a12_sketch_tolerance",  # A12 (exact value + in-bounds flags)
+    "a14_pivot_event_counts",  # P9, A5, A10
+    "f2_prefixed_ids",  # F2
+    "f4_json_projection",  # F4, F12
+    "p2_watermark_split_counts",  # P2, U3
+    "p10_oversize_text_guard",  # P10, F5
+    "p12_q6_revenue_pushdown",  # P12, F11
+    "j7_composite_key_first_line",  # J7, W4
+    "j10_asof_last_view_before_purchase",  # J10, W3
+    "o3_order_offset_page",  # O3
+    "ri_orphan_audit",  # S13, J2, U3
+    "w2_lag_event_value_delta",  # W2
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    return dict(REGISTRY)
+    """Registry ordered window-first; remaining queries follow in
+    registration order."""
+    ordered: dict[str, QuerySpec] = {}
+    for name in DRIVER_WINDOW:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

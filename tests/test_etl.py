@@ -46,6 +46,30 @@ def test_surrogate_key_matches_reference_hash(spark):
         assert row.id == hashlib.sha256(f"{rid}_{fn}".encode()).hexdigest()
 
 
+def test_surrogate_key_null_part_propagates(spark):
+    """A NULL key part must yield a NULL key (the reference would raise
+    on str + None) — never a silently-collapsed digest."""
+    df = spark.createDataFrame(
+        [("models/org/repo", None)],
+        schema="repo_id string, filename string",
+    )
+    got = df.select(surrogate_key("repo_id", "filename").alias("id")).collect()
+    assert got[0].id is None
+
+
+def test_path_basename_matches_pydriller_filename(spark):
+    """element_at(split(path,'/'),-1) == Path(path).name for the shapes
+    git emits — the component hashed into modified_file_id (:419)."""
+    from hfcommunity_spark.etl.normalize import path_basename
+
+    df = spark.createDataFrame(
+        [("data/train/part-0.parquet",), ("README.md",), ("a/b/c",)],
+        ["p"],
+    )
+    got = [r.b for r in df.select(path_basename("p").alias("b")).collect()]
+    assert got == ["part-0.parquet", "README.md", "c"]
+
+
 def test_repo_full_id_pluralization(spark):
     df = spark.createDataFrame(
         [("model", "org/m"), ("dataset", "org/d"), ("space", "org/s")],

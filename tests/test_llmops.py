@@ -18,7 +18,12 @@ from hfcommunity_spark.operators.multimodal import (
     byte_features_batches,
     decode_media,
 )
-from hfcommunity_spark.operators.similarity import cosine, lsh_bucket
+from hfcommunity_spark.operators.similarity import (
+    MULTIPROBE_HAMMING,
+    _probe_buckets,
+    cosine,
+    lsh_bucket_udf,
+)
 
 
 BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
@@ -80,12 +85,58 @@ def test_lsh_bucket_deterministic_and_locality(spark):
         ],
         ["id", "e"],
     )
-    got = {r.id: r.b for r in df.select("id", lsh_bucket("e").alias("b")).collect()}
+    got = {r.id: r.b for r in df.select("id", lsh_bucket_udf("e").alias("b")).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
-    # rerun → identical buckets (fixed-seed planes baked into the plan)
-    again = {r.id: r.b for r in df.select("id", lsh_bucket("e").alias("b")).collect()}
+    # rerun → identical buckets (fixed-seed planes, same GEMM everywhere)
+    again = {r.id: r.b for r in df.select("id", lsh_bucket_udf("e").alias("b")).collect()}
     assert got == again
+
+
+def test_probe_bucket_enumeration_driver_side():
+    """Multi-probe = driver-enumerated hamming ball, NOT a corpus scan:
+    C(16,0..4) = 2,517 distinct buckets, all within distance 4."""
+    probes = _probe_buckets(0b1010101010101010)
+    assert len(probes) == 2517
+    assert len(set(probes)) == 2517
+    center = 0b1010101010101010
+    assert all(bin(p ^ center).count("1") <= MULTIPROBE_HAMMING for p in probes)
+
+
+def test_nn_chunked_broadcast_matches_single_chunk(spark, monkeypatch):
+    """The exact-NN baseline must give identical answers whether the
+    candidate matrix fits in one driver chunk or is processed as many
+    bounded chunks — the blocked-broadcast design that replaces the
+    round-1 full-table collect()."""
+    from hfcommunity_spark.operators import similarity as sim
+
+    one = {
+        (r.vec_id, r.nn_id)
+        for r in sim.dd_embedding_nearest_neighbor(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    monkeypatch.setattr(sim, "NN_CHUNK_ROWS", 64)  # 500 rows → 8 chunks
+    many = {
+        (r.vec_id, r.nn_id)
+        for r in sim.dd_embedding_nearest_neighbor(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert one == many
+    assert len(one) == 500
+
+
+def test_chunk_documents_empty_text_emits_no_chunks(spark, tmp_path):
+    """Empty documents produce zero chunks — without the guard,
+    sequence(0, ceil(0/128)-1) = [0, -1] and posexplode fabricates two
+    bogus empty chunks the DuckDB oracle never emits."""
+    from hfcommunity_spark.operators.textops import t_chunk_documents
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["", "ab"]})
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    out = t_chunk_documents(spark, str(tmp_path)).collect()
+    assert {(r.doc_id, r.chunk_idx, r.chunk) for r in out} == {(2, 0, "ab")}
 
 
 def test_byte_features_deterministic():

@@ -33,6 +33,12 @@ def _formatted_plan(spark, name: str) -> str:
         ("a4_topk_customers_by_orders",
          ["TakeOrderedAndProject", "BroadcastHashJoin"]),
         ("o1_top_lineitems_by_price", ["TakeOrderedAndProject"]),
+        # similarity top-k: heap + k-row merge, never a global-window
+        # single-partition sort (round-1 scale-killer)
+        ("sim_bruteforce_topk", ["TakeOrderedAndProject"]),
+        ("sim_lsh_bucketed_topk", ["TakeOrderedAndProject"]),
+        ("sim_ivf_topk", ["TakeOrderedAndProject"]),
+        ("sim_kmeans_ivf_topk", ["TakeOrderedAndProject"]),
         # dims broadcast; fact side never builds the hash table
         ("j3_orders_per_nation", ["BroadcastHashJoin"]),
         ("q5_supplier_nation_volume", ["BroadcastHashJoin"]),
@@ -46,6 +52,30 @@ def test_plan_contains(spark, name, needles):
     plan = _formatted_plan(spark, name)
     for needle in needles:
         assert needle in plan, f"{name}: expected {needle!r} in plan"
+
+
+def test_lsh_probe_is_a_pruning_filter(spark):
+    """The multi-probe is an equi membership filter on the bucket
+    column (partition-prunable at scale) — NOT a nested-loop join
+    condition over the corpus (the round-1 scale-killer)."""
+    plan = _formatted_plan(spark, "sim_lsh_bucketed_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # Catalyst compiles the 2,517-value isin to an INSET membership test
+    assert "INSET" in plan or " IN (" in plan
+
+
+def test_sim_topk_no_global_window(spark):
+    """No single-partition Exchange feeding a Window in any sim_* plan:
+    rank is derived after the k-row limit, so the only unpartitioned
+    window runs over ≤k rows post-TakeOrderedAndProject."""
+    for name in ("sim_bruteforce_topk", "sim_lsh_bucketed_topk",
+                 "sim_ivf_topk", "sim_kmeans_ivf_topk"):
+        plan = _formatted_plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        # formatted plans print the root first, so the rank Window must
+        # appear ABOVE (= consume the ≤k-row output of) the heap top-k
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), name
 
 
 def test_q6_reads_only_needed_columns(spark):
@@ -65,11 +95,9 @@ def test_no_cartesian_products_in_inventory(spark):
     may appear; anything else is a missing join condition."""
     allowed = {
         "a6_ratio_customers_with_orders",  # two 1-row aggregates
+        "a12_sketch_tolerance",            # two 1-row aggregates
         "ri_orphan_audit",                 # two 1-row aggregates
-        "sim_bruteforce_topk",             # 1-row broadcast query vector
-        "sim_lsh_bucketed_topk",
-        "sim_ivf_topk",                    # K-row broadcast centroids
-        "sim_label_centroid_topk",
+        "sim_label_centroid_topk",         # K-row broadcast centroids
         "j10_asof_last_view_before_purchase",
     }
     for name in SPECS:
