@@ -12,6 +12,8 @@ star mandates beyond the reference.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -280,14 +282,55 @@ def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+try:  # optional exact-F3 dependency; not installed in this container
+    from cleantext import clean as _cleantext_clean
+except ImportError:  # pragma: no cover
+    _cleantext_clean = None
+
+
 def clean_text(col):
     """F3: the reference's clean(config, no_emoji=True) call
     (databaseImport.py:633-635, clean-text lib) approximated engine-
     side: lowercase, strip non-printable-ASCII (covers emoji), collapse
-    runs of whitespace, trim.  Vectorized JVM regexp — no Python."""
+    runs of whitespace, trim.  Vectorized JVM regexp — no Python.
+    For byte-exact lib parity use ``clean_text_exact_udf`` (SURVEY
+    §2.9 F3's optional pandas-UDF path)."""
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(F.lower(c), "[^\\x20-\\x7e]", "")
     return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
+def clean_text_exact_udf():
+    """Exact F3: Arrow-batched pandas UDF wrapping the actual
+    ``clean-text`` library with the reference's argument shape —
+    ``clean(x, no_emoji=True)`` (databaseImport.py:635).  Known deltas
+    vs the regex approximation: the lib also folds unicode to ASCII
+    lookalikes (ç→c) and normalizes curly quotes/dashes instead of
+    stripping them; the regex path simply drops all non-printable-ASCII.
+    Raises ImportError when the lib is absent (this container) so
+    callers fall back to ``clean_text`` explicitly, never silently."""
+    if _cleantext_clean is None:
+        raise ImportError(
+            "clean-text is not installed; use the clean_text() regex "
+            "approximation or install clean-text for byte parity"
+        )
+
+    @F.pandas_udf("string")
+    def _clean(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None if x is None else _cleantext_clean(x, no_emoji=True)
+        )
+
+    return _clean
+
+
+def clean_text_best(col):
+    """Exact lib path when importable, regex approximation otherwise —
+    the documented production seam for F3."""
+    if _cleantext_clean is not None:
+        c = F.col(col) if isinstance(col, str) else col
+        return clean_text_exact_udf()(c)
+    return clean_text(col)
 
 
 @query(

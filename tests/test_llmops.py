@@ -127,6 +127,26 @@ def test_nn_chunked_broadcast_matches_single_chunk(spark, monkeypatch):
     assert len(one) == 500
 
 
+def test_clean_text_exact_seam(spark):
+    """F3 exact path: without the clean-text lib the exact UDF must
+    refuse loudly and clean_text_best must fall back to the regex
+    approximation; with the lib, best == lib output (pinned below)."""
+    from hfcommunity_spark.operators import textops as t
+
+    df = spark.createDataFrame(
+        [(1, "  Héllo  WORLD 🙂  x  ")], ["id", "text"]
+    )
+    got = df.select(t.clean_text_best("text").alias("c")).collect()[0].c
+    if t._cleantext_clean is None:
+        with pytest.raises(ImportError, match="clean-text"):
+            t.clean_text_exact_udf()
+        # regex approximation: ascii-printable only, collapsed, trimmed
+        assert got == "hllo world x"
+    else:  # pragma: no cover - lib not in this container
+        assert got == t._cleantext_clean("  Héllo  WORLD 🙂  x  ",
+                                         no_emoji=True)
+
+
 def test_chunk_documents_empty_text_emits_no_chunks(spark, tmp_path):
     """Empty documents produce zero chunks — without the guard,
     sequence(0, ceil(0/128)-1) = [0, -1] and posexplode fabricates two
