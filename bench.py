@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hfcommunity_spark.queries import all_queries
-from hfcommunity_spark.session import get_spark
+from hfcommunity_spark.session import default_parallelism, get_spark
 
 
 def main() -> None:
@@ -32,6 +32,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footer cache once, outside the timings.
     next(iter(specs.values())).spark(spark, sf_dir).count()
+    # Warm the Python worker pool too (daemon + Arrow serializers spin
+    # up on first use, ~5-10s across 32 cores) so the first pandas-UDF
+    # query isn't charged the one-time startup.
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(10_000, numPartitions=default_parallelism()).select(
+        _warm("id")
+    ).count()
 
     # best-of-2 per query: a single cold run is dominated by JVM/GC
     # noise at this data size; min-of-two is the stable estimator

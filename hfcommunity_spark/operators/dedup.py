@@ -215,16 +215,19 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .distinct()
     )
     matches = F.expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
     )
+    # project the scalar similarity BEFORE the pair dedup: distinct then
+    # hashes 3 scalar columns instead of two 16-long signature arrays
+    # (est_similarity is a pure function of the pair, so the result set
+    # is identical)
     return cand.select(
         "doc_a",
         "doc_b",
         (matches.cast("double") / MINHASH_K).alias("est_similarity"),
-    )
+    ).distinct()
 
 
 SIMHASH_BITS = 63  # avoid the sign bit so the signature stays a positive long
