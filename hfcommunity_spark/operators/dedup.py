@@ -230,6 +230,63 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+JACCARD_CLUSTER_THRESHOLD = 0.5
+
+
+@query(
+    "dd_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - {NGRAM - 2}),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+           FROM toks WHERE len(w) >= {NGRAM}),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS shared
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b),
+    jac AS (SELECT doc_a, doc_b FROM pairs
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared)
+                  >= {JACCARD_CLUSTER_THRESHOLD}),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM jac
+            UNION SELECT doc_b, doc_a FROM jac),
+    reach AS (
+      SELECT DISTINCT a AS vertex, a AS component FROM und
+      UNION
+      SELECT u.b, r.component FROM reach r JOIN und u ON u.a = r.vertex
+    )
+    SELECT vertex AS doc_id, MIN(component) AS component
+    FROM reach GROUP BY vertex
+    """,
+    survey="X-UD5,J5",
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the canonicalization step every dedup
+    pipeline needs after pair generation — transitive closure of the
+    jaccard-≥0.5 pair graph, each doc labelled with the min doc_id of
+    its component (the keep-one representative).  Spark side is
+    iterative min-label propagation (operators/graph.py
+    connected_components — one equi join + min agg per round); the
+    oracle is DuckDB's recursive CTE over the same edges, so this
+    iterative operator IS hash-checked, not rows-only."""
+    from hfcommunity_spark.operators.graph import connected_components
+
+    pairs = dd_ngram_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(F.col("vertex").alias("doc_id"), "component")
+
+
 SIMHASH_BITS = 63  # avoid the sign bit so the signature stays a positive long
 
 

@@ -47,6 +47,68 @@ def ancestors(commit_parents: DataFrame, start_shas: DataFrame,
     )
 
 
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iters: int = 25) -> DataFrame:
+    """Undirected connected components by min-label propagation:
+    every vertex starts labelled with itself; each round takes the min
+    of its own label and its neighbors' (one edge⋈label equi join +
+    one min aggregation per round) until a fixpoint.  Returns
+    (vertex, component) with component = min vertex id reachable.
+
+    Rounds needed = graph diameter; the loop is driver-side and eager
+    (like ``kmeans_fit``), the data stays distributed.  At 100 TB you
+    swap the propagation for the large-star/small-star rewrites
+    (O(log n) rounds, same join primitive) — the per-round shuffle is
+    identical, only the round count changes."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # cache the symmetrized edge list: every propagation round joins
+    # against it, and its lineage may be arbitrarily expensive
+    # (e.g. the shingle join feeding dd_dup_clusters)
+    und = (
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("vertex")).distinct()
+        .withColumn("component", F.col("vertex"))
+        .persist()
+    )
+    pinned = labels  # the currently-persisted frame (labels may be a
+    # projection over it; unpersist must target the cached handle)
+    for _ in range(max_iters):
+        msgs = und.join(
+            labels, und["a"] == labels["vertex"]
+        ).select(F.col("b").alias("vertex"), "component",
+                 F.lit(False).alias("is_self"))
+        # fold convergence detection into the SAME aggregation pass:
+        # the self row carries the previous label, so one count() both
+        # materializes the new labels and reports how many moved —
+        # one action per round instead of groupBy + a comparison join
+        unioned = labels.select(
+            "vertex", "component", F.lit(True).alias("is_self")
+        ).unionByName(msgs)
+        new_labels = (
+            unioned.groupBy("vertex")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("is_self"), F.col("component"))).alias("__old"),
+            )
+            .persist()
+        )
+        n_changed = new_labels.filter(
+            F.col("component") != F.col("__old")
+        ).count()
+        pinned.unpersist()
+        pinned = new_labels
+        labels = new_labels.select("vertex", "component")
+        if n_changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
 def merge_commits(commit_parents: DataFrame) -> DataFrame:
     """Commits with ≥2 parents (merge nodes of the DAG)."""
     return (

@@ -41,3 +41,26 @@ def test_ancestors_respects_max_hops(spark):
 def test_merge_commit_detection(spark):
     out = {r.sha: r.n_parents for r in merge_commits(_edges(spark)).collect()}
     assert out == {"d": 2}
+
+
+def test_connected_components_chain_and_island(spark):
+    from hfcommunity_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3), island 10-11, self-contained pair 7-8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 8)], ["src", "dst"]
+    )
+    got = {r.vertex: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
+
+
+def test_connected_components_converges_on_cycle(spark):
+    from hfcommunity_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 9), (9, 5)], ["src", "dst"]  # triangle
+    )
+    got = {r.vertex: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {5: 5, 6: 5, 9: 5}
