@@ -16,7 +16,7 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
@@ -43,6 +43,28 @@ def doc_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
         with_words.select(
             "doc_id", F.explode(F.expr(_shingle_expr(n))).alias("shingle")
         )
+        .distinct()
+    )
+
+
+def doc_shingle_hashes(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, h) distinct pairs where h = xxhash64(shingle) — the
+    scale path for every shingle-keyed shuffle: the distinct and the
+    candidate equi-join move 8-byte longs instead of ~40-byte n-gram
+    strings (5x smaller shuffle, long compares instead of string
+    compares).  The hash happens AFTER the explode, so it's a
+    codegen'd projection, not an interpreted per-element lambda.
+    Collision risk over the 64-bit space is ~n²/2⁶⁵ — ~1e-9 at 250k
+    distinct shingles — which is the standard trade every
+    hash-shingled dedup pipeline makes."""
+    with_words = docs.withColumn("w", F.split(F.col("text"), " ")).filter(
+        F.size("w") >= n
+    )
+    return (
+        with_words.select(
+            "doc_id", F.explode(F.expr(_shingle_expr(n))).alias("shingle")
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
         .distinct()
     )
 
@@ -111,15 +133,19 @@ def dd_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates by 5-gram Jaccard: docs meet only through a
     shared shingle (equi-join), never via cross product; similarity is
-    exact set Jaccard with integer counts (bit-stable division)."""
+    exact set Jaccard with integer counts (bit-stable division).  The
+    shingle is hashed to a long before the distinct/join shuffles
+    (``doc_shingle_hashes``), so both shuffles move fixed 8-byte keys —
+    identical pair output to the string join (and the string-based
+    DuckDB oracle) up to a ~1e-9 64-bit collision."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, NGRAM)
+    sh = doc_shingle_hashes(docs, NGRAM)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -154,18 +180,28 @@ MINHASH_BANDS = 4  # bands of r = 4 rows
 MAX_BUCKET = 64
 
 
-def minhash_signature(n_hashes: int = MINHASH_K) -> Column:
-    """Array of k minhashes: min over shingles of a seeded xxhash64.
-    Array ops only — no explode, no shuffle, no Python."""
+def minhash_signatures(docs: DataFrame,
+                       n_hashes: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<long>) — k minhashes as k codegen'd
+    ``min(xxhash64(seed, h))`` aggregates over the exploded distinct
+    shingle hashes.  Map-side partial aggregation collapses each
+    partition to one k-long row per doc before the shuffle, and every
+    hash evaluation is whole-stage-codegen JVM code — the earlier
+    per-element ``transform`` lambdas ran interpreted (~50x slower on
+    the same arithmetic)."""
+    sh = doc_shingle_hashes(docs, NGRAM)
     mins = [
-        F.array_min(
-            F.expr(
-                f"transform(shingles, s -> xxhash64({seed}, s))"
-            )
-        )
+        F.min(F.xxhash64(F.lit(seed), F.col("h"))).alias(f"m{seed}")
         for seed in range(n_hashes)
     ]
-    return F.array(*mins)
+    return (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{s}") for s in range(n_hashes)]).alias("sig"),
+        )
+    )
 
 
 @query("dd_minhash_lsh_pairs", None, survey="X-UD5,UD1,J9")
@@ -175,13 +211,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with the estimated signature similarity.  Deterministic
     (fixed seeds) but xxhash64 has no DuckDB twin → rows-only check."""
     docs = read_table(spark, sf_dir, "documents")
-    with_sh = (
-        docs.withColumn("w", F.split(F.col("text"), " "))
-        .filter(F.size("w") >= NGRAM)
-        .withColumn("shingles", F.array_distinct(F.expr(_shingle_expr(NGRAM))))
-        .select("doc_id", "shingles")
-        .withColumn("sig", minhash_signature())
-    )
+    with_sh = minhash_signatures(docs)
     r = MINHASH_K // MINHASH_BANDS
     bands = with_sh.select(
         "doc_id",
@@ -295,12 +325,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     hash aggregation computing all 63 majority votes as codegen'd
     shift/and sums (an aggregate() lambda per bit would run
     interpreted per element — ~10× slower)."""
+    # explode FIRST, hash after: xxhash64 over the exploded token column
+    # is whole-stage-codegen; hashing inside a transform() lambda would
+    # run interpreted per element
     hashes = docs.select(
         "doc_id",
-        F.explode(
-            F.expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")
-        ).alias("h"),
-    )
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
     # build the 63 vote sums and the signature reassembly as PARSED SQL
     # strings: constructing them as Column chains costs hundreds of
     # py4j round-trips and a 63-deep Add tree the analyzer walks

@@ -75,28 +75,34 @@ def connected_components(edges: DataFrame, src: str = "src",
         .withColumn("component", F.col("vertex"))
         .persist()
     )
+    def _step(lbl: DataFrame, with_old: bool) -> DataFrame:
+        msgs = und.join(lbl, und["a"] == lbl["vertex"]).select(
+            F.col("b").alias("vertex"), "component",
+            F.lit(False).alias("is_self"))
+        unioned = lbl.select(
+            "vertex", "component", F.lit(True).alias("is_self")
+        ).unionByName(msgs)
+        aggs = [F.min("component").alias("component")]
+        if with_old:
+            # fold convergence detection into the SAME aggregation
+            # pass: the self row carries the previous label, so one
+            # count() both materializes the labels and reports how
+            # many moved — no separate comparison join
+            aggs.append(
+                F.max(F.when(F.col("is_self"), F.col("component"))).alias("__old")
+            )
+        return unioned.groupBy("vertex").agg(*aggs)
+
     pinned = labels  # the currently-persisted frame (labels may be a
     # projection over it; unpersist must target the cached handle)
     for _ in range(max_iters):
-        msgs = und.join(
-            labels, und["a"] == labels["vertex"]
-        ).select(F.col("b").alias("vertex"), "component",
-                 F.lit(False).alias("is_self"))
-        # fold convergence detection into the SAME aggregation pass:
-        # the self row carries the previous label, so one count() both
-        # materializes the new labels and reports how many moved —
-        # one action per round instead of groupBy + a comparison join
-        unioned = labels.select(
-            "vertex", "component", F.lit(True).alias("is_self")
-        ).unionByName(msgs)
-        new_labels = (
-            unioned.groupBy("vertex")
-            .agg(
-                F.min("component").alias("component"),
-                F.max(F.when(F.col("is_self"), F.col("component"))).alias("__old"),
-            )
-            .persist()
-        )
+        # TWO propagation rounds per materialized action: the first is
+        # chained lazily, only the second carries the convergence
+        # columns.  If round 2 moved nothing its input was already a
+        # fixpoint, so detection stays exact while the job count (the
+        # dominant per-round cost on small graphs) halves.
+        mid = _step(labels, with_old=False)
+        new_labels = _step(mid, with_old=True).persist()
         n_changed = new_labels.filter(
             F.col("component") != F.col("__old")
         ).count()

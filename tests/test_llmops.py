@@ -11,8 +11,7 @@ from pyspark.sql import functions as F
 from hfcommunity_spark.operators.dedup import (
     NGRAM,
     doc_shingles,
-    minhash_signature,
-    _shingle_expr,
+    minhash_signatures,
 )
 from hfcommunity_spark.operators.multimodal import (
     byte_features_batches,
@@ -44,13 +43,7 @@ def test_minhash_finds_planted_near_dup(spark):
             {"doc_id": 3, "text": other},
         ],
     )
-    sigs = (
-        docs.withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= NGRAM)
-        .withColumn("shingles", F.array_distinct(F.expr(_shingle_expr(NGRAM))))
-        .select("doc_id", minhash_signature().alias("sig"))
-        .collect()
-    )
+    sigs = minhash_signatures(docs).collect()
     by_id = {r.doc_id: r.sig for r in sigs}
     shared_near = sum(a == b for a, b in zip(by_id[1], by_id[2]))
     shared_far = sum(a == b for a, b in zip(by_id[1], by_id[3]))
