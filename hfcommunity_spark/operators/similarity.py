@@ -318,6 +318,74 @@ def dd_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+COSINE_PAIR_TAU = 0.4  # ≥1e-5 away from every pair sim at sf≤0.1, so
+# float noise between numpy float64 and the oracle's float arithmetic
+# (~1e-7 relative) cannot flip a pair across the threshold
+
+
+@query(
+    "dd_cosine_threshold_pairs",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding)
+          >= {COSINE_PAIR_TAU}
+    """,
+    survey="X-UD5,J6,P12",
+)
+def dd_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup PAIRS: every pair with cosine ≥ τ — the
+    SemDeDup-style embedding dedup primitive (exact, not candidate-
+    generated).  Same blocked-broadcast shape as
+    ``dd_embedding_nearest_neighbor``: candidates are collected in
+    bounded chunks, each chunk broadcast and GEMM-scored against the
+    whole table inside ``mapInPandas``; a pair is emitted by the side
+    with the LOWER vec_id (a < b) so chunks partition the output
+    disjointly.  Driver memory O(chunk); work is the inherent exact
+    O(n²) — at 100 TB the LSH candidate path feeds this same kernel.
+    Output is id pairs only (no float column), so the oracle hash is
+    exact given the documented τ margin."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    n_chunks = max(1, -(-n // NN_CHUNK_ROWS))
+    partials: list[DataFrame] = []
+    for i in range(n_chunks):
+        chunk = emb.filter(F.pmod(F.col("vec_id"), n_chunks) == i).collect()
+        if not chunk:
+            continue
+        ids = np.array([r.vec_id for r in chunk], dtype=np.int64)
+        m = np.array([r.embedding for r in chunk], dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((ids, mn))
+
+        def pairs_vs_chunk(batches, _bc=bc):
+            c_ids, c_mn = _bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = _np_rows(pdf["embedding"])
+                an = a / np.linalg.norm(a, axis=1, keepdims=True)
+                sims = an @ c_mn.T
+                qids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                # emit only (query < candidate): upper triangle, self-free
+                hit_q, hit_c = np.nonzero(
+                    (sims >= COSINE_PAIR_TAU)
+                    & (qids[:, None] < c_ids[None, :])
+                )
+                yield pd.DataFrame({
+                    "vec_a": qids[hit_q],
+                    "vec_b": c_ids[hit_c],
+                })
+
+        partials.append(
+            emb.mapInPandas(pairs_vs_chunk, "vec_a long, vec_b long")
+        )
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionAll(p)
+    return merged
+
+
 def _centroid_rows(emb: DataFrame) -> DataFrame:
     """Per-label mean vectors via posexplode + (label, dim) partial
     aggregation — one k×dim-sized shuffle regardless of row count."""

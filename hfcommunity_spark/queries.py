@@ -53,13 +53,17 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
+    from hfcommunity_spark.operators import sampling  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from hfcommunity_spark.streaming import batch_parity  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
 
 
 # The first 50 registry entries — the driver's correctness window.
-# 34 north-star LLM-pipeline/streaming/merge queries, then 16
+# 35 north-star LLM-pipeline/streaming/merge queries, then 15
 # relational representatives chosen so every SURVEY §2 id keeps at
 # least one hash-checkable query inside the window.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -83,6 +87,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dd_ngram_jaccard_pairs",
     "dd_minhash_lsh_pairs",
     "dd_simhash_near_dups",
+    # iterative connected-components canonicalization, hash-checked
+    # against a recursive-CTE oracle (evidence no other entry gives)
+    "dd_dup_clusters",
     # similarity / ANN family (X-UD5, O1, J6, J9, W1, A7)
     "sim_bruteforce_topk",
     "sim_lsh_bucketed_topk",
@@ -100,7 +107,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "skew_salted_agg_parity",
     # streaming batch-parity twins (X1-X7, F6, J8)
     "x3_tumbling_hourly",
-    "x3_sliding_halfhour",
+    # (x3_sliding_halfhour yields its slot: X3 keeps two in-window
+    # covers via x3_tumbling_hourly + x8_hourly_gap_fill)
     "x4_session_windows",
     "x8_hourly_gap_fill",
     "x5_streaming_dedup",
