@@ -137,3 +137,58 @@ def mm_byte_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         byte_features_batches, schema=FEATURE_SCHEMA
     )
+
+
+FRAME_BYTES = 128  # fixed "frame" size in the byte stream
+FRAME_STRIDE = 4  # keep every 4th frame
+FRAME_HEAD = 32  # bytes of each sampled frame carried downstream
+
+
+def frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """One-to-many frame sampling over binary payloads: the payload is
+    cut into fixed FRAME_BYTES frames and every FRAME_STRIDE-th frame
+    is emitted (frame_idx, head bytes).  This is the video
+    frame-sampling dataflow — UDTF-shaped mapInPandas, output bounded
+    to len(payload)/(FRAME_BYTES*FRAME_STRIDE) rows per input row, no
+    shuffle.  A real codec would decode before cutting; see
+    ``decode_media``."""
+    for pdf in batches:
+        ids, idxs, heads = [], [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            for i in range(0, -(-len(payload) // FRAME_BYTES), FRAME_STRIDE):
+                frame = payload[i * FRAME_BYTES: (i + 1) * FRAME_BYTES]
+                ids.append(media_id)
+                idxs.append(i)
+                heads.append(bytes(frame[:FRAME_HEAD]).decode("utf-8"))
+        yield pd.DataFrame(
+            {"media_id": ids, "frame_idx": idxs, "frame_head": heads}
+        )
+
+
+@query(
+    "mm_frame_sample",
+    f"""
+    SELECT doc_id AS media_id, frame_idx,
+           substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_HEAD})
+             AS frame_head
+    FROM documents,
+         LATERAL unnest(range(0, CAST(ceil(LENGTH(text) / {FRAME_BYTES}.0)
+                                       AS BIGINT), {FRAME_STRIDE}))
+           AS t(frame_idx)
+    WHERE LENGTH(text) > 0
+    """,
+    survey="X-UD5,UD2,P1",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the fake media table (payload = UTF-8 text
+    bytes, so the oracle can express the same cut as substr arithmetic
+    — text is ASCII, so byte offsets == char offsets)."""
+    media = media_from_documents(spark, sf_dir)
+    return media.select("media_id", "payload").mapInPandas(
+        frame_sample_batches,
+        schema="media_id long, frame_idx long, frame_head string",
+    )

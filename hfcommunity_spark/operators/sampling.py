@@ -81,6 +81,66 @@ def hash_split(col) -> F.Column:
     )
 
 
+CONTAM_NGRAM = 3  # contamination screens use smaller n than dedup:
+# a 3-gram hit is a weaker signal but catches partial leakage
+
+
+@query(
+    "samp_split_contamination",
+    f"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '{TRAIN_UPPER}' THEN 'train'
+                  WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '{VAL_UPPER}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM sp),
+    sh AS (SELECT DISTINCT doc_id, split,
+                  unnest(list_transform(range(1, len(w) - {CONTAM_NGRAM - 2}),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    AS shingle
+           FROM toks WHERE len(w) >= {CONTAM_NGRAM})
+    SELECT te.doc_id,
+           COUNT(DISTINCT te.shingle) AS n_shared_shingles,
+           COUNT(DISTINCT tr.doc_id) AS n_train_docs
+    FROM sh te JOIN sh tr ON te.shingle = tr.shingle
+    WHERE te.split = 'test' AND tr.split = 'train'
+    GROUP BY te.doc_id
+    """,
+    survey="X-UD5,J5,A9",
+)
+def samp_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: for every test-split doc, how
+    many of its 3-gram shingles also appear in ANY train-split doc, and
+    how many train docs are implicated.  Candidates meet through the
+    shingle-hash equi-join (``doc_shingle_hashes`` — 8-byte shuffle
+    keys), never a cross product; the split is the shuffle-free
+    ``hash_split`` projection."""
+    from hfcommunity_spark.operators.dedup import doc_shingle_hashes
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = doc_shingle_hashes(docs, CONTAM_NGRAM)
+    split = docs.select(
+        "doc_id", hash_split(F.col("doc_id")).alias("split")
+    )
+    shs = sh.join(split, "doc_id")
+    train = shs.filter(F.col("split") == "train").select(
+        F.col("h"), F.col("doc_id").alias("train_doc")
+    )
+    test = shs.filter(F.col("split") == "test").select("h", "doc_id")
+    return (
+        test.join(train, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+
+
 @query(
     "samp_hash_split_counts",
     f"""

@@ -364,3 +364,58 @@ def t_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(acc, w) -> pmod(acc * 31 + pmod(xxhash64(w), {p}) + {p}, {p}))"
     )
     return docs.select("doc_id", F.expr(expr).alias("rolling_fp"))
+
+
+MIN_TOKENS = 30  # C4-style floor: shorter docs carry too little signal
+
+
+@query(
+    "t_clean_corpus_stats",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source, text,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                ORDER BY doc_id) AS dup_rank
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) FILTER (dup_rank = 1 AND n_tokens >= {MIN_TOKENS})
+             AS n_kept,
+           COUNT(*) FILTER (dup_rank > 1) AS n_dropped_dup,
+           COUNT(*) FILTER (dup_rank = 1 AND n_tokens < {MIN_TOKENS})
+             AS n_dropped_short,
+           SUM(n_tokens) FILTER (dup_rank = 1 AND n_tokens >= {MIN_TOKENS})
+             AS tokens_kept
+    FROM ranked GROUP BY source
+    """,
+    survey="X-UD5,A8,P12,W4",
+)
+def t_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style cleaning pipeline as ONE declarative plan:
+    exact-dedup keep-first (sha256 row_number, W4 shape) -> minimum
+    token floor -> per-source survivor accounting.  Everything is
+    JVM built-ins; the only shuffles are the dedup window on the
+    32-byte fingerprint and the final pre-aggregated groupBy.  This is
+    the query a data curator runs before committing a training mix."""
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    text = F.col("text")
+    ntok = token_count(text)
+    w = Window.partitionBy(F.sha2(text, 256)).orderBy("doc_id")
+    ranked = docs.select(
+        "source", ntok.alias("n_tokens"), F.row_number().over(w).alias("dup_rank")
+    )
+    kept = (F.col("dup_rank") == 1) & (F.col("n_tokens") >= MIN_TOKENS)
+    return ranked.groupBy("source").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(F.col("dup_rank") > 1, 1)).alias("n_dropped_dup"),
+        F.count(
+            F.when(
+                (F.col("dup_rank") == 1)
+                & (F.col("n_tokens") < MIN_TOKENS), 1
+            )
+        ).alias("n_dropped_short"),
+        F.sum(F.when(kept, F.col("n_tokens"))).alias("tokens_kept"),
+    )
