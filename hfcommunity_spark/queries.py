@@ -73,15 +73,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d3_partial_update_stale",
     "u1_priority_union_sources",
     # text analysis + corpus dedup materialization (X-UD5, F1/F3/F12, P1, A5)
-    "t_token_stats",
+    # (t_token_stats / t_stopword_ratio / t_bpe_token_count yield their
+    # slots to the round-2 composite pipeline queries below; their
+    # semantics stay locked by the local oracle suite, and
+    # t_clean_corpus_stats exercises the same token-count expression
+    # inside the driver window)
     "t_lang_id_heuristic",
     "t_quality_score",
     "t_doc_fingerprint",
     "dd_corpus_dedup_keep_first",
     "t_chunk_documents",
-    "t_stopword_ratio",
-    "t_bpe_token_count",
+    "t_clean_corpus_stats",
     "f3_clean_text",
+    # train/test split hygiene (X-UD5, J5, A9)
+    "samp_split_contamination",
     # deduplication family (X-UD5, A9, J5, J9, UD1)
     "dd_exact_duplicates",
     "dd_ngram_jaccard_pairs",
@@ -97,8 +102,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_kmeans_ivf_topk",
     "sim_label_centroid_topk",
-    # multimodal plumbing (UD2, UD4)
+    # multimodal plumbing (UD2, UD4, P1)
     "mm_byte_features",
+    "mm_frame_sample",
     # pandas-UDF tiers (UD1, UD3, UD4, A7)
     "ud1_ascii_ratio",
     "ud3_grouped_agg_cents",
