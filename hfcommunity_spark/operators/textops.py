@@ -419,3 +419,132 @@ def t_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_dropped_short"),
         F.sum(F.when(kept, F.col("n_tokens"))).alias("tokens_kept"),
     )
+
+
+TOP_BIGRAM_MAX = 0.18  # Gopher-style cap on the most frequent 2-gram's
+# share of all 2-gram occurrences (Rae et al. 2021 use 0.20 for the
+# top 2-gram; tightened slightly so the synthetic corpus actually
+# rejects a few docs and the flag column carries signal)
+
+
+@query(
+    "t_repetition_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM toks WHERE len(w) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, bigram, COUNT(*) AS c
+      FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+             AS dup_bigram_frac,
+           MAX(c) * 100 <= SUM(c) * {int(TOP_BIGRAM_MAX * 100)} AS keep
+    FROM cnt GROUP BY doc_id
+    """,
+    survey="X-UD5,A4,F11",
+)
+def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021 §A.1.1): per
+    document, the share of 2-gram occurrences taken by the most
+    frequent 2-gram and by any repeated 2-gram; docs above the cap are
+    flagged for drop.
+
+    Scale shape: explode is narrow (rows fan out but stay on their
+    input partition), then two shuffles both keyed by doc_id — the
+    (doc_id, bigram) count partial-aggregates map-side, and the final
+    per-doc rollup moves one row per distinct bigram.  The keep flag
+    is integer-only arithmetic (c*100 <= total*18) so Spark and DuckDB
+    agree bit-for-bit with no float threshold ambiguity."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    bg = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    top = F.max("c")
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return cnt.groupBy("doc_id").agg(
+        total.cast("long").alias("n_bigrams"),
+        (top.cast("double") / total).alias("top_bigram_frac"),
+        (dup.cast("double") / total).alias("dup_bigram_frac"),
+        (top * 100 <= total * int(TOP_BIGRAM_MAX * 100)).alias("keep"),
+    )
+
+
+# Cross-engine-safe PII patterns: no lookaround, no \b (Java and RE2
+# agree on these exact constructs).
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+IP_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@query(
+    "t_pii_scrub_stats",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1 end' AS raw
+      FROM documents
+    ),
+    scrub AS (
+      SELECT doc_id, raw,
+             regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{IP_RE}', '<IP>', 'g') AS clean
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(regexp_replace(raw, '{EMAIL_RE}',
+                    '<EMAIL>', 'g'), '{IP_RE}')) AS INTEGER) AS n_ips,
+           CAST(LENGTH(clean) AS INTEGER) AS clean_len,
+           sha256(clean) AS clean_sha
+    FROM scrub
+    """,
+    survey="X-UD5,F1,F12",
+)
+def t_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: mask emails then IPv4-shaped
+    tokens, count hits, and sha256 the scrubbed text so the oracle
+    proves the masking is byte-identical (not just same-length).
+
+    The synthetic corpus contains no organic PII, so the query first
+    derives a deterministic augmented column (same expression in both
+    engines) that embeds one email + one IP per row — the regex
+    machinery, masking order (emails before IPs so 'user@10.0.0.1'
+    styles can't double-count), and hash discipline are the real
+    operator; the augmentation is only the fixture.  All per-row
+    narrow projections — no shuffle at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".1 end"),
+    )
+    emails_masked = F.regexp_replace(raw, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(emails_masked, IP_RE, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(emails_masked, F.lit(IP_RE)).cast("int").alias("n_ips"),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.sha2(clean, 256).alias("clean_sha"),
+    )
