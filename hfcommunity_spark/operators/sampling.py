@@ -166,3 +166,137 @@ def samp_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"  # see docstring
+PACK_BUDGET = 2048  # tokens per packed context window
+PACK_BLOCK = 4096  # doc_ids per prefix-sum block
+
+
+@query(
+    "samp_mixture_weights",
+    """
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens) AS total FROM per_src)
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / total AS token_share,
+           sqrt(CAST(tokens AS DOUBLE) / total) AS temp_weight
+    FROM per_src, tot
+    """,
+    survey="X-UD5,A7,J9",
+)
+def samp_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture weights for a training data
+    blend (the mT5/XLM-R resampling rule p_s ∝ share_s^alpha with
+    alpha = 0.5): per source, exact token totals and the unnormalized
+    temperature weight sqrt(tokens/total).
+
+    alpha is pinned to 0.5 because sqrt is correctly rounded under
+    IEEE-754 in every engine while pow(x, 0.3) is not — the weight is
+    one exact integer division then one exactly-rounded op, so Spark
+    and DuckDB hash identically.  (Normalizing by SUM(weight) would
+    reintroduce an order-dependent float sum; the driver-side softmax
+    over ≤#sources rows is trivial.)  Scale shape: one map-side
+    partial-agg shuffle on source, then a broadcast join against the
+    single-row total."""
+    docs = read_table(spark, sf_dir, "documents")
+    from hfcommunity_spark.operators.textops import token_count
+
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("tokens"),
+    )
+    total = per_src.agg(F.sum("tokens").alias("total"))
+    share = F.col("tokens").cast("double") / F.col("total")
+    return (
+        per_src.join(F.broadcast(total))
+        .select(
+            "source", "n_docs", "tokens",
+            share.alias("token_share"),
+            F.sqrt(share).alias("temp_weight"),
+        )
+    )
+
+
+@query(
+    "samp_pack_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_start,
+           CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS bin_end,
+           CAST((cum - n_tokens) - ((cum - n_tokens) // {PACK_BUDGET})
+                * {PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM c
+    """,
+    survey="X-UD5,W3,A10",
+)
+def samp_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid head to
+    tail in doc_id order and cut into {PACK_BUDGET}-token context
+    windows; each doc learns its first/last window and offset (docs
+    may straddle windows — exactly how pretraining packers batch).
+
+    The global running token sum is computed as a two-phase
+    distributed prefix scan, NOT a global single-partition window:
+    (1) block partial sums (one map-side-combined shuffle on
+    doc_id // {PACK_BLOCK}), (2) a window over the tiny block-sum
+    frame (corpus/{PACK_BLOCK} rows — bounded, the classic scan
+    recursion base), (3) broadcast the block offsets back and finish
+    with a window partitioned BY BLOCK, so no executor ever sorts more
+    than {PACK_BLOCK} rows.  The oracle states the same result as the
+    naive global window.  Integer-only arithmetic end to end."""
+    docs = read_table(spark, sf_dir, "documents")
+    from hfcommunity_spark.operators.textops import token_count
+
+    t = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / PACK_BLOCK).cast("long").alias("blk"),
+    )
+    blk_sums = t.groupBy("blk").agg(F.sum("n_tokens").alias("blk_tokens"))
+    w_blk = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    blk_off = blk_sums.select(
+        "blk",
+        (F.sum("blk_tokens").over(w_blk) - F.col("blk_tokens")).alias(
+            "blk_offset"
+        ),
+    )
+    w_in = Window.partitionBy("blk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.col("blk_offset") + F.sum("n_tokens").over(w_in)
+    start = cum - F.col("n_tokens")
+    # Integer DIV, not `/`: Spark's `/` is double division, which
+    # silently loses exactness once the running sum passes 2^53 —
+    # certain at real corpus scale.
+    return (
+        t.join(F.broadcast(blk_off), "blk")
+        .select(
+            "doc_id", "n_tokens",
+            start.alias("_start"), cum.alias("_cum"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.expr(f"_start DIV {PACK_BUDGET}").alias("bin_start"),
+            F.expr(f"(_cum - 1) DIV {PACK_BUDGET}").alias("bin_end"),
+            F.expr(f"_start - (_start DIV {PACK_BUDGET}) * {PACK_BUDGET}")
+            .alias("bin_offset"),
+        )
+    )
