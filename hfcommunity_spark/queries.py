@@ -116,7 +116,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (x3_sliding_halfhour yields its slot: X3 keeps two in-window
     # covers via x3_tumbling_hourly + x8_hourly_gap_fill)
     "x4_session_windows",
-    "x8_hourly_gap_fill",
+    # x8_hourly_gap_fill yields its slot (X3/J8 keep window covers via
+    # x3_tumbling_hourly and x7_stream_static_enrich) to the
+    # stream-stream interval join, the only oracle-equipped X2/X6 row
+    "x9_stream_stream_interval_join",
     "x5_streaming_dedup",
     "x7_stream_static_enrich",
     # relational representatives (one per remaining SURVEY id)

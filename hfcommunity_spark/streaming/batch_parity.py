@@ -175,3 +175,33 @@ def x7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count("c_custkey").alias("n_matched"),
     )
+
+
+@query(
+    "x9_stream_stream_interval_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_views_1h,
+           MAX(v.ts) AS last_view_ts
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    survey="X2,X6,J10",
+)
+def x9_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: purchases with
+    the same user's views in the trailing hour (count + most recent).
+    The joined pair stream is what the streaming job emits; this twin
+    aggregates it so the oracle hash-checks the pairing exactly."""
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_dir, "events")
+    views, purchases = jobs.split_views_purchases(events)
+    pairs = jobs.interval_join(views, purchases)
+    return pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views_1h"),
+        F.max("view_ts").alias("last_view_ts"),
+    )

@@ -139,3 +139,56 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame,
     return events.join(
         F.broadcast(dim), events[stream_key] == dim[dim_key], "left"
     )
+
+
+INTERVAL_HORIZON = "1 hour"
+
+
+def interval_join(views: DataFrame, purchases: DataFrame,
+                  watermark: str = DEFAULT_WATERMARK,
+                  horizon: str = INTERVAL_HORIZON) -> DataFrame:
+    """X9: stream-stream interval join — every purchase paired with the
+    same user's views in the preceding ``horizon``.
+
+    Both sides carry event-time watermarks and the join condition is
+    an equi-key plus a bounded time range, which is exactly what Spark
+    requires to age out join state: view state is kept at most
+    ``watermark + horizon``, purchase state at most ``watermark``.
+    Shuffle is on user_id for both streams (co-partitioned by the
+    join).  In batch mode the same plan is a plain range join (the
+    oracle's formulation); watermarks are no-ops there.
+
+    Inputs must be pre-projected: views(user_id, view_id, view_ts),
+    purchases(user_id_p, purchase_id, purchase_ts) — distinct names
+    because stream-stream joins reject ambiguous columns."""
+    v = (
+        views.withWatermark("view_ts", watermark)
+        if views.isStreaming else views
+    )
+    p = (
+        purchases.withWatermark("purchase_ts", watermark)
+        if purchases.isStreaming else purchases
+    )
+    return v.join(
+        p,
+        (v["user_id"] == p["user_id_p"])
+        & (v["view_ts"] <= p["purchase_ts"])
+        & (v["view_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+
+
+def split_views_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project the two join legs out of the unified event stream with
+    the disambiguated names ``interval_join`` expects."""
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id_p"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return views, purchases

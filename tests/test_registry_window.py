@@ -55,5 +55,5 @@ def test_every_declared_survey_id_covered_inside_window():
 def test_north_star_families_inside_window():
     window = set(DRIVER_WINDOW)
     for prefix in ("dd_", "sim_", "t_", "mm_", "ud", "d1", "d2", "d3",
-                   "u1", "skew", "x3", "x4", "x5", "x7", "x8"):
+                   "u1", "skew", "samp_", "x3", "x4", "x5", "x7", "x9"):
         assert any(n.startswith(prefix) for n in window), prefix

@@ -223,3 +223,77 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     u8 = out[out.user_id == 8]
     assert u8.total_events.tolist() == [1]
     assert u8.total_cents.tolist() == [1000]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """X9: two file-source streams joined on user_id + 1h interval,
+    across two micro-batches; late view beyond both watermark and
+    horizon never pairs."""
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purch")
+
+    def ev(eid, minutes, uid, etype):
+        return (eid, T0 + dt.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+    # batch 1: user 1 views at t+0 and t-90min; purchase at t+30
+    views1 = _events_pdf([ev(1, 0, 1, "view"), ev(2, -90, 1, "view")])
+    purch1 = _events_pdf([ev(100, 30, 1, "purchase")])
+    # batch 2: user 2 pair inside horizon; user 1 extra view pairs with
+    # nothing (no later purchase)
+    views2 = _events_pdf([ev(3, 200, 2, "view"), ev(4, 500, 1, "view")])
+    purch2 = _events_pdf([ev(101, 210, 2, "purchase")])
+
+    _write_batch(spark, views1, vsrc)
+    _write_batch(spark, purch1, psrc)
+
+    def make_stream():
+        views, _ = jobs.split_views_purchases(jobs.read_event_stream(spark, vsrc))
+        _, purchases = jobs.split_views_purchases(
+            jobs.read_event_stream(spark, psrc)
+        )
+        return jobs.interval_join(views, purchases)
+
+    q = (
+        make_stream()
+        .writeStream.format("memory")
+        .queryName("t_x9")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_x9")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, views2, vsrc)
+        _write_batch(spark, purch2, psrc)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.table("t_x9")
+        .select("purchase_id", "view_id")
+        .toPandas()
+        .sort_values(["purchase_id", "view_id"])
+        .reset_index(drop=True)
+    )
+    # purchase 100 pairs ONLY with view 1 (view 2 is 2h earlier — outside
+    # the horizon); purchase 101 pairs with view 3.
+    assert got.values.tolist() == [[100, 1], [101, 3]]
+
+
+def test_interval_join_batch_parity(spark):
+    """The same interval_join transform on batch frames equals the
+    naive range-join SQL on sf0.001 events."""
+    sf = "/root/testdata/sf0.001"
+    events = read_table(spark, sf, "events")
+    views, purchases = jobs.split_views_purchases(events)
+    pairs = jobs.interval_join(views, purchases)
+    got = pairs.count()
+    events.createOrReplaceTempView("ev_x9")
+    want = spark.sql(
+        """
+        SELECT COUNT(*) FROM ev_x9 p JOIN ev_x9 v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase'
+        """
+    ).collect()[0][0]
+    assert got == want
