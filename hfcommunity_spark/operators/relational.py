@@ -448,7 +448,13 @@ def j7_composite_key_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-shuffle shape: instead of groupBy-min + join back (two
     lineitem shuffles), one window partitioned on the composite key —
     rank()==1 keeps every row tied at MIN(l_linenumber), exactly the
-    join-back semantics (the synthetic key is not unique)."""
+    join-back semantics (the synthetic key is not unique).
+
+    Measured caveat: at sf0.1 the join-back variant is ~25% faster
+    locally because AQE broadcasts the per-order min side (~150k rows)
+    and the fact never shuffles — but that broadcast dies at real
+    scale (one row per order), leaving two full fact shuffles; the
+    window's single shuffle + sort is the plan that survives 100×."""
     li = read_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(F.asc("l_linenumber"))
     return (
