@@ -548,3 +548,59 @@ def t_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("int").alias("clean_len"),
         F.sha2(clean, 256).alias("clean_sha"),
     )
+
+
+@query(
+    "t_rarity_score",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dw AS (SELECT doc_id, w, COUNT(*) AS in_doc FROM words GROUP BY doc_id, w),
+    vocab AS (SELECT w, CAST(SUM(in_doc) AS BIGINT) AS corpus_freq
+              FROM dw GROUP BY w)
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(MIN(corpus_freq) AS BIGINT) AS rarest_freq,
+           CAST(SUM(CASE WHEN corpus_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(in_doc * corpus_freq) AS DOUBLE) / SUM(in_doc)
+             AS mean_word_freq
+    FROM dw JOIN vocab USING (w)
+    GROUP BY dw.doc_id
+    """,
+    survey="X-UD5,A7,J1",
+)
+def t_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass vocabulary rarity scoring — the classic corpus-level
+    statistic → per-document score pipeline (the shape behind unigram
+    perplexity filters, done integer-exact so both engines hash
+    identically: occurrence-weighted mean corpus frequency instead of
+    a log-prob, since ln() is not correctly rounded cross-engine).
+
+    Scale shape: explode is narrow; pass 1 partial-aggregates
+    (doc_id, word) counts map-side before one word-keyed shuffle
+    builds the vocabulary; pass 2 joins doc-word counts to vocab on
+    the word key (both sides already hash-partitioned by word from
+    pass 1 — Catalyst reuses the exchange) and rolls up per doc.
+    Zipf-head words skew the word shuffle; the (doc_id, word) partial
+    agg caps any single key's fan-in at one row per doc."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    dw = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("in_doc"))
+    vocab = dw.groupBy("w").agg(
+        F.sum("in_doc").cast("long").alias("corpus_freq")
+    )
+    joined = dw.join(vocab, "w")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.min("corpus_freq").cast("long").alias("rarest_freq"),
+        F.sum(F.when(F.col("corpus_freq") == 1, 1).otherwise(0))
+        .cast("long").alias("n_hapax"),
+        (
+            F.sum(F.col("in_doc") * F.col("corpus_freq")).cast("double")
+            / F.sum("in_doc")
+        ).alias("mean_word_freq"),
+    )

@@ -194,3 +194,64 @@ def test_conflicting_files_scalable_ids(spark):
     assert len(ids) == len(set(ids)) == 3  # unique, not necessarily dense
     again = conflicting_files_rows(disc, dense_ids=False).collect()
     assert sorted(ids) == sorted(r.id for r in again)  # deterministic
+
+
+def test_pack_token_budget_invariants(spark):
+    """Packing is a partition of the concatenated token stream: bins
+    tile [0, total); each doc's span is exactly its token count; block
+    boundaries are invisible (distributed scan == naive scan)."""
+    from hfcommunity_spark.operators.sampling import (
+        PACK_BUDGET, samp_pack_token_budget,
+    )
+
+    out = (
+        samp_pack_token_budget(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id")
+        .collect()
+    )
+    cum = 0
+    for r in out:
+        assert 0 <= r.bin_offset < PACK_BUDGET
+        start = r.bin_start * PACK_BUDGET + r.bin_offset
+        assert start == cum  # head-to-tail, no gaps or overlaps
+        cum += r.n_tokens
+        assert r.bin_end == (cum - 1) // PACK_BUDGET >= r.bin_start
+
+
+def test_repetition_filter_bounds(spark):
+    from hfcommunity_spark.operators.textops import t_repetition_filter
+
+    rows = t_repetition_filter(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top_bigram_frac <= 1
+        assert 0 <= r.dup_bigram_frac <= 1
+        # the max bigram is itself duplicated whenever dup_frac > 0
+        assert r.top_bigram_frac <= r.dup_bigram_frac or r.dup_bigram_frac == 0
+
+
+def test_pii_scrub_masks_everything(spark):
+    from hfcommunity_spark.operators.textops import t_pii_scrub_stats
+
+    rows = t_pii_scrub_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.n_emails == 1 and r.n_ips == 1 for r in rows)
+
+
+def test_mixture_weights_sum_to_corpus(spark):
+    from hfcommunity_spark.operators.sampling import samp_mixture_weights
+
+    rows = samp_mixture_weights(spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.temp_weight**2 == __import__("pytest").approx(r.token_share)
+
+
+def test_rarity_hapax_consistency(spark):
+    """A doc containing a hapax has rarest_freq == 1, and vice versa."""
+    from hfcommunity_spark.operators.textops import t_rarity_score
+
+    rows = t_rarity_score(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (r.n_hapax > 0) == (r.rarest_freq == 1)
+        assert r.mean_word_freq >= r.rarest_freq >= 1
