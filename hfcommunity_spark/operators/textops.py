@@ -385,8 +385,8 @@ MIN_TOKENS = 30  # C4-style floor: shorter docs carry too little signal
            COUNT(*) FILTER (dup_rank > 1) AS n_dropped_dup,
            COUNT(*) FILTER (dup_rank = 1 AND n_tokens < {MIN_TOKENS})
              AS n_dropped_short,
-           SUM(n_tokens) FILTER (dup_rank = 1 AND n_tokens >= {MIN_TOKENS})
-             AS tokens_kept
+           CAST(SUM(n_tokens) FILTER (dup_rank = 1 AND n_tokens >= {MIN_TOKENS})
+                AS BIGINT) AS tokens_kept
     FROM ranked GROUP BY source
     """,
     survey="X-UD5,A8,P12,W4",
