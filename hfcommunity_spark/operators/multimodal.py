@@ -129,10 +129,36 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes")
 
 
-@query("mm_byte_features_full", None, survey="X-UD5,UD2,UD4")
+@query(
+    "mm_byte_features_full",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(ascii(c)) AS DOUBLE) / COUNT(*) AS byte_mean,
+             CAST(COUNT(DISTINCT c) AS INTEGER) AS distinct_bytes
+      FROM ch GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(LENGTH(d.text) AS BIGINT) AS n_bytes,
+           agg.byte_mean, agg.distinct_bytes,
+           lower(hex(left(d.text, 8))) AS head_hex
+    FROM documents d JOIN agg ON agg.doc_id = d.doc_id
+    """,
+    survey="X-UD5,UD2,UD4",
+)
 def mm_byte_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full feature set from the Arrow-batched extractor (byte mean,
-    distinct count, head hex) — rows-only check (float features)."""
+    distinct count, head hex).
+
+    Oracle-checkable after all: payloads are ASCII text bytes, so the
+    oracle recomputes every feature relationally (ascii() sums for the
+    mean — an exact-integer sum with ONE final double division, so the
+    float hashes identically; hex(left(...)) for the head bytes).
+    numpy's pairwise mean is safe because a uint8 sum stays exact in
+    float64 far beyond any payload size here."""
     media = media_from_documents(spark, sf_dir)
     return media.select("media_id", "payload").mapInPandas(
         byte_features_batches, schema=FEATURE_SCHEMA
