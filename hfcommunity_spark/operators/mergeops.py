@@ -304,3 +304,59 @@ def u1_priority_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_union(
         [(supplier, 1), (customer, 2)], pk=["key"], order_by=["name"]
     )
+
+
+def scd2_history(changes: DataFrame, key: str, state: str,
+                 ts: str, tiebreak: str) -> DataFrame:
+    """Build an SCD-type-2 history from a change stream: collapse
+    consecutive runs of the same ``state`` per ``key`` and emit one
+    row per run with [valid_from, valid_to) (valid_to NULL = current).
+
+    The warehouse-side generalization of the reference's monthly
+    re-snapshot (D4 idempotent re-runs keep only the latest state;
+    SCD2 keeps the full timeline).  One shuffle: both windows share
+    partitionBy(key) + orderBy(ts, tiebreak), so Catalyst plans a
+    single exchange + sort reused across lag and lead."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changed = (
+        changes.withColumn("_prev", F.lag(state).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col(state))
+        )
+    )
+    return changed.select(
+        key,
+        F.col(state).alias("state"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+    )
+
+
+@query(
+    "d5_scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM runs
+    """,
+    survey="D2,D4,W2",
+)
+def d5_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 timeline of each user's event_type runs (gaps-and-islands →
+    validity intervals)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_history(ev, key="user_id", state="event_type",
+                        ts="ts", tiebreak="event_id")

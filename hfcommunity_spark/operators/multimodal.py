@@ -218,3 +218,56 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample_batches,
         schema="media_id long, frame_idx long, frame_head string",
     )
+
+
+RESIZE_STRIDE = 4  # keep every 4th byte — the deterministic stand-in
+# for codec-backed spatial downsampling
+RESIZE_HEAD = 16
+
+
+def resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Byte-stride "resize" over binary payloads (payload[::STRIDE]) —
+    the decode→downsample→re-encode dataflow with a deterministic fake
+    kernel (a real codec slots into the same batch shape; see
+    ``decode_media``).  Narrow one-to-one transform, no shuffle."""
+    for pdf in batches:
+        ids, lens, heads = [], [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            small = bytes(payload[::RESIZE_STRIDE])
+            ids.append(media_id)
+            lens.append(len(small))
+            heads.append(small[:RESIZE_HEAD].hex())
+        yield pd.DataFrame(
+            {"media_id": ids, "resized_len": lens, "resized_head_hex": heads}
+        )
+
+
+@query(
+    "mm_resize_thumbnail",
+    f"""
+    SELECT doc_id AS media_id,
+           CAST((LENGTH(text) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE}
+                AS BIGINT) AS resized_len,
+           lower(hex(left(array_to_string(
+             list_transform(range(1, LENGTH(text) + 1, {RESIZE_STRIDE}),
+                            i -> substr(text, CAST(i AS BIGINT), 1)),
+             ''), {RESIZE_HEAD}))) AS resized_head_hex
+    FROM documents
+    """,
+    survey="X-UD5,UD2,P1",
+)
+def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/downsample plumbing: every payload strided down 4×
+    inside an Arrow-batched ``mapInPandas``; the oracle rebuilds the
+    same stride relationally (ASCII text payloads, so byte stride ==
+    char stride) and hex-compares the first {RESIZE_HEAD} bytes."""
+    media = media_from_documents(spark, sf_dir)
+    out = media.select("media_id", "payload").mapInPandas(
+        resize_batches,
+        schema="media_id long, resized_len long, resized_head_hex string",
+    )
+    return out

@@ -140,15 +140,26 @@ def x8_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x5_streaming_dedup", None, survey="X5,X6,D1")
+@query(
+    "x5_streaming_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type FROM events
+    """,
+    survey="X5,X6,D1",
+)
 def x5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch projection of the stateful-dedup pipeline (the watermark
-    is a no-op in batch; the streaming semantics — bounded state,
-    cross-batch dedup, late discard — are locked by the streaming
-    tests).  rows-only check."""
-    return jobs.dedup_events(read_table(spark, sf_dir, "events")).select(
+    """Batch projection of the stateful-dedup pipeline, hash-checkable:
+    the input is doubled (union with itself — a replayed source, the
+    exact failure mode X5 exists for) and deduped; duplicate rows are
+    bit-identical, so whichever copy ``dropDuplicates`` keeps, the
+    VALUE is deterministic and equals the original table.  The
+    streaming-only semantics — bounded state, cross-batch dedup, late
+    discard — are locked by the streaming tests; the watermark is a
+    no-op in batch."""
+    ev = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
+    return jobs.dedup_events(ev.unionAll(ev))
 
 
 @query(
