@@ -569,7 +569,7 @@ def t_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dw JOIN vocab USING (w)
     GROUP BY dw.doc_id
     """,
-    survey="X-UD5,A7,J1",
+    survey="X-UD5,A7",
 )
 def t_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass vocabulary rarity scoring — the classic corpus-level

@@ -87,7 +87,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "f3_clean_text",
     # train/test split hygiene (X-UD5, J5, A9)
     "samp_split_contamination",
-    # deduplication family (X-UD5, A9, J5, J9, UD1)
+    # SCD2 timeline build — the only D4-tagged oracle row
+    # (p2_watermark_split_counts yields the slot: P2 keeps window
+    # cover via d3_partial_update_stale, U3 via ri_orphan_audit)
+    "d5_scd2_user_state",
+    # deduplication family (X-UD5, A9, J1, J5, J9, UD1)
     "dd_exact_duplicates",
     "dd_ngram_jaccard_pairs",
     "dd_minhash_lsh_pairs",
@@ -131,7 +135,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a14_pivot_event_counts",  # P9, A5, A10
     "f2_prefixed_ids",  # F2
     "f4_json_projection",  # F4, F12
-    "p2_watermark_split_counts",  # P2, U3
     "p10_oversize_text_guard",  # P10, F5
     "p12_q6_revenue_pushdown",  # P12, F11
     "j7_composite_key_first_line",  # J7, W4
