@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     Filter,
     InputPartition,
     IsNotNull,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -161,3 +162,66 @@ class HubFeedDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> HubFeedReader:
         return HubFeedReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: T.StructType) -> "HubFeedSimpleStreamReader":
+        return HubFeedSimpleStreamReader(schema, self.options)
+
+
+class HubFeedSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the hubfeed source (X1 via a custom source):
+    each micro-batch picks up newly arrived ``.jsonl`` dump files and
+    emits their parsed, schema-typed rows.
+
+    Offset model: the sorted list of file names consumed so far — a
+    replayable, exactly-once cursor (``readBetweenOffsets`` re-parses
+    exactly the files in ``end − start`` for recovery, so a crashed
+    batch replays identical rows).  The driver-side read is fine at
+    feed scale (hub dumps arrive as a handful of monthly files);
+    for firehose volumes you'd promote to DataSourceStreamReader with
+    per-file InputPartitions — same offset model, executor-side IO."""
+
+    def __init__(self, schema: T.StructType, options) -> None:
+        self.schema_ = schema
+        self.path = options.get("path")
+        self.kind = options.get("kind")
+
+    def _discover(self) -> list[str]:
+        target = os.path.join(self.path, f"{self.kind}.jsonl")
+        if os.path.isdir(target):
+            return sorted(
+                n for n in os.listdir(target) if n.endswith(".jsonl")
+            )
+        return [f"{self.kind}.jsonl"] if os.path.exists(target) else []
+
+    def _rows(self, names: list[str]) -> Iterator[tuple]:
+        target = os.path.join(self.path, f"{self.kind}.jsonl")
+        base = target if os.path.isdir(target) else self.path
+        for name in names:
+            with open(os.path.join(base, name), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    obj = json.loads(line)
+                    yield tuple(
+                        _convert(obj.get(f.name), f.dataType)
+                        for f in self.schema_.fields
+                    )
+
+    def initialOffset(self) -> dict:
+        return {"files": json.dumps([])}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        seen = set(json.loads(start["files"]))
+        files = self._discover()
+        new = [n for n in files if n not in seen]
+        end = {"files": json.dumps(sorted(seen | set(new)))}
+        # a list iterator, not a generator: Spark both advances AND
+        # pickles the prefetched batch for replay (generators don't
+        # pickle); the batch is bounded by the newly arrived files
+        return iter(list(self._rows(new))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        replay = sorted(
+            set(json.loads(end["files"])) - set(json.loads(start["files"]))
+        )
+        return self._rows(replay)

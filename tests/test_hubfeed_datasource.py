@@ -59,3 +59,45 @@ def test_unknown_kind_rejected(spark, feed_dir):
         spark.read.format("hubfeed").option("path", feed_dir).option(
             "kind", "bogus"
         ).load().count()
+
+
+def test_streaming_picks_up_new_files(spark, tmp_path):
+    """simpleStreamReader: batch 1 sees the first dump file, batch 2
+    only the newly arrived one (file-set offsets, no re-emission)."""
+    d = tmp_path / "stream"
+    feed = d / "models.jsonl"
+    feed.mkdir(parents=True)
+    spark.dataSource.register(HubFeedDataSource)
+
+    def dump(name, rows):
+        with open(feed / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    dump("2024-01.jsonl", list(MODELS))
+    stream = (
+        spark.readStream.format("hubfeed")
+        .option("path", str(d))
+        .option("kind", "models")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_hubfeed_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.table("t_hubfeed_stream").count()
+        assert n1 == len(MODELS)
+        dump("2024-02.jsonl", [
+            {**MODELS[0], "name": "org/m-late", "author": "late"}
+        ])
+        q.processAllAvailable()
+        got = spark.table("t_hubfeed_stream")
+        assert got.count() == len(MODELS) + 1  # no re-emission of file 1
+        assert got.filter(F.col("name") == "org/m-late").count() == 1
+    finally:
+        q.stop()
