@@ -578,12 +578,15 @@ def t_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically: occurrence-weighted mean corpus frequency instead of
     a log-prob, since ln() is not correctly rounded cross-engine).
 
-    Scale shape: explode is narrow; pass 1 partial-aggregates
-    (doc_id, word) counts map-side before one word-keyed shuffle
-    builds the vocabulary; pass 2 joins doc-word counts to vocab on
-    the word key (both sides already hash-partitioned by word from
-    pass 1 — Catalyst reuses the exchange) and rolls up per doc.
-    Zipf-head words skew the word shuffle; the (doc_id, word) partial
+    Scale shape: explode is narrow; the (doc_id, word) partial agg
+    runs map-side before its shuffle, the vocab rollup and the
+    vocab⋈doc-word join each shuffle on the word key, and the final
+    per-doc rollup shuffles on doc_id — four bounded shuffles, all of
+    frames no larger than one row per (doc, distinct word).  The
+    doc-word subtree is recomputed for the two branches rather than
+    cached: at corpus scale a columnar re-scan is cheaper than
+    spilling the exploded token set through the block manager.
+    Zipf-head words skew the word shuffles; the (doc_id, word) partial
     agg caps any single key's fan-in at one row per doc."""
     docs = read_table(spark, sf_dir, "documents")
     words = docs.select(

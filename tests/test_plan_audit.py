@@ -46,6 +46,11 @@ def _formatted_plan(spark, name: str) -> str:
         # existence checks stay semi/anti — no row multiplication
         ("j2_semi_join_customers_with_orders", ["LeftSemi"]),
         ("u3_anti_join_customers_without_orders", ["LeftAnti"]),
+        # round-2 TPC-H composites keep the same disciplines
+        ("q10_returned_revenue_topk",
+         ["TakeOrderedAndProject", "BroadcastHashJoin"]),
+        ("q4_priority_late_ship", ["LeftSemi"]),
+        ("q18_large_order_customers", ["LeftSemi"]),
     ],
 )
 def test_plan_contains(spark, name, needles):
