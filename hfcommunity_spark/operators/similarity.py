@@ -346,6 +346,14 @@ def dd_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is id pairs only (no float column), so the oracle hash is
     exact given the documented τ margin."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return blocked_cosine_pairs(spark, emb, COSINE_PAIR_TAU)
+
+
+def blocked_cosine_pairs(spark: SparkSession, emb: DataFrame,
+                         tau: float) -> DataFrame:
+    """All (vec_a < vec_b) pairs with cosine ≥ tau over ``emb``
+    (vec_id, embedding) via bounded-chunk broadcast + GEMM — the
+    reusable exact-pair kernel (see ``dd_cosine_threshold_pairs``)."""
     n = emb.count()
     n_chunks = max(1, -(-n // NN_CHUNK_ROWS))
     partials: list[DataFrame] = []
@@ -369,7 +377,7 @@ def dd_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 qids = pdf["vec_id"].to_numpy(dtype=np.int64)
                 # emit only (query < candidate): upper triangle, self-free
                 hit_q, hit_c = np.nonzero(
-                    (sims >= COSINE_PAIR_TAU)
+                    (sims >= tau)
                     & (qids[:, None] < c_ids[None, :])
                 )
                 yield pd.DataFrame({
@@ -519,3 +527,49 @@ def sim_label_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("vec_id", "label", "rank")
     )
+
+
+GATE_MIN_TOKENS = 60  # survivors must carry at least this many tokens
+
+
+@query(
+    "dd_semantic_dedup_quality_gate",
+    f"""
+    WITH kept AS (
+      SELECT doc_id FROM documents
+      WHERE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+            >= {GATE_MIN_TOKENS}
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN kept ka ON ka.doc_id = a.vec_id
+    JOIN kept kb ON kb.doc_id = b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding)
+          >= {COSINE_PAIR_TAU}
+    """,
+    survey="X-UD5,J2,J6,P12",
+)
+def dd_semantic_dedup_quality_gate(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The curation-pipeline composition: quality-gate the corpus
+    (token floor on ``documents``), THEN semantic-dedup only the
+    survivors — the standard order in training-data pipelines (cheap
+    filters shrink n before the O(n²)-ish dedup stage pays for it).
+
+    The gate is a left-semi join from embeddings to the filtered doc
+    ids (keys only cross the shuffle), and the surviving frame feeds
+    the same bounded-chunk GEMM kernel as
+    ``dd_cosine_threshold_pairs`` — chunk count, and therefore driver
+    memory and broadcast size, shrinks with the survivor set."""
+    from hfcommunity_spark.operators.textops import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        token_count(F.col("text")) >= GATE_MIN_TOKENS
+    ).select(F.col("doc_id").alias("kid"))
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .join(kept, F.col("vec_id") == F.col("kid"), "left_semi")
+    )
+    return blocked_cosine_pairs(spark, emb, COSINE_PAIR_TAU)
