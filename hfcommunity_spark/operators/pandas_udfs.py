@@ -130,3 +130,62 @@ def ud3_grouped_agg_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cents(F.col("value")).alias("total_cents"),
         pd_count(F.col("value")).alias("n"),
     )
+
+
+CHUNK_UDTF_SIZE = 96  # chars per emitted piece
+
+
+class _ChunkTextUDTF:
+    """UD2 in its literal Spark 4 form: a Python USER-DEFINED TABLE
+    FUNCTION, one input row → many output rows, usable under LATERAL
+    (the per-key correlated-fetch shape, databaseImport.py:467-469 —
+    each parent row fans out to detail rows).
+
+    Row-based Python is the SLOW path (this is the API demonstration;
+    the production-volume equivalents are the mapInPandas UDTF-shaped
+    operators in multimodal.py / etl/fetch.py, which move Arrow
+    batches).  Registered with ``useArrow=True`` so at least the
+    transport is Arrow-batched."""
+
+    def eval(self, doc_id: int, text: str):
+        if not text:
+            return
+        for i in range(0, len(text), CHUNK_UDTF_SIZE):
+            yield doc_id, i // CHUNK_UDTF_SIZE, text[i: i + CHUNK_UDTF_SIZE]
+
+
+def chunk_text_udtf():
+    from pyspark.sql.functions import udtf
+
+    return udtf(
+        _ChunkTextUDTF,
+        returnType="doc_id: long, piece_idx: int, piece: string",
+        useArrow=True,
+    )
+
+
+@query(
+    "ud2_chunk_udtf",
+    f"""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS piece_idx,
+           substr(text, CAST(i * {CHUNK_UDTF_SIZE} + 1 AS BIGINT),
+                  {CHUNK_UDTF_SIZE}) AS piece
+    FROM documents,
+         LATERAL unnest(range(0, CAST(ceil(LENGTH(text)
+                / {CHUNK_UDTF_SIZE}.0) AS BIGINT))) AS t(i)
+    WHERE LENGTH(text) > 0
+    """,
+    survey="UD2,P1",
+)
+def ud2_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text chunking through a registered Python UDTF under LATERAL —
+    the same cut the pure-SQL ``t_chunk_documents`` makes, proving the
+    UDTF emits exactly the declarative rows (hash-equal oracle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("ud2_docs")
+    spark.udtf.register("chunk_text", chunk_text_udtf())
+    return spark.sql(
+        "SELECT c.doc_id, c.piece_idx, c.piece "
+        "FROM ud2_docs d, LATERAL chunk_text(d.doc_id, d.text) c"
+    )
