@@ -38,7 +38,9 @@ from pyspark.sql.datasource import (
     Filter,
     InputPartition,
     IsNotNull,
+    DataSourceStreamWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -166,6 +168,10 @@ class HubFeedDataSource(DataSource):
     def simpleStreamReader(self, schema: T.StructType) -> "HubFeedSimpleStreamReader":
         return HubFeedSimpleStreamReader(schema, self.options)
 
+    def streamWriter(self, schema: T.StructType,
+                     overwrite: bool) -> "HubFeedStreamWriter":
+        return HubFeedStreamWriter(schema, self.options)
+
 
 class HubFeedSimpleStreamReader(SimpleDataSourceStreamReader):
     """Streaming face of the hubfeed source (X1 via a custom source):
@@ -225,3 +231,65 @@ class HubFeedSimpleStreamReader(SimpleDataSourceStreamReader):
             set(json.loads(end["files"])) - set(json.loads(start["files"]))
         )
         return self._rows(replay)
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class HubFeedStreamWriter(DataSourceStreamWriter):
+    """Streaming sink face of the hubfeed source: each micro-batch
+    lands as JSONL part files written task-side, made visible ONLY by
+    the driver-side ``commit`` (write-ahead into ``_tmp``, then a
+    manifest per batch) — the two-phase pattern every exactly-once
+    Spark sink uses.  ``abort`` removes the orphaned parts, and a
+    replayed batchId overwrites its own manifest idempotently, so
+    retries cannot double-publish.
+
+    Executor-parallel IO (one part per task, like the reference's
+    row-at-a-time mysql INSERTs turned set-oriented); the manifest is
+    O(#tasks) driver work per batch."""
+
+    def __init__(self, schema: T.StructType, options) -> None:
+        self.schema_ = schema
+        self.path = options.get("path")
+        self.kind = options.get("kind", "out")
+
+    def _tmp_dir(self) -> str:
+        return os.path.join(self.path, "_tmp")
+
+    def write(self, iterator) -> "_PartFile":
+        import uuid
+
+        os.makedirs(self._tmp_dir(), exist_ok=True)
+        part = os.path.join(self._tmp_dir(), f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(recursive=True),
+                                    default=str) + "\n")
+                n += 1
+        return _PartFile(part, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        final = []
+        for m in messages:
+            if m is None or m.rows == 0:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+                continue
+            dest = os.path.join(
+                self.path, f"{self.kind}-{batchId:06d}-{len(final)}.jsonl"
+            )
+            os.replace(m.path, dest)
+            final.append({"path": os.path.basename(dest), "rows": m.rows})
+        manifest = os.path.join(self.path, f"_batch-{batchId:06d}.json")
+        with open(manifest, "w", encoding="utf-8") as fh:
+            json.dump({"batchId": batchId, "parts": final}, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
