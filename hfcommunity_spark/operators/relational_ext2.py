@@ -412,3 +412,95 @@ def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
         .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
     )
+
+
+@query(
+    "w5_funnel_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(first_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(CASE WHEN first_click > first_view THEN 1 END)
+                AS BIGINT) AS n_clicked_after_view,
+           CAST(COUNT(CASE WHEN first_purchase > first_click
+                            AND first_click > first_view THEN 1 END)
+                AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+    survey="A5,P9,W4",
+)
+def w5_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel conversion (view → click → purchase, strictly
+    ordered by each user's FIRST occurrence of each step) — the
+    product-analytics staple, done as one conditional-MIN rollup per
+    user plus a global count: two shuffles, both partial-aggregated
+    map-side, no self-joins and no per-step passes over events."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    clicked = F.col("first_click") > F.col("first_view")
+    purchased = (F.col("first_purchase") > F.col("first_click")) & clicked
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "w6_retention_cohorts",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS INTEGER) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+    survey="A5,F6,J3",
+)
+def w6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users grouped by first-seen day, and
+    for each later day-offset, how many of the cohort were active.
+    Cohort assignment is one user-keyed rollup; the activity join is
+    user-keyed (the cohort frame is one row per user — broadcastable
+    at dim scale, hash-join co-partitioned beyond); the DISTINCT caps
+    each (user, day) at one row before the final count shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day"))
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
