@@ -141,7 +141,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j10_asof_last_view_before_purchase",  # J10, W3
     "o3_order_offset_page",  # O3
     "ri_orphan_audit",  # S13, J2, U3
-    "w2_lag_event_value_delta",  # W2
+    # w2_lag_event_value_delta yields its slot (W2 keeps window cover
+    # via d5_scd2_user_state) to the quality-gate → semantic-dedup
+    # pipeline composite
+    "dd_semantic_dedup_quality_gate",
 )
 
 
