@@ -13,12 +13,17 @@ Tiers, as a 100 TB ANN story requires:
   the probe is a prunable scan (at 100 TB the persisted bucket column
   is the partition key and the filter becomes partition pruning) —
   never a nested-loop over the corpus.
-- exact all-pairs nearest neighbor — the recall oracle: candidate
-  matrix is processed in BOUNDED driver chunks (``NN_CHUNK_ROWS`` rows
-  collected per step, never the whole table), each chunk broadcast and
-  scored with one BLAS GEMM inside ``mapInPandas``, partial winners
-  reduced by a final max-struct aggregation.  Driver memory is O(chunk),
-  not O(corpus).
+- exact all-pairs nearest neighbor — the recall oracle: a fully
+  executor-side BLOCK-PAIR join.  Rows are bucketed into B blocks of
+  ~``NN_CHUNK_ROWS`` rows (``pmod(vec_id, B)``); the B×(B+1)/2 block
+  pairs form a tiny driver-built frame broadcast-joined against the
+  corpus, and ONE ``applyInPandas`` GEMM scores each block pair.  The
+  corpus never transits the driver (the round-2 scale defect: a
+  sequential per-chunk ``collect()``+broadcast loop moved every row
+  through the driver and re-scanned the table n/4096 times), all
+  B(B+1)/2 GEMMs run in parallel across executors, and per-task memory
+  is O(2·block).  Work stays the inherent exact O(n²); dataflow is now
+  one shuffle of n·B rows on the pair key.
 
 All hot-path vector math is Arrow-batched numpy (pandas UDFs) — a
 per-pair SQL higher-order-function fold is interpreted per element and
@@ -45,7 +50,7 @@ DIM = 64
 N_PLANES = 16
 TOP_K = 20
 MULTIPROBE_HAMMING = 4
-NN_CHUNK_ROWS = 4096  # driver-side bound per candidate chunk
+NN_CHUNK_ROWS = 4096  # target rows per block in the block-pair kernel
 
 
 def dot(a: str | Column, b: str | Column) -> Column:
@@ -256,60 +261,69 @@ def dd_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame
     """Embedding-cosine near-dup baseline: every vector's exact nearest
     neighbor — the ground truth the LSH/IVF variants approximate.
 
-    Blocked-broadcast design: the candidate set is processed in
-    BOUNDED chunks (pmod(vec_id, n_chunks) buckets of ~NN_CHUNK_ROWS
-    rows).  Each step collects ONE chunk (driver memory O(chunk), never
-    O(corpus)), broadcasts it, and a ``mapInPandas`` pass scores every
-    query row against the chunk with one BLAS GEMM, keeping the
-    chunk-local best.  A final max-struct aggregation merges the
-    per-chunk winners (max sim, then min nn_id — matching the oracle's
-    tie-break exactly).  Work is the inherent O(n²) of exact all-pairs;
-    memory is bounded everywhere.  At 100 TB you run the LSH/SimHash
-    candidate path instead and exact-re-rank candidates with this same
-    GEMM kernel."""
+    Block-pair design (round 3 — fully executor-side, no driver
+    transit): rows are bucketed into B blocks of ~NN_CHUNK_ROWS rows,
+    the tiny B×(B+1)/2 block-pair frame is broadcast-joined against the
+    corpus, and each pair group is scored by ONE BLAS GEMM inside
+    ``applyInPandas`` — a cross-block group emits per-row bests in BOTH
+    directions, a diagonal group masks self-similarity.  A final
+    max-struct aggregation merges the per-group winners (max sim, then
+    min nn_id — matching the oracle's tie-break exactly).  Work is the
+    inherent O(n²) of exact all-pairs; dataflow is one n·B-row shuffle
+    and B(B+1)/2 parallel GEMM tasks, each O(2·block) memory.  At
+    100 TB you run the LSH/SimHash candidate path instead and exact-
+    re-rank candidates with this same GEMM kernel."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = emb.count()
-    n_chunks = max(1, -(-n // NN_CHUNK_ROWS))  # ceil
-    partials: list[DataFrame] = []
-    for i in range(n_chunks):
-        chunk = emb.filter(F.pmod(F.col("vec_id"), n_chunks) == i).collect()
-        if not chunk:
-            continue
-        order = np.argsort([r.vec_id for r in chunk], kind="stable")
-        ids = np.array([r.vec_id for r in chunk], dtype=np.int64)[order]
-        m = np.array([r.embedding for r in chunk], dtype=np.float64)[order]
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        bc = spark.sparkContext.broadcast((ids, mn))
+    return exact_nearest_neighbor(spark, emb)
 
-        def best_in_chunk(batches, _bc=bc):
-            # candidates are id-sorted, so argmax (first max) breaks
-            # similarity ties toward the LOWEST nn_id — the oracle's
-            # tie-break — with no per-row sort.
-            c_ids, c_mn = _bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                a = _np_rows(pdf["embedding"])
-                an = a / np.linalg.norm(a, axis=1, keepdims=True)
-                sims = an @ c_mn.T
-                qids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                sims[c_ids[None, :] == qids[:, None]] = -np.inf  # self
-                best = np.argmax(sims, axis=1)
-                best_sim = sims[np.arange(len(qids)), best]
-                keep = ~np.isneginf(best_sim)  # chunk may hold only self
-                yield pd.DataFrame({
-                    "vec_id": qids[keep],
-                    "nn_id": c_ids[best[keep]],
-                    "sim": best_sim[keep],
-                })
 
-        partials.append(
-            emb.mapInPandas(best_in_chunk, "vec_id long, nn_id long, sim double")
-        )
-    merged = partials[0]
-    for p in partials[1:]:
-        merged = merged.unionAll(p)
-    # cross-chunk winner: max sim, then min nn_id (struct max is
+def exact_nearest_neighbor(spark: SparkSession, emb: DataFrame,
+                           block_rows: int = NN_CHUNK_ROWS) -> DataFrame:
+    """Exact cosine nearest neighbor per row over ``emb`` (vec_id,
+    embedding) via the executor-side block-pair kernel — see
+    ``dd_embedding_nearest_neighbor`` for the design narrative."""
+
+    def nn_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "vec_id": np.array([], dtype=np.int64),
+            "nn_id": np.array([], dtype=np.int64),
+            "sim": np.array([], dtype=np.float64),
+        })
+        a, b, diag = _split_pair_group(pdf)
+        if a is None:
+            return empty
+        # id-sort both sides: np.argmax returns the FIRST max, which
+        # then breaks similarity ties toward the LOWEST nn_id — the
+        # oracle's tie-break — with no per-row sort.
+        ia, ma = _sorted_side(a)
+        if diag:
+            if len(ia) < 2:
+                return empty
+            sims = ma @ ma.T
+            np.fill_diagonal(sims, -np.inf)
+            best = np.argmax(sims, axis=1)
+            return pd.DataFrame({
+                "vec_id": ia,
+                "nn_id": ia[best],
+                "sim": sims[np.arange(len(ia)), best],
+            })
+        ib, mb = _sorted_side(b)
+        sims = ma @ mb.T
+        best_a = np.argmax(sims, axis=1)
+        best_b = np.argmax(sims, axis=0)
+        return pd.DataFrame({
+            "vec_id": np.concatenate([ia, ib]),
+            "nn_id": np.concatenate([ib[best_a], ia[best_b]]),
+            "sim": np.concatenate([
+                sims[np.arange(len(ia)), best_a],
+                sims[best_b, np.arange(len(ib))],
+            ]),
+        })
+
+    merged = _block_pair_grouped(spark, emb, block_rows).applyInPandas(
+        nn_fn, "vec_id long, nn_id long, sim double"
+    )
+    # cross-group winner: max sim, then min nn_id (struct max is
     # lexicographic, so negate the id for the tie-break)
     return (
         merged.groupBy("vec_id")
@@ -349,49 +363,100 @@ def dd_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_cosine_pairs(spark, emb, COSINE_PAIR_TAU)
 
 
-def blocked_cosine_pairs(spark: SparkSession, emb: DataFrame,
-                         tau: float) -> DataFrame:
-    """All (vec_a < vec_b) pairs with cosine ≥ tau over ``emb``
-    (vec_id, embedding) via bounded-chunk broadcast + GEMM — the
-    reusable exact-pair kernel (see ``dd_cosine_threshold_pairs``)."""
+def _block_pair_grouped(spark: SparkSession, emb: DataFrame,
+                        block_rows: int = NN_CHUNK_ROWS):
+    """The shared block-pair scaffold for exact all-pairs kernels.
+
+    Buckets ``emb`` (vec_id, embedding) into B blocks of ~block_rows
+    rows via ``pmod(vec_id, B)``, enumerates the B×(B+1)/2 unordered
+    block pairs driver-side (a frame of 3 ints per pair — bounded by
+    B², never by data), broadcast-joins the corpus against it (each row
+    fans out to the B pair groups its block participates in), and
+    returns the result grouped by pair id, ready for one
+    ``applyInPandas`` GEMM per group.  Every unordered row pair lands
+    in EXACTLY one group: the (sorted) block-pair of its two blocks.
+    The only driver-side data movement is the row COUNT; embeddings
+    stay on executors end to end."""
     n = emb.count()
-    n_chunks = max(1, -(-n // NN_CHUNK_ROWS))
-    partials: list[DataFrame] = []
-    for i in range(n_chunks):
-        chunk = emb.filter(F.pmod(F.col("vec_id"), n_chunks) == i).collect()
-        if not chunk:
-            continue
-        ids = np.array([r.vec_id for r in chunk], dtype=np.int64)
-        m = np.array([r.embedding for r in chunk], dtype=np.float64)
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        bc = spark.sparkContext.broadcast((ids, mn))
+    n_blocks = max(1, -(-n // block_rows))  # ceil
+    pairs = [(i * n_blocks + j, i, j)
+             for i in range(n_blocks) for j in range(i, n_blocks)]
+    pairs_df = spark.createDataFrame(pairs, "pair_id long, pa int, pb int")
+    blocked = emb.withColumn(
+        "block", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    side_a = blocked.join(
+        F.broadcast(pairs_df), F.col("block") == F.col("pa")
+    ).select("pair_id", "pa", "pb", F.lit(0).alias("role"),
+             "vec_id", "embedding")
+    side_b = blocked.join(
+        F.broadcast(pairs_df.filter(F.col("pa") != F.col("pb"))),
+        F.col("block") == F.col("pb"),
+    ).select("pair_id", "pa", "pb", F.lit(1).alias("role"),
+             "vec_id", "embedding")
+    return side_a.unionAll(side_b).groupBy("pair_id")
 
-        def pairs_vs_chunk(batches, _bc=bc):
-            c_ids, c_mn = _bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                a = _np_rows(pdf["embedding"])
-                an = a / np.linalg.norm(a, axis=1, keepdims=True)
-                sims = an @ c_mn.T
-                qids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                # emit only (query < candidate): upper triangle, self-free
-                hit_q, hit_c = np.nonzero(
-                    (sims >= tau)
-                    & (qids[:, None] < c_ids[None, :])
-                )
-                yield pd.DataFrame({
-                    "vec_a": qids[hit_q],
-                    "vec_b": c_ids[hit_c],
-                })
 
-        partials.append(
-            emb.mapInPandas(pairs_vs_chunk, "vec_a long, vec_b long")
-        )
-    merged = partials[0]
-    for p in partials[1:]:
-        merged = merged.unionAll(p)
-    return merged
+def _split_pair_group(pdf: pd.DataFrame):
+    """(a_rows, b_rows, is_diagonal) for one block-pair group.  Returns
+    ``a is None`` when the group cannot produce output (an off-diagonal
+    pair with an empty side)."""
+    diag = bool(pdf["pa"].iat[0] == pdf["pb"].iat[0])
+    a = pdf[pdf["role"] == 0]
+    if diag:
+        return (a if len(a) else None), None, True
+    b = pdf[pdf["role"] == 1]
+    if not len(a) or not len(b):
+        return None, None, False
+    return a, b, False
+
+
+def _sorted_side(side: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """One side of a pair group → (ascending ids, L2-normalized rows)."""
+    ids = side["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    m = _np_rows(side["embedding"])[order]
+    return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def blocked_cosine_pairs(spark: SparkSession, emb: DataFrame,
+                         tau: float,
+                         block_rows: int = NN_CHUNK_ROWS) -> DataFrame:
+    """All (vec_a < vec_b) pairs with cosine ≥ tau over ``emb``
+    (vec_id, embedding) — the reusable exact-pair kernel, as an
+    executor-side block-pair join (see ``_block_pair_grouped``): one
+    GEMM per block pair, each unordered pair scored in exactly one
+    group, no data through the driver."""
+
+    def pair_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+        })
+        a, b, diag = _split_pair_group(pdf)
+        if a is None:
+            return empty
+        ia, ma = _sorted_side(a)
+        if diag:
+            sims = ma @ ma.T
+            idx = np.arange(len(ia))
+            hit_a, hit_b = np.nonzero(
+                (sims >= tau) & (idx[:, None] < idx[None, :])
+            )
+            return pd.DataFrame({"vec_a": ia[hit_a], "vec_b": ia[hit_b]})
+        ib, mb = _sorted_side(b)
+        sims = ma @ mb.T
+        hit_a, hit_b = np.nonzero(sims >= tau)
+        va, vb = ia[hit_a], ib[hit_b]
+        return pd.DataFrame({
+            "vec_a": np.minimum(va, vb),
+            "vec_b": np.maximum(va, vb),
+        })
+
+    return _block_pair_grouped(spark, emb, block_rows).applyInPandas(
+        pair_fn, "vec_a long, vec_b long"
+    )
 
 
 def _centroid_rows(emb: DataFrame) -> DataFrame:

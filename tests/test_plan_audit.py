@@ -95,6 +95,73 @@ def test_q6_reads_only_needed_columns(spark):
         assert col not in read_schema
 
 
+def test_exact_pair_kernel_no_driver_transit():
+    """Round-2 scale defect, fixed in round 3: the exact cosine-pair
+    kernel must be fully executor-side — no per-chunk collect(), no
+    sparkContext.broadcast of data, no toPandas.  Enforced at the
+    source level so a regression cannot hide behind a cached plan."""
+    import inspect
+
+    from hfcommunity_spark.operators import similarity as sim
+
+    for fn in (
+        sim._block_pair_grouped,
+        sim.blocked_cosine_pairs,
+        sim.exact_nearest_neighbor,
+        sim.dd_embedding_nearest_neighbor,
+        sim.dd_cosine_threshold_pairs,
+        sim.dd_semantic_dedup_quality_gate,
+    ):
+        src = inspect.getsource(fn)
+        assert ".collect()" not in src, fn.__name__
+        assert "sparkContext.broadcast" not in src, fn.__name__
+        assert ".toPandas()" not in src, fn.__name__
+
+
+def test_block_pair_kernel_multiblock_parity(spark):
+    """Forcing tiny blocks (many cross-block GEMM groups) must give
+    bit-identical results to the single-block diagonal path — every
+    unordered pair is scored in exactly one group."""
+    from hfcommunity_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        exact_nearest_neighbor,
+    )
+    from hfcommunity_spark.io import read_table
+
+    emb = read_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    one = {tuple(r) for r in blocked_cosine_pairs(spark, emb, 0.4).collect()}
+    many = {
+        tuple(r)
+        for r in blocked_cosine_pairs(spark, emb, 0.4, block_rows=64).collect()
+    }
+    assert one == many and len(one) > 0
+
+    nn_one = {tuple(r) for r in exact_nearest_neighbor(spark, emb).collect()}
+    nn_many = {
+        tuple(r)
+        for r in exact_nearest_neighbor(spark, emb, block_rows=64).collect()
+    }
+    assert nn_one == nn_many and len(nn_one) > 0
+
+
+def test_block_pair_kernel_empty_input(spark):
+    """ADVICE r2: an empty embeddings frame (e.g. the semantic-dedup
+    quality gate filtering out every doc) must yield an empty result
+    with the declared schema, not IndexError."""
+    from hfcommunity_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        exact_nearest_neighbor,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    pairs = blocked_cosine_pairs(spark, emb, 0.4)
+    assert pairs.columns == ["vec_a", "vec_b"] and pairs.count() == 0
+    nn = exact_nearest_neighbor(spark, emb)
+    assert nn.columns == ["vec_id", "nn_id"] and nn.count() == 0
+
+
 def test_no_cartesian_products_in_inventory(spark):
     """Only intentional scalar-combiner cross joins (tiny 1-row sides)
     may appear; anything else is a missing join condition."""
