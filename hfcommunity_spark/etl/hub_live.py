@@ -50,10 +50,21 @@ def _opt_str(v: object) -> str | None:
     return None if v is None else str(v)
 
 
+def _field(obj: object, name: str):
+    """hub metadata is an attribute object in some huggingface_hub
+    versions and a plain/Typed dict in others — try both."""
+    v = getattr(obj, name, None)
+    if v is None and isinstance(obj, dict):
+        v = obj.get(name)
+    return v
+
+
 def _flatten_sibling(s: object) -> dict:
     """RepoSibling → SIBLING_TYPE dict (rfilename/size/blob_id/lfs —
-    the fields :299-318 reads)."""
-    lfs = getattr(s, "lfs", None)
+    the fields :299-318 reads).  The LFS digest field is ``sha256``
+    (the reference reads file.lfs.get("sha256"), databaseImport.py:318),
+    and lfs may be an object or a dict depending on hub version."""
+    lfs = _field(s, "lfs")
     return {
         "filename": getattr(s, "rfilename", None),
         "size": getattr(s, "size", None),
@@ -61,9 +72,9 @@ def _flatten_sibling(s: object) -> dict:
         "lfs": None
         if lfs is None
         else {
-            "size": getattr(lfs, "size", None),
-            "pointer_size": getattr(lfs, "pointer_size", None),
-            "sha": getattr(lfs, "sha", None),
+            "size": _field(lfs, "size"),
+            "pointer_size": _field(lfs, "pointer_size"),
+            "sha": _field(lfs, "sha256"),
         },
     }
 

@@ -50,17 +50,147 @@ def ancestors(commit_parents: DataFrame, start_shas: DataFrame,
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          max_iters: int = 25) -> DataFrame:
-    """Undirected connected components by min-label propagation:
-    every vertex starts labelled with itself; each round takes the min
-    of its own label and its neighbors' (one edge⋈label equi join +
-    one min aggregation per round) until a fixpoint.  Returns
-    (vertex, component) with component = min vertex id reachable.
+    """Undirected connected components via alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — O(log n) rounds vs. O(diameter) for plain
+    min-label propagation, with the same per-round primitive (one
+    equi join + one min aggregation).  Returns (vertex, component)
+    with component = min vertex id reachable.
 
-    Rounds needed = graph diameter; the loop is driver-side and eager
-    (like ``kmeans_fit``), the data stays distributed.  At 100 TB you
-    swap the propagation for the large-star/small-star rewrites
-    (O(log n) rounds, same join primitive) — the per-round shuffle is
-    identical, only the round count changes."""
+    Each round every node u computes m(u) = min of itself and its
+    neighbors; large-star rewires u's strictly-larger neighbors to
+    m(u), small-star rewires u's smaller neighbors AND u itself to
+    m(u).  The edge set monotonically contracts toward stars centered
+    on component minima; convergence = the edge set reaches a
+    fixpoint.  The loop is driver-side and eager, the data stays
+    distributed.  Raises RuntimeError if ``max_iters`` rounds pass
+    without a fixpoint (silent non-convergence would return wrong
+    labels with no hint — ADVICE r2)."""
+    labels, _rounds, converged = _star_components(
+        edges, src, dst, max_iters
+    )
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "large/small-star rounds; raise max_iters"
+        )
+    return labels
+
+
+def _star_components(edges: DataFrame, src: str, dst: str,
+                     max_iters: int) -> tuple[DataFrame, int, bool]:
+    """(labels, rounds_used, converged) — see connected_components."""
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    # vertices of the ORIGINAL graph (star contraction prunes interior
+    # edges, so the final labels must re-attach every input vertex)
+    vertices = (
+        e0.select(F.col("a").alias("vertex"))
+        .unionByName(e0.select(F.col("b").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    # each round's edge set is materialized with an EAGER localCheckpoint:
+    # unlike persist(), it truncates the logical plan, and star rounds
+    # reference their input ~16× (sym twice, mins over sym, small over
+    # large over sym...) — without truncation the plan tree grows
+    # exponentially per round and Catalyst OOMs on canonicalization
+    # before the data is ever touched
+    e = e0.distinct().localCheckpoint(eager=True)
+    n_edges = e.count()
+    converged = False
+    rounds = 0
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        """m(u) = min(Γ(u) ∪ {u}) — one aggregation over the
+        symmetrized edge list."""
+        return (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mn"))
+            .select("a", F.least(F.col("__mn"), F.col("a")).alias("m"))
+        )
+
+    for rounds in range(1, max_iters + 1):
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # large-star: (v, m(u)) for v ∈ Γ(u), v > u
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(_mins(sym), "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        sym2 = large.unionByName(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins2 = _mins(sym2)
+        # small-star: (v, m(u)) for v ∈ Γ(u), v < u, plus (u, m(u))
+        small = (
+            sym2.filter(F.col("b") < F.col("a"))
+            .join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_n = small.count()
+        # fixpoint ⇔ same distinct edge set: equal cardinality AND
+        # new ⊆ old (one anti-join, no full except-both-ways)
+        same = (
+            new_n == n_edges
+            and small.join(e, ["a", "b"], "left_anti").isEmpty()
+        )
+        e, n_edges = small, new_n
+        if same:
+            converged = True
+            break
+
+    # at the fixpoint every edge is (member, component-min); isolated
+    # original vertices (fully contracted or never present) label
+    # themselves
+    star_min = e.groupBy("a").agg(F.min("b").alias("__c"))
+    labels = (
+        vertices.join(star_min, vertices["vertex"] == star_min["a"], "left")
+        .select(
+            "vertex",
+            F.coalesce(F.col("__c"), F.col("vertex")).alias("component"),
+        )
+    )
+    # materialize before dropping the persisted vertex frame
+    labels = labels.localCheckpoint(eager=True)
+    vertices.unpersist()
+    return labels, rounds, converged
+
+
+def min_label_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iters: int = 25) -> DataFrame:
+    """Undirected connected components by plain min-label propagation
+    — kept as the O(diameter)-round baseline the star variant is
+    benchmarked against (tests/test_graph.py).  Raises RuntimeError on
+    non-convergence instead of returning wrong labels silently."""
+    labels, _rounds, converged = _min_label_components(
+        edges, src, dst, max_iters
+    )
+    if not converged:
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_iters} "
+            "propagation rounds; raise max_iters"
+        )
+    return labels
+
+
+def _min_label_components(edges: DataFrame, src: str, dst: str,
+                          max_iters: int) -> tuple[DataFrame, int, bool]:
+    """(labels, propagation_rounds, converged): every vertex starts
+    labelled with itself; each round takes the min of its own label
+    and its neighbors' (one edge⋈label equi join + one min aggregation
+    per round) until a fixpoint.  Rounds needed = graph diameter."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # cache the symmetrized edge list: every propagation round joins
     # against it, and its lineage may be arbitrarily expensive
@@ -75,6 +205,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         .withColumn("component", F.col("vertex"))
         .persist()
     )
+
     def _step(lbl: DataFrame, with_old: bool) -> DataFrame:
         msgs = und.join(lbl, und["a"] == lbl["vertex"]).select(
             F.col("b").alias("vertex"), "component",
@@ -95,6 +226,8 @@ def connected_components(edges: DataFrame, src: str = "src",
 
     pinned = labels  # the currently-persisted frame (labels may be a
     # projection over it; unpersist must target the cached handle)
+    converged = False
+    rounds = 0
     for _ in range(max_iters):
         # TWO propagation rounds per materialized action: the first is
         # chained lazily, only the second carries the convergence
@@ -106,13 +239,17 @@ def connected_components(edges: DataFrame, src: str = "src",
         n_changed = new_labels.filter(
             F.col("component") != F.col("__old")
         ).count()
+        rounds += 2
         pinned.unpersist()
         pinned = new_labels
         labels = new_labels.select("vertex", "component")
         if n_changed == 0:
+            converged = True
             break
+    labels = labels.localCheckpoint(eager=True)
+    pinned.unpersist()
     und.unpersist()
-    return labels
+    return labels, rounds, converged
 
 
 def merge_commits(commit_parents: DataFrame) -> DataFrame:

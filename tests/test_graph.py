@@ -64,3 +64,71 @@ def test_connected_components_converges_on_cycle(spark):
     got = {r.vertex: r.component
            for r in connected_components(edges).collect()}
     assert got == {5: 5, 6: 5, 9: 5}
+
+
+def test_star_components_beats_min_label_rounds_on_path(spark):
+    """The large/small-star contraction must converge in O(log n)
+    rounds where min-label propagation needs O(diameter) — the
+    documented 100 TB swap-in, now the default."""
+    from hfcommunity_spark.operators.graph import (
+        _min_label_components,
+        _star_components,
+    )
+
+    n = 33  # path 0-1-...-32, diameter 32
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    star_labels, star_rounds, star_ok = _star_components(
+        edges, "src", "dst", 25
+    )
+    ml_labels, ml_rounds, ml_ok = _min_label_components(
+        edges, "src", "dst", 25
+    )
+    assert star_ok and ml_ok
+    want = {i: 0 for i in range(n)}
+    assert {r.vertex: r.component for r in star_labels.collect()} == want
+    assert {r.vertex: r.component for r in ml_labels.collect()} == want
+    # min-label pays ~diameter propagation rounds; star contraction is
+    # logarithmic — strictly fewer, with real headroom
+    assert star_rounds < ml_rounds / 2, (star_rounds, ml_rounds)
+
+
+def test_star_components_random_graph_matches_min_label(spark):
+    """Property check on a fixed pseudo-random graph: both algorithms
+    agree exactly."""
+    from hfcommunity_spark.operators.graph import (
+        connected_components,
+        min_label_components,
+    )
+
+    # deterministic LCG edges over 60 vertices, sparse enough to leave
+    # several components
+    seed, pairs = 1234567, []
+    for _ in range(45):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        a = seed % 60
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        b = seed % 60
+        if a != b:
+            pairs.append((a, b))
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    star = {r.vertex: r.component
+            for r in connected_components(edges).collect()}
+    ml = {r.vertex: r.component
+          for r in min_label_components(edges).collect()}
+    assert star == ml and len(star) > 0
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """ADVICE r2: exhausting max_iters must raise, never silently
+    return wrong labels."""
+    import pytest
+
+    from hfcommunity_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)

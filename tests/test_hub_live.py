@@ -28,8 +28,13 @@ def _model_info():
         disabled=False, tags=["pytorch"],
         siblings=[
             NS(rfilename="config.json", size=10, blob_id="b1", lfs=None),
+            # real hub field name is sha256 (reference reads
+            # file.lfs.get("sha256"), databaseImport.py:318)
             NS(rfilename="model.bin", size=None, blob_id="b2",
-               lfs=NS(size=99, pointer_size=12, sha="lfs-sha")),
+               lfs=NS(size=99, pointer_size=12, sha256="lfs-sha")),
+            # newer hub versions ship lfs as a plain dict
+            NS(rfilename="model2.bin", size=None, blob_id="b3",
+               lfs={"size": 7, "pointer_size": 3, "sha256": "lfs-sha-2"}),
         ],
         pipeline_tag="text-classification", downloads=42,
         library_name="transformers", config={"architectures": ["X"]},
@@ -80,8 +85,13 @@ def test_listing_rows_fit_model_feed_schema(spark):
     assert got.name == "org/m1"
     assert got.card_data == "{'license': 'mit'}"  # str()-ified like :641
     assert got.gated == "False"
-    assert [s.filename for s in got.siblings] == ["config.json", "model.bin"]
+    assert [s.filename for s in got.siblings] == [
+        "config.json", "model.bin", "model2.bin"
+    ]
     assert got.siblings[1].lfs.size == 99
+    assert got.siblings[1].lfs.sha == "lfs-sha"
+    assert got.siblings[2].lfs.sha == "lfs-sha-2"
+    assert got.siblings[2].lfs.pointer_size == 3
     assert got.config == "{'architectures': ['X']}"
 
 
