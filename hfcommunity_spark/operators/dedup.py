@@ -170,6 +170,44 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sha60(col, seed: int):
+    """Seeded 60-bit hash with an exact DuckDB twin: the first 15 hex
+    chars of ``sha256(seed || ':' || s)`` parsed base-16 (always
+    positive, fits a BIGINT).  Spark: ``conv(substring(sha2(...)))``;
+    DuckDB: ``('0x' || substr(sha256(...), 1, 15))::BIGINT``
+    (``_sha60_sql``).  This is the ORACLE hash mode — cryptographic
+    sha256 per shingle is ~20× the cost of xxhash64, so the production
+    default for every hash-family operator stays xxhash64; the declared
+    queries run sha2 mode so the driver can hash-compare MinHash/SimHash
+    output against DuckDB instead of settling for a rows-only check."""
+    return F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(":", F.lit(str(seed)), col.cast("string")), 256
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _sha60_sql(expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`sha60` as a SQL fragment."""
+    return f"('0x' || substr(sha256('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+def _sha60_slice_sql(expr: str, group_seed: int, slot: int) -> str:
+    """DuckDB twin of one 60-bit slice of a seeded sha256 digest (hex
+    chars [1+15*slot, 15*slot+15]) — four independent hashes per
+    digest, amortizing the cryptographic work 4× for MinHash."""
+    return (
+        f"('0x' || substr(sha256('{group_seed}:' || {expr}), "
+        f"{1 + 15 * slot}, 15))::BIGINT"
+    )
+
+
 MINHASH_K = 16  # signatures
 MINHASH_BANDS = 4  # bands of r = 4 rows
 # LSH buckets larger than this are dropped before the pair join: a
@@ -181,14 +219,63 @@ MAX_BUCKET = 64
 
 
 def minhash_signatures(docs: DataFrame,
-                       n_hashes: int = MINHASH_K) -> DataFrame:
+                       n_hashes: int = MINHASH_K,
+                       hash_mode: str = "xxhash64") -> DataFrame:
     """(doc_id, sig array<long>) — k minhashes as k codegen'd
-    ``min(xxhash64(seed, h))`` aggregates over the exploded distinct
-    shingle hashes.  Map-side partial aggregation collapses each
-    partition to one k-long row per doc before the shuffle, and every
-    hash evaluation is whole-stage-codegen JVM code — the earlier
+    ``min(hash(seed, ·))`` aggregates over the exploded distinct
+    shingles.  Map-side partial aggregation collapses each partition to
+    one k-long row per doc before the shuffle, and every hash
+    evaluation is whole-stage-codegen JVM code — the earlier
     per-element ``transform`` lambdas ran interpreted (~50x slower on
-    the same arithmetic)."""
+    the same arithmetic).
+
+    ``hash_mode``: ``"xxhash64"`` (production — 8-byte shingle hashes
+    pre-shuffled, then seeded xxhash64 per signature slot) or
+    ``"sha2"`` (oracle — :func:`sha60` over the shingle string, exactly
+    reproducible in DuckDB)."""
+    if hash_mode == "sha2":
+        # Two tricks keep the cryptographic mode within ~2× of xxhash:
+        # (1) each sha256 digest is projected ONCE and sliced into four
+        #     15-hex-char hashes.  The digest aliases are referenced 4×
+        #     each, which blocks CollapseProject from inlining them into
+        #     the aggregate children (a single-use alias gets inlined
+        #     and the digest is then re-evaluated per signature slot —
+        #     measured 3× slower);
+        # (2) the min-aggregation runs on the HEX SLICES — fixed-width
+        #     lowercase hex compares lexicographically exactly like the
+        #     numeric value — so the expensive base-16 `conv` runs once
+        #     per doc per slot after aggregation, not once per shingle.
+        n_groups = (n_hashes + 3) // 4
+        dig = doc_shingles(docs, NGRAM).select(
+            "doc_id",
+            *[
+                F.sha2(
+                    F.concat_ws(":", F.lit(str(g)), F.col("shingle")), 256
+                ).alias(f"d{g}")
+                for g in range(n_groups)
+            ],
+        )
+        mins = [
+            F.min(
+                F.substring(
+                    F.col(f"d{seed // 4}"), 1 + 15 * (seed % 4), 15
+                )
+            ).alias(f"mx{seed}")
+            for seed in range(n_hashes)
+        ]
+        return (
+            dig.groupBy("doc_id")
+            .agg(*mins)
+            .select(
+                "doc_id",
+                F.array(
+                    *[
+                        F.conv(F.col(f"mx{s}"), 16, 10).cast("long")
+                        for s in range(n_hashes)
+                    ]
+                ).alias("sig"),
+            )
+        )
     sh = doc_shingle_hashes(docs, NGRAM)
     mins = [
         F.min(F.xxhash64(F.lit(seed), F.col("h"))).alias(f"m{seed}")
@@ -204,15 +291,29 @@ def minhash_signatures(docs: DataFrame,
     )
 
 
-@query("dd_minhash_lsh_pairs", None, survey="X-UD5,UD1,J9")
-def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs: k=16 seeded-xxhash64 minhashes per
-    doc, banded 4×4; docs sharing a band hash become candidates and are
-    verified with the estimated signature similarity.  Deterministic
-    (fixed seeds) but xxhash64 has no DuckDB twin → rows-only check."""
-    docs = read_table(spark, sf_dir, "documents")
-    with_sh = minhash_signatures(docs)
+def minhash_lsh_pairs(docs: DataFrame,
+                      hash_mode: str = "xxhash64") -> DataFrame:
+    """MinHash + LSH near-dup pairs: k=16 seeded minhashes per doc,
+    banded 4×4; docs sharing a band hash become candidates and are
+    verified with the estimated signature similarity.  The band join is
+    the only shuffle; hot buckets are capped (``MAX_BUCKET``)."""
+    with_sh = minhash_signatures(docs, hash_mode=hash_mode)
     r = MINHASH_K // MINHASH_BANDS
+
+    def bhash_for(band: int):
+        if hash_mode == "sha2":
+            return sha60(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[band * r + j].cast("string")
+                        for j in range(r)
+                    ],
+                ),
+                1000 + band,
+            )
+        return F.xxhash64(*[F.col("sig")[band * r + j] for j in range(r)])
+
     bands = with_sh.select(
         "doc_id",
         "sig",
@@ -221,9 +322,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[band * r + j] for j in range(r)]
-                        ).alias("bhash"),
+                        bhash_for(band).alias("bhash"),
                     )
                     for band in range(MINHASH_BANDS)
                 ]
@@ -258,6 +357,71 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         (matches.cast("double") / MINHASH_K).alias("est_similarity"),
     ).distinct()
+
+
+_MINHASH_SHINGLE_CTE = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - {NGRAM - 2}),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+           FROM toks WHERE len(w) >= {NGRAM})"""
+
+_MINHASH_MINS_SQL = ",\n           ".join(
+    f"MIN({_sha60_slice_sql('shingle', seed // 4, seed % 4)}) AS m{seed}"
+    for seed in range(MINHASH_K)
+)
+
+_MINHASH_BAND_SELECTS = "\n          UNION ALL\n          ".join(
+    "SELECT doc_id, "
+    + ", ".join(f"m{k}" for k in range(MINHASH_K))
+    + f", {band} AS band, "
+    + _sha60_sql(
+        " || ',' || ".join(
+            f"m{band * (MINHASH_K // MINHASH_BANDS) + j}::VARCHAR"
+            for j in range(MINHASH_K // MINHASH_BANDS)
+        ),
+        1000 + band,
+    )
+    + " AS bhash FROM sig"
+    for band in range(MINHASH_BANDS)
+)
+
+_MINHASH_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)"
+    for k in range(MINHASH_K)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_SHINGLE_CTE},
+    sig AS (SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+           FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BAND_SELECTS}),
+    capped AS (SELECT * FROM
+               (SELECT *, COUNT(*) OVER (PARTITION BY band, bhash) AS bsize
+                FROM bands) WHERE bsize <= {MAX_BUCKET})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_MINHASH_MATCHES_SQL} AS DOUBLE) / {MINHASH_K}
+               AS est_similarity
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    """
+
+
+@query("dd_minhash_lsh_pairs", _MINHASH_ORACLE, survey="X-UD5,UD1,J9")
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, hash-checked against DuckDB.
+
+    The declared query runs ``hash_mode="sha2"`` (:func:`sha60`, a
+    seeded sha256-prefix hash with an exact DuckDB twin) so the driver
+    can value-compare the full banded-LSH dataflow — signatures, band
+    hashes, bucket cap, candidate join, similarity estimate — instead
+    of a rows-only check.  Production callers keep the xxhash64 default
+    (same plan shape, ~20× cheaper hashing); recall behavior for that
+    mode is locked by ``tests/test_llmops.py``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, hash_mode="sha2")
 
 
 JACCARD_CLUSTER_THRESHOLD = 0.5
@@ -320,18 +484,27 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 63  # avoid the sign bit so the signature stays a positive long
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
+def simhash_signatures(docs: DataFrame,
+                       hash_mode: str = "xxhash64") -> DataFrame:
     """63-bit SimHash per doc: explode distinct word hashes, then ONE
     hash aggregation computing all 63 majority votes as codegen'd
     shift/and sums (an aggregate() lambda per bit would run
-    interpreted per element — ~10× slower)."""
-    # explode FIRST, hash after: xxhash64 over the exploded token column
+    interpreted per element — ~10× slower).
+
+    ``hash_mode="sha2"`` swaps the token hash for :func:`sha60` (60
+    effective bits; votes 60-62 are constant zero on both engines) so
+    the DuckDB oracle can reproduce the signatures exactly."""
+    # explode FIRST, hash after: the hash over the exploded token column
     # is whole-stage-codegen; hashing inside a transform() lambda would
     # run interpreted per element
-    hashes = docs.select(
+    tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    )
+    if hash_mode == "sha2":
+        hashes = tok.select("doc_id", sha60(F.col("t"), 0).alias("h"))
+    else:
+        hashes = tok.select("doc_id", F.xxhash64("t").alias("h"))
     # build the 63 vote sums and the signature reassembly as PARSED SQL
     # strings: constructing them as Column chains costs hundreds of
     # py4j round-trips and a 63-deep Add tree the analyzer walks
@@ -352,13 +525,12 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
-@query("dd_simhash_near_dups", None, survey="X-UD5,J9")
-def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_near_dups(docs: DataFrame,
+                      hash_mode: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs: 63-bit signatures, candidates via 16-bit
     chunk equality (pigeonhole for hamming ≤ 3), verified with
-    bit_count(xor).  rows-only check (xxhash64 has no DuckDB twin)."""
-    docs = read_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    bit_count(xor)."""
+    sigs = simhash_signatures(docs, hash_mode=hash_mode)
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -395,3 +567,54 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+_SIMHASH_VOTES_SQL = ",\n           ".join(
+    f"SUM((h >> {b}) & 1) AS b{b}" for b in range(SIMHASH_BITS)
+)
+
+_SIMHASH_SIG_SQL = " + ".join(
+    f"(CASE WHEN b{b} * 2 > n THEN CAST({1 << b} AS BIGINT) "
+    f"ELSE CAST(0 AS BIGINT) END)"
+    for b in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CHUNK_SELECTS = "\n          UNION ALL\n          ".join(
+    f"SELECT doc_id, simhash, {i} AS chunk_idx, "
+    f"(simhash >> {i * 16}) & 65535 AS chunk FROM sig"
+    for i in range(4)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(list_distinct(string_split(text, ' '))) AS t
+                  FROM documents),
+    h AS (SELECT doc_id, {_sha60_sql('t', 0)} AS h FROM toks),
+    votes AS (SELECT doc_id, COUNT(*) AS n,
+           {_SIMHASH_VOTES_SQL}
+           FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIMHASH_SIG_SQL} AS simhash FROM votes),
+    chunks AS ({_SIMHASH_CHUNK_SELECTS}),
+    capped AS (SELECT * FROM
+               (SELECT *, COUNT(*) OVER (PARTITION BY chunk_idx, chunk)
+                          AS bsize
+                FROM chunks) WHERE bsize <= {MAX_BUCKET})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM capped a JOIN capped b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("dd_simhash_near_dups", _SIMHASH_ORACLE, survey="X-UD5,J9")
+def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hash-checked against DuckDB.
+
+    Declared query runs ``hash_mode="sha2"`` (:func:`sha60` token
+    hashes DuckDB can reproduce bit-for-bit) so signatures, pigeonhole
+    chunks, bucket cap, and hamming verification are all
+    value-compared; production callers keep the xxhash64 default."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, hash_mode="sha2")

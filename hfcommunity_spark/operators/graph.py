@@ -84,14 +84,6 @@ def _star_components(edges: DataFrame, src: str, dst: str,
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
-    # vertices of the ORIGINAL graph (star contraction prunes interior
-    # edges, so the final labels must re-attach every input vertex)
-    vertices = (
-        e0.select(F.col("a").alias("vertex"))
-        .unionByName(e0.select(F.col("b").alias("vertex")))
-        .distinct()
-        .persist()
-    )
     # each round's edge set is materialized with an EAGER localCheckpoint:
     # unlike persist(), it truncates the logical plan, and star rounds
     # reference their input ~16× (sym twice, mins over sym, small over
@@ -99,6 +91,17 @@ def _star_components(edges: DataFrame, src: str, dst: str,
     # exponentially per round and Catalyst OOMs on canonicalization
     # before the data is ever touched
     e = e0.distinct().localCheckpoint(eager=True)
+    # vertices of the ORIGINAL graph (star contraction prunes interior
+    # edges, so the final labels must re-attach every input vertex) —
+    # derived from the CHECKPOINTED edge set: deriving from e0 would
+    # re-run the whole upstream edge pipeline (e.g. the shingle join
+    # feeding dd_dup_clusters) a second time at the final label join
+    vertices = (
+        e.select(F.col("a").alias("vertex"))
+        .unionByName(e.select(F.col("b").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_edges = e.count()
     converged = False
     rounds = 0
@@ -161,9 +164,6 @@ def _star_components(edges: DataFrame, src: str, dst: str,
             F.coalesce(F.col("__c"), F.col("vertex")).alias("component"),
         )
     )
-    # materialize before dropping the persisted vertex frame
-    labels = labels.localCheckpoint(eager=True)
-    vertices.unpersist()
     return labels, rounds, converged
 
 
@@ -203,7 +203,6 @@ def _min_label_components(edges: DataFrame, src: str, dst: str,
     labels = (
         und.select(F.col("a").alias("vertex")).distinct()
         .withColumn("component", F.col("vertex"))
-        .persist()
     )
 
     def _step(lbl: DataFrame, with_old: bool) -> DataFrame:
@@ -224,8 +223,6 @@ def _min_label_components(edges: DataFrame, src: str, dst: str,
             )
         return unioned.groupBy("vertex").agg(*aggs)
 
-    pinned = labels  # the currently-persisted frame (labels may be a
-    # projection over it; unpersist must target the cached handle)
     converged = False
     rounds = 0
     for _ in range(max_iters):
@@ -234,20 +231,22 @@ def _min_label_components(edges: DataFrame, src: str, dst: str,
         # columns.  If round 2 moved nothing its input was already a
         # fixpoint, so detection stays exact while the job count (the
         # dominant per-round cost on small graphs) halves.
+        #
+        # Each materialized round is an EAGER localCheckpoint, not a
+        # persist: _step references its input labels twice (self row +
+        # messages), so without lineage truncation the logical plan
+        # doubles per round — a diameter-32 path graph OOMs the driver
+        # during analysis before any data moves.
         mid = _step(labels, with_old=False)
-        new_labels = _step(mid, with_old=True).persist()
+        new_labels = _step(mid, with_old=True).localCheckpoint(eager=True)
         n_changed = new_labels.filter(
             F.col("component") != F.col("__old")
         ).count()
         rounds += 2
-        pinned.unpersist()
-        pinned = new_labels
         labels = new_labels.select("vertex", "component")
         if n_changed == 0:
             converged = True
             break
-    labels = labels.localCheckpoint(eager=True)
-    pinned.unpersist()
     und.unpersist()
     return labels, rounds, converged
 

@@ -63,88 +63,79 @@ except ImportError:  # pragma: no cover
 
 
 # The first 50 registry entries — the driver's correctness window.
-# 35 north-star LLM-pipeline/streaming/merge queries, then 15
-# relational representatives chosen so every SURVEY §2 id keeps at
-# least one hash-checkable query inside the window.
+#
+# Round-4 rotation: rounds 1-3 stamped 87 of the 109 declared queries;
+# this window contains the 24 queries with no driver evidence yet, the
+# two hash-family dedup queries whose oracles are new this round
+# (seeded-sha2 mode), and 24 coverage representatives chosen by set
+# cover so every SURVEY §2 id keeps an oracle-equipped in-window query
+# (``tests/test_registry_window.py`` asserts the invariant).  After
+# this round every declared query has a driver CORRECTNESS row in some
+# round.  Queries rotated out (e.g. the round-2/3 similarity and text
+# stamps) keep their prior-round driver rows plus the local DuckDB
+# parity suite (``tests/test_oracle_parity.py``).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # merge semantics (D1-D3, U1/U2)
-    "d1_insert_ignore_first_writer",
-    "d2_upsert_last_writer",
-    "d3_partial_update_stale",
-    "u1_priority_union_sources",
-    # text analysis + corpus dedup materialization (X-UD5, F1/F3/F12, P1, A5)
-    # (t_token_stats / t_stopword_ratio / t_bpe_token_count yield their
-    # slots to the round-2 composite pipeline queries below; their
-    # semantics stay locked by the local oracle suite, and
-    # t_clean_corpus_stats exercises the same token-count expression
-    # inside the driver window)
-    "t_lang_id_heuristic",
-    "t_quality_score",
-    "t_doc_fingerprint",
-    "dd_corpus_dedup_keep_first",
-    "t_chunk_documents",
-    "t_clean_corpus_stats",
-    "f3_clean_text",
-    # train/test split hygiene (X-UD5, J5, A9)
-    "samp_split_contamination",
-    # SCD2 timeline build — the only D4-tagged oracle row
-    # (p2_watermark_split_counts yields the slot: P2 keeps window
-    # cover via d3_partial_update_stale, U3 via ri_orphan_audit)
-    "d5_scd2_user_state",
-    # deduplication family (X-UD5, A9, J1, J5, J9, UD1)
-    "dd_exact_duplicates",
-    "dd_ngram_jaccard_pairs",
+    # --- never-stamped until round 4 -------------------------------
+    # relational / TPC-H composite shapes
+    "a15_exact_mode_per_segment",  # A4, W1, W4
+    "q4_priority_late_ship",  # A4, J2, P12
+    "q10_returned_revenue_topk",  # A4, J3, J4, O1
+    "q14_promo_revenue_ratio",  # A6, F11, J3
+    "q18_large_order_customers",  # A7, J2, W4
+    # event-analytics composites
+    "w5_funnel_conversion",  # A5, P9, W4
+    "w6_retention_cohorts",  # A5, F6, J3
+    # text analysis
+    "t_token_stats",  # F12, X-UD5
+    "t_stopword_ratio",  # F12, X-UD5
+    "t_bpe_token_count",  # F12, X-UD5
+    "t_rolling_hash_fingerprint",  # X-UD5
+    "t_repetition_filter",  # A4, F11, X-UD5
+    "t_pii_scrub_stats",  # F1, F12, X-UD5
+    "t_rarity_score",  # A7, X-UD5
+    # dedup / similarity
+    "dd_cosine_threshold_pairs",  # J6, P12, X-UD5
+    # multimodal
+    "mm_byte_features_full",  # UD2, UD4, X-UD5
+    "mm_resize_thumbnail",  # P1, UD2, X-UD5
+    "ud2_chunk_udtf",  # P1, UD2 (real Python UDTF under LATERAL)
+    # sampling / packing (samp_pack_token_budget = the distributed
+    # prefix-scan sequence packer, strongest unstamped evidence)
+    "samp_stratified_topn",  # F1, W1, X-UD5
+    "samp_hash_split_counts",  # A5, P8, X-UD5
+    "samp_mixture_weights",  # A7, J9, X-UD5
+    "samp_pack_token_budget",  # A10, W3, X-UD5
+    # streaming twins
+    "x3_sliding_halfhour",  # X3
+    "x8_hourly_gap_fill",  # F6, J8, X3
+    # --- hash-family dedup, oracle'd this round (seeded sha2 mode) --
     "dd_minhash_lsh_pairs",
     "dd_simhash_near_dups",
-    # iterative connected-components canonicalization, hash-checked
-    # against a recursive-CTE oracle (evidence no other entry gives)
-    "dd_dup_clusters",
-    # similarity / ANN family (X-UD5, O1, J6, J9, W1, A7)
-    "sim_bruteforce_topk",
-    "sim_lsh_bucketed_topk",
-    "dd_embedding_nearest_neighbor",
-    "sim_ivf_topk",
-    "sim_kmeans_ivf_topk",
-    "sim_label_centroid_topk",
-    # multimodal plumbing (UD2, UD4, P1)
-    "mm_byte_features",
-    "mm_frame_sample",
-    # pandas-UDF tiers (UD1, UD3, UD4, A7)
-    "ud1_ascii_ratio",
-    "ud3_grouped_agg_cents",
-    "ud4_grouped_map_profile",
-    # skew mitigation (A10, J9)
-    "skew_salted_agg_parity",
-    # streaming batch-parity twins (X1-X7, F6, J8)
-    "x3_tumbling_hourly",
-    # (x3_sliding_halfhour yields its slot: X3 keeps two in-window
-    # covers via x3_tumbling_hourly + x8_hourly_gap_fill)
-    "x4_session_windows",
-    # x8_hourly_gap_fill yields its slot (X3/J8 keep window covers via
-    # x3_tumbling_hourly and x7_stream_static_enrich) to the
-    # stream-stream interval join, the only oracle-equipped X2/X6 row
-    "x9_stream_stream_interval_join",
-    "x5_streaming_dedup",
-    "x7_stream_static_enrich",
-    # relational representatives (one per remaining SURVEY id)
-    "a4_topk_customers_by_orders",  # A4, O2, J3
-    "a6_ratio_customers_with_orders",  # A6
-    "a8_null_partition_count",  # A8, P8
-    "a11_rollup_customers",  # A11, J4
-    "a12_sketch_tolerance",  # A12 (exact value + in-bounds flags)
-    "a14_pivot_event_counts",  # P9, A5, A10
-    "f2_prefixed_ids",  # F2
-    "f4_json_projection",  # F4, F12
-    "p10_oversize_text_guard",  # P10, F5
-    "p12_q6_revenue_pushdown",  # P12, F11
-    "j7_composite_key_first_line",  # J7, W4
-    "j10_asof_last_view_before_purchase",  # J10, W3
-    "o3_order_offset_page",  # O3
+    # --- coverage representatives (set cover over SURVEY ids) ------
+    "d1_insert_ignore_first_writer",  # A9, D1, U1
+    "d3_partial_update_stale",  # D3, P2
+    "d5_scd2_user_state",  # D2, D4, W2
+    "u1_priority_union_sources",  # U1, U2
     "ri_orphan_audit",  # S13, J2, U3
-    # w2_lag_event_value_delta yields its slot (W2 keeps window cover
-    # via d5_scd2_user_state) to the quality-gate → semantic-dedup
-    # pipeline composite
-    "dd_semantic_dedup_quality_gate",
+    "p10_oversize_text_guard",  # F5, P10
+    "f2_prefixed_ids",  # F2
+    "f3_clean_text",  # F3, UD1
+    "f4_json_projection",  # F4, F12
+    "t_clean_corpus_stats",  # A8, P12, W4, X-UD5
+    "samp_split_contamination",  # A9, J5, X-UD5
+    "ud3_grouped_agg_cents",  # A7, UD3
+    "skew_salted_agg_parity",  # A10, J9
+    "sim_label_centroid_topk",  # A7, W1, X-UD5
+    "a4_topk_customers_by_orders",  # A4, J3, O2
+    "a11_rollup_customers",  # A11, J4
+    "a12_sketch_tolerance",  # A12
+    "j7_composite_key_first_line",  # J7, W4
+    "o3_order_offset_page",  # O3
+    "x3_tumbling_hourly",  # F6, X1, X2, X3
+    "x4_session_windows",  # X4
+    "x5_streaming_dedup",  # D1, X5, X6
+    "x7_stream_static_enrich",  # J8, X7
+    "x9_stream_stream_interval_join",  # J10, X2, X6
 )
 
 

@@ -54,6 +54,8 @@ def test_every_declared_survey_id_covered_inside_window():
 
 def test_north_star_families_inside_window():
     window = set(DRIVER_WINDOW)
-    for prefix in ("dd_", "sim_", "t_", "mm_", "ud", "d1", "d2", "d3",
+    # d5 (SCD2 upsert timeline) carries the D2/D4 merge evidence in the
+    # round-4 window; d2_upsert_last_writer keeps its r2/r3 stamps.
+    for prefix in ("dd_", "sim_", "t_", "mm_", "ud", "d1", "d5", "d3",
                    "u1", "skew", "samp_", "x3", "x4", "x5", "x7", "x9"):
         assert any(n.startswith(prefix) for n in window), prefix
