@@ -20,31 +20,84 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from hfcommunity_spark.operators.mergeops import insert_ignore
 
+BUCKET_COL = "pk_bucket"
+
 
 class SnapshotMergeSink:
-    """foreachBatch target maintaining a PK-unique parquet snapshot."""
+    """foreachBatch target maintaining a PK-unique parquet snapshot.
+
+    ``n_buckets=None`` (legacy) rewrites the whole snapshot per
+    micro-batch — O(snapshot) writes, fine at monthly cadence.  With
+    ``n_buckets=N`` the snapshot is hash-partitioned on
+    ``pk_bucket = pmod(xxhash64(pk), N)`` and each micro-batch:
+
+    1. computes the batch's dirty buckets (≤ N values, driver-side
+       metadata only),
+    2. reads ONLY those partitions back (partition pruning on the
+       filter — O(batch), not O(snapshot)),
+    3. merges with D1 semantics, and
+    4. rewrites only the dirty partitions via dynamic partition
+       overwrite — untouched partitions keep their files byte-for-byte
+       (asserted in tests/test_views_and_sink.py).
+
+    At 100 TB this is the difference between a streaming sink and a
+    nightly job: per-batch work scales with the batch and the bucket
+    count, never the accumulated snapshot."""
 
     def __init__(self, path: str, pk: Sequence[str],
-                 order_by: Sequence[str]) -> None:
+                 order_by: Sequence[str],
+                 n_buckets: int | None = None) -> None:
         self.path = path
         self.pk = list(pk)
         self.order_by = list(order_by)
+        self.n_buckets = n_buckets
+
+    def read(self, spark) -> DataFrame:
+        """The snapshot without the internal bucket column."""
+        df = spark.read.parquet(self.path)
+        return df.drop(BUCKET_COL) if self.n_buckets else df
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if self.n_buckets is None:
+            try:
+                existing = spark.read.parquet(self.path)
+            except Exception:  # first batch: no snapshot yet
+                existing = batch_df.limit(0)
+            merged = insert_ignore(
+                existing, batch_df, self.pk, self.order_by
+            )
+            # localCheckpoint materializes the merge before the overwrite
+            # truncates its own input (read-modify-write on one path)
+            merged.localCheckpoint(eager=True).write.mode(
+                "overwrite"
+            ).parquet(self.path)
+            return
+        batch = batch_df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*self.pk), F.lit(self.n_buckets)).cast("int"),
+        )
+        dirty = sorted(
+            r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+        )
         try:
-            existing = spark.read.parquet(self.path)
+            existing = spark.read.parquet(self.path).filter(
+                F.col(BUCKET_COL).isin(dirty)
+            )
         except Exception:  # first batch: no snapshot yet
-            existing = batch_df.limit(0)
-        merged = insert_ignore(existing, batch_df, self.pk, self.order_by)
-        # localCheckpoint materializes the merge before the overwrite
-        # truncates its own input (read-modify-write on one path)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            self.path
+            existing = batch.limit(0)
+        merged = insert_ignore(existing, batch, self.pk, self.order_by)
+        (
+            merged.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
         )
 
     def attach(self, stream_df: DataFrame, checkpoint: str) -> StreamingQuery:

@@ -9,7 +9,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from hfcommunity_spark.streaming import jobs
-from hfcommunity_spark.streaming.sink import SnapshotMergeSink
+from hfcommunity_spark.streaming.sink import BUCKET_COL, SnapshotMergeSink
 from hfcommunity_spark.views import mariadb_parity, repo_full, tags_agg
 
 T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
@@ -98,3 +98,90 @@ def test_streaming_merge_sink_first_writer_across_batches(spark, tmp_path):
     assert final.event_id.tolist() == [1, 2]
     # first writer won: the replayed value 99.0 did not overwrite
     assert final[final.event_id == 1].value.tolist() == [1.0]
+
+
+def test_bucketed_sink_rewrites_only_dirty_partitions(spark, tmp_path):
+    """n_buckets mode: a micro-batch touching one pk_bucket must leave
+    every other partition's files byte-identical (same paths, sizes,
+    mtimes) while keeping D1 first-writer semantics."""
+    import os
+
+    snap = str(tmp_path / "snapshot")
+    n_buckets = 8
+    sink = SnapshotMergeSink(
+        snap, pk=["event_id"], order_by=["ts"], n_buckets=n_buckets
+    )
+
+    # bucket assignment used by the sink: pmod(xxhash64(event_id), 8)
+    ids = list(range(1, 41))
+    bucket_of = {
+        r.event_id: r.b
+        for r in spark.createDataFrame(
+            [(i,) for i in ids], ["event_id"]
+        ).select(
+            "event_id",
+            F.pmod(F.xxhash64("event_id"), F.lit(n_buckets))
+            .cast("int").alias("b"),
+        ).collect()
+    }
+    assert len(set(bucket_of.values())) > 2  # ids spread over buckets
+
+    def frame(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows,
+                columns=["event_id", "ts", "user_id", "event_type",
+                         "value", "props"],
+            ),
+            schema=jobs.EVENT_SCHEMA,
+        )
+
+    sink.process_batch(
+        frame([(i, T0, 1, "click", float(i), None) for i in ids]), 0
+    )
+
+    def file_state():
+        state = {}
+        for root, _dirs, files in os.walk(snap):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    state[p] = (st.st_size, st.st_mtime_ns)
+        return state
+
+    before = file_state()
+    assert before, "first batch wrote no parquet files"
+
+    # batch 2: replay id=ids[0] with a new value + insert one new id
+    # from the SAME bucket, so exactly one partition is dirty
+    target_bucket = bucket_of[ids[0]]
+    new_id = next(
+        i for i in range(100, 400)
+        if spark.createDataFrame([(i,)], ["event_id"]).select(
+            F.pmod(F.xxhash64("event_id"), F.lit(n_buckets)).cast("int")
+        ).collect()[0][0] == target_bucket and i not in ids
+    )
+    sink.process_batch(
+        frame([
+            (ids[0], T0 + dt.timedelta(minutes=1), 1, "click", 999.0, None),
+            (new_id, T0 + dt.timedelta(minutes=2), 2, "view", 7.0, None),
+        ]),
+        1,
+    )
+
+    after = file_state()
+    dirty_dir = f"{BUCKET_COL}={target_bucket}"
+    untouched_before = {p: v for p, v in before.items()
+                       if dirty_dir not in p}
+    untouched_after = {p: v for p, v in after.items() if dirty_dir not in p}
+    assert untouched_before == untouched_after, (
+        "clean partitions were rewritten"
+    )
+    assert any(dirty_dir in p for p in after), "dirty partition missing"
+
+    final = sink.read(spark).toPandas().sort_values("event_id")
+    assert final.event_id.tolist() == sorted(ids + [new_id])
+    # D1: the replay did not overwrite the first write
+    assert final[final.event_id == ids[0]].value.tolist() == [float(ids[0])]
+    assert final[final.event_id == new_id].value.tolist() == [7.0]
