@@ -351,17 +351,37 @@ def f3_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", clean_text("text").alias("cleaned"))
 
 
-@query("t_rolling_hash_fingerprint", None, survey="X-UD5")
+_ROLLING_P = 2147483647  # 2^31 - 1
+
+_ROLLING_ORACLE = f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> ('0x' || substr(sha256('0:' || w), 1, 15))::BIGINT
+                      % {_ROLLING_P})),
+             (acc, h) -> (acc * 31 + h) % {_ROLLING_P}) AS rolling_fp
+    FROM documents
+    """
+
+
+@query("t_rolling_hash_fingerprint", _ROLLING_ORACLE, survey="X-UD5")
 def t_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the token stream (shift-resistant
     fingerprint).  Pure JVM fold (aggregate over split) — modular
     arithmetic keeps every intermediate in-range under ANSI mode.
-    xxhash64 seeds differ across engines → rows-only check."""
+    Token hashes use the seeded sha256-prefix hash (``dedup.sha60``)
+    whose DuckDB twin folds identically via list_reduce, so the full
+    fingerprint is value-checked; every intermediate is < 2^36."""
     docs = read_table(spark, sf_dir, "documents")
-    p = 2147483647  # 2^31 - 1
+    p = _ROLLING_P
+    tok_hash = (
+        "CAST(CONV(SUBSTRING(SHA2(CONCAT_WS(':', '0', w), 256), 1, 15), "
+        "16, 10) AS BIGINT)"
+    )
     expr = (
         "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-        f"(acc, w) -> pmod(acc * 31 + pmod(xxhash64(w), {p}) + {p}, {p}))"
+        f"(acc, w) -> pmod(acc * 31 + pmod({tok_hash}, {p}), {p}))"
     )
     return docs.select("doc_id", F.expr(expr).alias("rolling_fp"))
 
