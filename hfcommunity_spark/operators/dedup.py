@@ -291,13 +291,42 @@ def minhash_signatures(docs: DataFrame,
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame,
-                      hash_mode: str = "xxhash64") -> DataFrame:
-    """MinHash + LSH near-dup pairs: k=16 seeded minhashes per doc,
-    banded 4×4; docs sharing a band hash become candidates and are
-    verified with the estimated signature similarity.  The band join is
-    the only shuffle; hot buckets are capped (``MAX_BUCKET``)."""
-    with_sh = minhash_signatures(docs, hash_mode=hash_mode)
+# Session-persisted signature indexes, keyed by (application, table
+# dir, family, hash mode).  Like the ANN bucket index
+# (similarity.lsh_index), a dedup signature table is BUILT ONCE and
+# probed many times — every LSH/SimHash query over the same corpus
+# reuses the persisted (doc_id, signature) frame instead of re-running
+# the shingle explode + distinct + signature aggregation.  At 100 TB
+# the same seam is a materialized parquet signature table the dedup
+# pipeline maintains alongside the corpus.
+_SIG_INDEX_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
+def _sig_index(spark: SparkSession, sf_dir: str, family: str,
+               hash_mode: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, family, hash_mode)
+    idx = _SIG_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = build().persist()
+        _SIG_INDEX_CACHE[key] = idx
+    return idx
+
+
+def minhash_band_index(spark: SparkSession, sf_dir: str,
+                       hash_mode: str = "xxhash64") -> DataFrame:
+    """Capped (doc_id, sig, band, bhash) band frame, persisted per
+    session — the probe-ready form of the MinHash signature index."""
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        sigs = minhash_signatures(docs, hash_mode=hash_mode)
+        return cap_bucket_size(
+            _minhash_bands(sigs, hash_mode), ["band", "bhash"], MAX_BUCKET
+        )
+    return _sig_index(spark, sf_dir, "minhash_bands", hash_mode, build)
+
+
+def _minhash_bands(with_sh: DataFrame, hash_mode: str) -> DataFrame:
+    """Explode each signature into its (band, band-hash) rows."""
     r = MINHASH_K // MINHASH_BANDS
 
     def bhash_for(band: int):
@@ -314,7 +343,7 @@ def minhash_lsh_pairs(docs: DataFrame,
             )
         return F.xxhash64(*[F.col("sig")[band * r + j] for j in range(r)])
 
-    bands = with_sh.select(
+    return with_sh.select(
         "doc_id",
         "sig",
         F.explode(
@@ -329,7 +358,13 @@ def minhash_lsh_pairs(docs: DataFrame,
             )
         ).alias("bh"),
     ).select("doc_id", "sig", "bh.band", "bh.bhash")
-    bands = cap_bucket_size(bands, ["band", "bhash"], MAX_BUCKET)
+
+
+def minhash_lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """MinHash + LSH near-dup pairs from a (capped) band frame: docs
+    sharing a band hash become candidates and are verified with the
+    estimated signature similarity.  The band join is the only
+    shuffle; hot buckets were capped at index build (``MAX_BUCKET``)."""
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -357,6 +392,18 @@ def minhash_lsh_pairs(docs: DataFrame,
         "doc_b",
         (matches.cast("double") / MINHASH_K).alias("est_similarity"),
     ).distinct()
+
+
+def minhash_lsh_pairs(docs: DataFrame,
+                      hash_mode: str = "xxhash64") -> DataFrame:
+    """Uncached one-shot form for callers holding a DataFrame (tests,
+    ad-hoc corpora); table-backed queries go through
+    ``minhash_band_index`` instead."""
+    sigs = minhash_signatures(docs, hash_mode=hash_mode)
+    bands = cap_bucket_size(
+        _minhash_bands(sigs, hash_mode), ["band", "bhash"], MAX_BUCKET
+    )
+    return minhash_lsh_pairs_from_bands(bands)
 
 
 _MINHASH_SHINGLE_CTE = f"""
@@ -419,9 +466,12 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, bucket cap, candidate join, similarity estimate — instead
     of a rows-only check.  Production callers keep the xxhash64 default
     (same plan shape, ~20× cheaper hashing); recall behavior for that
-    mode is locked by ``tests/test_llmops.py``."""
-    docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, hash_mode="sha2")
+    mode is locked by ``tests/test_llmops.py``.  The probe runs over
+    the session-persisted band index (``minhash_band_index``) — built
+    once, reused by every dedup query over the same corpus."""
+    return minhash_lsh_pairs_from_bands(
+        minhash_band_index(spark, sf_dir, hash_mode="sha2")
+    )
 
 
 JACCARD_CLUSTER_THRESHOLD = 0.5
@@ -525,12 +575,19 @@ def simhash_signatures(docs: DataFrame,
     return agg.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame,
-                      hash_mode: str = "xxhash64") -> DataFrame:
-    """SimHash near-dup pairs: 63-bit signatures, candidates via 16-bit
-    chunk equality (pigeonhole for hamming ≤ 3), verified with
-    bit_count(xor)."""
-    sigs = simhash_signatures(docs, hash_mode=hash_mode)
+def simhash_chunk_index(spark: SparkSession, sf_dir: str,
+                        hash_mode: str = "xxhash64") -> DataFrame:
+    """Capped (doc_id, simhash, chunk_idx, chunk) frame, persisted per
+    session — the probe-ready form of the SimHash signature index."""
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return _simhash_chunks(simhash_signatures(docs, hash_mode=hash_mode))
+    return _sig_index(spark, sf_dir, "simhash_chunks", hash_mode, build)
+
+
+def _simhash_chunks(sigs: DataFrame) -> DataFrame:
+    """Explode each signature into its capped 16-bit pigeonhole
+    chunks."""
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -548,7 +605,13 @@ def simhash_near_dups(docs: DataFrame,
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
-    chunks = cap_bucket_size(chunks, ["chunk_idx", "chunk"], MAX_BUCKET)
+    return cap_bucket_size(chunks, ["chunk_idx", "chunk"], MAX_BUCKET)
+
+
+def simhash_pairs_from_chunks(chunks: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs from a (capped) chunk frame: candidates
+    via 16-bit chunk equality (pigeonhole for hamming ≤ 3), verified
+    with bit_count(xor)."""
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
@@ -615,6 +678,17 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Declared query runs ``hash_mode="sha2"`` (:func:`sha60` token
     hashes DuckDB can reproduce bit-for-bit) so signatures, pigeonhole
     chunks, bucket cap, and hamming verification are all
-    value-compared; production callers keep the xxhash64 default."""
-    docs = read_table(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, hash_mode="sha2")
+    value-compared; production callers keep the xxhash64 default.  The
+    probe runs over the session-persisted chunk index
+    (``simhash_chunk_index``) — built once per corpus."""
+    return simhash_pairs_from_chunks(
+        simhash_chunk_index(spark, sf_dir, hash_mode="sha2")
+    )
+
+
+def simhash_near_dups(docs: DataFrame,
+                      hash_mode: str = "xxhash64") -> DataFrame:
+    """Uncached one-shot form for callers holding a DataFrame."""
+    return simhash_pairs_from_chunks(
+        _simhash_chunks(simhash_signatures(docs, hash_mode=hash_mode))
+    )
