@@ -123,7 +123,12 @@ def test_repo_info_fetcher_through_map_fetch(spark):
     out = map_fetch(keys, "repo_name", fetch, schema).collect()
     # org/gone errors → [] (the reference's per-repo try/except, :298)
     assert {r.repo_name for r in out} == {"org/m1"}
-    assert len(out) == 2
+    # one row per sibling file (the reference inserts every sibling,
+    # databaseImport.py:306-318) — both lfs shapes flattened
+    assert len(out) == 3
+    by_file = {r.filename: r for r in out}
+    assert by_file["model.bin"].lfs.sha == "lfs-sha"
+    assert by_file["model2.bin"].lfs.pointer_size == 3
 
 
 def test_discussions_fetcher_rows_fit_feed_schema(spark):
