@@ -138,8 +138,11 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``doc_shingle_hashes``), so both shuffles move fixed 8-byte keys —
     identical pair output to the string join (and the string-based
     DuckDB oracle) up to a ~1e-9 64-bit collision."""
-    docs = read_table(spark, sf_dir, "documents")
-    sh = doc_shingle_hashes(docs, NGRAM)
+    # the distinct (doc_id, shingle-hash) posting list is an inverted
+    # index: referenced three times here (per-doc counts + both sides
+    # of the candidate self-join) and again by dd_dup_clusters —
+    # session-persisted like the other signature indexes
+    sh = shingle_hash_index(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -310,6 +313,18 @@ def _sig_index(spark: SparkSession, sf_dir: str, family: str,
         idx = build().persist()
         _SIG_INDEX_CACHE[key] = idx
     return idx
+
+
+def shingle_hash_index(spark: SparkSession, sf_dir: str,
+                       n: int = NGRAM) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) posting list over ``documents``,
+    persisted per session — the inverted index behind the n-gram
+    Jaccard candidate join and the dup-cluster pipeline."""
+    def build() -> DataFrame:
+        return doc_shingle_hashes(
+            read_table(spark, sf_dir, "documents"), n
+        )
+    return _sig_index(spark, sf_dir, f"shingles{n}", "xxhash64", build)
 
 
 def minhash_band_index(spark: SparkSession, sf_dir: str,
