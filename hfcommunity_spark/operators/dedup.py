@@ -409,6 +409,59 @@ def minhash_lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def neardup_gate(incoming: DataFrame, band_index: DataFrame,
+                 hash_mode: str = "xxhash64") -> DataFrame:
+    """Admission gate for new documents against an existing corpus:
+    each incoming doc is signed, banded, and probed against the
+    (capped) corpus band index; returns one row per signable incoming
+    doc with how many distinct corpus near-dup candidates it hit and
+    the best estimated similarity (NULL when clean).
+
+    This is the streaming face of MinHash dedup — a micro-batch of
+    arriving docs runs exactly this against the session-persisted
+    index (see streaming tests), so ingestion can drop near-dups
+    BEFORE they enter the corpus.  The incoming side is deliberately
+    NOT capped: capping exists to stop quadratic blowup inside the
+    corpus join, while an arriving doc must still see candidates even
+    if its bucket is hot."""
+    inc_sigs = minhash_signatures(incoming, hash_mode=hash_mode)
+    inc_bands = _minhash_bands(inc_sigs, hash_mode)
+    idx = band_index.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("sig").alias("c_sig"),
+        "band",
+        "bhash",
+    )
+    matches = F.expr(
+        "size(filter(zip_with(sig, c_sig, (x, y) -> x = y), v -> v))"
+    )
+    per_pair = (
+        inc_bands.join(idx, ["band", "bhash"])
+        .filter(F.col("doc_id") != F.col("c_doc"))
+        .select(
+            "doc_id",
+            "c_doc",
+            (matches.cast("double") / MINHASH_K).alias("est"),
+        )
+        .distinct()
+    )
+    agg = per_pair.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.max("est").alias("max_est_similarity"),
+    )
+    return (
+        inc_sigs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_near_dups"), F.lit(0).cast("long")).alias(
+                "n_near_dups"
+            ),
+            "max_est_similarity",
+        )
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame,
                       hash_mode: str = "xxhash64") -> DataFrame:
     """Uncached one-shot form for callers holding a DataFrame (tests,

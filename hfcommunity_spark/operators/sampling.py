@@ -141,6 +141,74 @@ def samp_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_NGRAM = 5  # the ACTION uses the dedup shingle width: a full
+# shared 5-gram is leakage (GPT-3 used 13-grams on web-scale text;
+# these synthetic docs are ~50 tokens, so 5 is the proportional
+# choice).  The 3-gram audit above stays the weaker-signal REPORT.
+
+
+@query(
+    "samp_decontaminated_train",
+    f"""
+    WITH sp AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '{TRAIN_UPPER}' THEN 'train'
+                  WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '{VAL_UPPER}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    toks AS (SELECT d.doc_id, sp.split, string_split(d.text, ' ') AS w
+             FROM documents d JOIN sp ON sp.doc_id = d.doc_id),
+    sh AS (SELECT DISTINCT doc_id, split,
+                  unnest(list_transform(range(1, len(w) - {DECONTAM_NGRAM - 2}),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              || ' ' || w[i+3] || ' ' || w[i+4]))
+                    AS shingle
+           FROM toks WHERE len(w) >= {DECONTAM_NGRAM}),
+    leaking AS (
+      SELECT DISTINCT tr.doc_id
+      FROM sh tr JOIN sh ho ON tr.shingle = ho.shingle
+      WHERE tr.split = 'train' AND ho.split <> 'train'
+    )
+    SELECT sp.doc_id, sp.source
+    FROM sp
+    WHERE sp.split = 'train'
+      AND sp.doc_id NOT IN (SELECT doc_id FROM leaking)
+    """,
+    survey="X-UD5,J2,U3,A9",
+)
+def samp_decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination ACTION (the audit above only reports): the
+    train split minus every train doc sharing a full 5-gram shingle
+    with any held-out (val/test) doc — the n-gram-overlap
+    decontamination step of GPT-3-style pipelines, expressed as
+    posting-list equi-join → leaking-id set → left-anti join.  No
+    cross product anywhere: candidates meet only through the shared
+    shingle hash (the session-persisted ``shingle_hash_index``, shared
+    with the dedup family); the anti join ships only leaking doc ids.
+    At 100 TB the held-out side is ~1e-3 of the corpus, so the join's
+    build side (held-out shingles) broadcasts."""
+    from hfcommunity_spark.operators.dedup import shingle_hash_index
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = shingle_hash_index(spark, sf_dir, DECONTAM_NGRAM)
+    split = docs.select(
+        "doc_id", hash_split(F.col("doc_id")).alias("split")
+    )
+    shs = sh.join(split, "doc_id")
+    train_sh = shs.filter(F.col("split") == "train").select("doc_id", "h")
+    holdout_sh = shs.filter(F.col("split") != "train").select("h")
+    leaking = train_sh.join(holdout_sh, "h", "left_semi").select(
+        "doc_id"
+    ).distinct()
+    train_docs = docs.select("doc_id", "source").join(
+        split.filter(F.col("split") == "train"), "doc_id", "left_semi"
+    )
+    return train_docs.join(leaking, "doc_id", "left_anti")
+
+
 @query(
     "samp_hash_split_counts",
     f"""

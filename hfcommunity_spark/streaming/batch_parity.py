@@ -216,3 +216,66 @@ def x9_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_views_1h"),
         F.max("view_ts").alias("last_view_ts"),
     )
+
+
+def _x10_oracle() -> str:
+    """Built from the MinHash oracle fragments so the two stay in
+    lockstep with the Spark-side constants."""
+    from hfcommunity_spark.operators.dedup import (
+        MAX_BUCKET,
+        MINHASH_K,
+        _MINHASH_BAND_SELECTS,
+        _MINHASH_MINS_SQL,
+        _MINHASH_SHINGLE_CTE,
+    )
+
+    matches = " + ".join(
+        f"(CASE WHEN i.m{k} = c.m{k} THEN 1 ELSE 0 END)"
+        for k in range(MINHASH_K)
+    )
+    return f"""
+    WITH {_MINHASH_SHINGLE_CTE},
+    sig AS (SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+           FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BAND_SELECTS}),
+    capped AS (SELECT * FROM
+               (SELECT *, COUNT(*) OVER (PARTITION BY band, bhash) AS bsize
+                FROM bands) WHERE bsize <= {MAX_BUCKET}),
+    inc AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+    pairs AS (SELECT DISTINCT i.doc_id, c.doc_id AS c_doc,
+                     CAST({matches} AS DOUBLE) / {MINHASH_K} AS est
+              FROM inc i JOIN capped c
+                ON i.band = c.band AND i.bhash = c.bhash
+                   AND i.doc_id <> c.doc_id),
+    agg AS (SELECT doc_id, COUNT(*) AS n_near_dups,
+                   MAX(est) AS max_est_similarity
+            FROM pairs GROUP BY doc_id)
+    SELECT s.doc_id,
+           COALESCE(a.n_near_dups, 0) AS n_near_dups,
+           a.max_est_similarity
+    FROM (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 10 = 0) s
+    LEFT JOIN agg a ON a.doc_id = s.doc_id
+    """
+
+
+@query("x10_stream_neardup_gate", _x10_oracle(), survey="X7,J9,X-UD5")
+def x10_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming near-dup admission gate: a slice of
+    documents (doc_id % 10 = 0, standing in for an arriving
+    micro-batch) is signed and probed against the session-persisted
+    corpus band index — the same stream-static shape the streaming
+    test drives through foreachBatch micro-batches.  sha2 hash mode so
+    the whole gate (signatures, banding, corpus cap, candidate count,
+    best similarity) is value-checked against DuckDB."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.dedup import (
+        minhash_band_index,
+        neardup_gate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = minhash_band_index(spark, sf_dir, hash_mode="sha2")
+    return neardup_gate(incoming, idx, hash_mode="sha2")

@@ -297,3 +297,84 @@ def test_interval_join_batch_parity(spark):
         """
     ).collect()[0][0]
     assert got == want
+
+
+def test_stream_neardup_gate_micro_batches(spark, tmp_path):
+    """X10: the MinHash admission gate runs per micro-batch through
+    foreachBatch against the session-persisted corpus band index —
+    the union of per-batch outputs must equal the batch twin run on
+    the same incoming docs (production xxhash64 mode)."""
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.dedup import (
+        minhash_band_index,
+        neardup_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(f"{sf}/documents.parquet")
+    # incoming docs: replay two real corpus docs (guaranteed near-dup
+    # hits: identical signatures) + one fresh doc
+    texts = [
+        r.text
+        for r in corpus.orderBy("doc_id").limit(2).select("text").collect()
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    rows = [
+        (100001, texts[0]),
+        (100003, texts[1]),
+        (100002, "completely novel words never seen in corpus "
+                 "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    idx = minhash_band_index(spark, sf, hash_mode="xxhash64")
+    got = []
+
+    def gate_batch(batch_df, batch_id):
+        got.extend(
+            neardup_gate(batch_df, idx, hash_mode="xxhash64").collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", f"{tmp_path}/ckpt_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # second micro-batch
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", f"{tmp_path}/ckpt_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    batch_twin = {
+        r.doc_id: r
+        for r in neardup_gate(
+            spark.createDataFrame(rows, schema), idx, hash_mode="xxhash64"
+        ).collect()
+    }
+    streamed = {r.doc_id: r for r in got}
+    assert streamed.keys() == batch_twin.keys()
+    for k, want in batch_twin.items():
+        assert streamed[k].n_near_dups == want.n_near_dups, k
+        assert streamed[k].max_est_similarity == want.max_est_similarity, k
+    # the replayed docs must be flagged (identical sig → similarity 1.0)
+    assert streamed[100001].n_near_dups >= 1
+    assert streamed[100001].max_est_similarity == 1.0
+    assert streamed[100003].n_near_dups >= 1
