@@ -111,8 +111,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- hash-family dedup, oracle'd this round (seeded sha2 mode) --
     "dd_minhash_lsh_pairs",
     "dd_simhash_near_dups",
+    # --- round-4 additions, stamped on arrival -------------------
+    # (d1_insert_ignore and x7_stream_static_enrich rotate out: both
+    # carry r1-r3 stamps, and their ids stay covered — D1 via
+    # x5_streaming_dedup, A9/U1 via samp_split_contamination and
+    # u1_priority_union_sources, X7/J8 via the gate and
+    # x8_hourly_gap_fill)
+    "samp_decontaminated_train",  # A9, J2, U3, X-UD5
+    "x10_stream_neardup_gate",  # X7, J9, X-UD5
     # --- coverage representatives (set cover over SURVEY ids) ------
-    "d1_insert_ignore_first_writer",  # A9, D1, U1
     "d3_partial_update_stale",  # D3, P2
     "d5_scd2_user_state",  # D2, D4, W2
     "u1_priority_union_sources",  # U1, U2
@@ -134,7 +141,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x3_tumbling_hourly",  # F6, X1, X2, X3
     "x4_session_windows",  # X4
     "x5_streaming_dedup",  # D1, X5, X6
-    "x7_stream_static_enrich",  # J8, X7
     "x9_stream_stream_interval_join",  # J10, X2, X6
 )
 

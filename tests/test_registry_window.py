@@ -54,8 +54,9 @@ def test_every_declared_survey_id_covered_inside_window():
 
 def test_north_star_families_inside_window():
     window = set(DRIVER_WINDOW)
-    # d5 (SCD2 upsert timeline) carries the D2/D4 merge evidence in the
-    # round-4 window; d2_upsert_last_writer keeps its r2/r3 stamps.
-    for prefix in ("dd_", "sim_", "t_", "mm_", "ud", "d1", "d5", "d3",
-                   "u1", "skew", "samp_", "x3", "x4", "x5", "x7", "x9"):
+    # d3/d5 carry the merge-family evidence in the round-4 window
+    # (d1/d2 keep their r1-r3 stamps); x10 is the stream-static slot
+    # (x7 rotated out with r2/r3 stamps).
+    for prefix in ("dd_", "sim_", "t_", "mm_", "ud", "d3", "d5",
+                   "u1", "skew", "samp_", "x3", "x4", "x5", "x9", "x10"):
         assert any(n.startswith(prefix) for n in window), prefix
