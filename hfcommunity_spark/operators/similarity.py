@@ -384,6 +384,44 @@ def dd_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_cosine_pairs(spark, emb, COSINE_PAIR_TAU)
 
 
+@query(
+    "dd_semantic_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    jac AS (SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                  >= {COSINE_PAIR_TAU}),
+    und AS (SELECT va AS a, vb AS b FROM jac
+            UNION SELECT vb, va FROM jac),
+    reach AS (
+      SELECT DISTINCT a AS vertex, a AS component FROM und
+      UNION
+      SELECT u.b, r.component FROM reach r JOIN und u ON u.a = r.vertex
+    )
+    SELECT vertex AS vec_id, MIN(component) AS component
+    FROM reach GROUP BY vertex
+    """,
+    survey="X-UD5,J5,J6",
+)
+def dd_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's second half: the cosine-≥τ pair graph collapsed into
+    CLUSTERS (large/small-star connected components, each vector
+    labelled with its component's min vec_id — the keep-one canonical
+    choice), hash-checked against DuckDB's recursive CTE over the same
+    exact pair set.  Composes the two audited primitives: the
+    executor-side block-pair GEMM kernel for edges, the O(log n)
+    contraction for closure."""
+    from hfcommunity_spark.operators.graph import connected_components
+
+    pairs = dd_cosine_threshold_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(F.col("vertex").alias("vec_id"), "component")
+
+
 def _block_pair_grouped(spark: SparkSession, emb: DataFrame,
                         block_rows: int = NN_CHUNK_ROWS):
     """The shared block-pair scaffold for exact all-pairs kernels.

@@ -119,6 +119,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # x8_hourly_gap_fill)
     "samp_decontaminated_train",  # A9, J2, U3, X-UD5
     "x10_stream_neardup_gate",  # X7, J9, X-UD5
+    # (samp_split_contamination rotates out with r2/r3 stamps: J5 via
+    # the semantic-clusters composite, A9 via samp_decontaminated)
+    "dd_semantic_dup_clusters",  # X-UD5, J5, J6
     # --- coverage representatives (set cover over SURVEY ids) ------
     "d3_partial_update_stale",  # D3, P2
     "d5_scd2_user_state",  # D2, D4, W2
@@ -129,7 +132,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "f3_clean_text",  # F3, UD1
     "f4_json_projection",  # F4, F12
     "t_clean_corpus_stats",  # A8, P12, W4, X-UD5
-    "samp_split_contamination",  # A9, J5, X-UD5
     "ud3_grouped_agg_cents",  # A7, UD3
     "skew_salted_agg_parity",  # A10, J9
     "sim_label_centroid_topk",  # A7, W1, X-UD5

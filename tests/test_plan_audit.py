@@ -51,6 +51,9 @@ def _formatted_plan(spark, name: str) -> str:
          ["TakeOrderedAndProject", "BroadcastHashJoin"]),
         ("q4_priority_late_ship", ["LeftSemi"]),
         ("q18_large_order_customers", ["LeftSemi"]),
+        # round-4 pipeline actions: existence via semi, removal via
+        # anti — leaking ids never multiply rows
+        ("samp_decontaminated_train", ["LeftSemi", "LeftAnti"]),
     ],
 )
 def test_plan_contains(spark, name, needles):
