@@ -185,3 +185,39 @@ def test_bucketed_sink_rewrites_only_dirty_partitions(spark, tmp_path):
     # D1: the replay did not overwrite the first write
     assert final[final.event_id == ids[0]].value.tolist() == [float(ids[0])]
     assert final[final.event_id == new_id].value.tolist() == [7.0]
+
+
+def test_bucketed_sink_through_streaming_attach(spark, tmp_path):
+    """The n_buckets sink behind a real foreachBatch stream: replays
+    across micro-batches keep D1 semantics and the snapshot stays
+    PK-unique with the bucket column hidden by read()."""
+    src = str(tmp_path / "in")
+    snap = str(tmp_path / "snapshot")
+    sink = SnapshotMergeSink(
+        snap, pk=["event_id"], order_by=["ts"], n_buckets=4
+    )
+    b1 = pd.DataFrame(
+        [(1, T0, 1, "click", 1.0, None)],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    b2 = pd.DataFrame(
+        [(1, T0 + dt.timedelta(minutes=1), 1, "click", 99.0, None),
+         (2, T0 + dt.timedelta(minutes=2), 1, "view", 2.0, None)],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(b1, schema=jobs.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = sink.attach(jobs.read_event_stream(spark, src), f"{tmp_path}/ckpt")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema=jobs.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = sink.read(spark).toPandas().sort_values("event_id")
+    assert final.event_id.tolist() == [1, 2]
+    assert BUCKET_COL not in final.columns
+    assert final[final.event_id == 1].value.tolist() == [1.0]
