@@ -21,8 +21,23 @@ from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
 from hfcommunity_spark.registry import query
+from hfcommunity_spark.session_cache import SessionCache
 
 NGRAM = 5
+
+
+def shingle_unnest_sql(n: int = NGRAM) -> str:
+    """DuckDB twin of :func:`_shingle_expr` (1-based arrays): the
+    ``unnest(list_transform(...))`` fragment producing word n-gram
+    shingles over ``w = string_split(text, ' ')``.  Generated from the
+    same ``n`` as the Spark side — hand-written w[i+k] chains silently
+    desynchronized from NGRAM (ADVICE r4)."""
+    terms = " || ' ' || ".join(
+        "w[i]" if j == 0 else f"w[i+{j}]" for j in range(n)
+    )
+    return (
+        f"unnest(list_transform(range(1, len(w) - {n - 2}), i -> {terms}))"
+    )
 
 
 def _shingle_expr(n: int) -> str:
@@ -111,10 +126,7 @@ def dd_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_ngram_jaccard_pairs",
     f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
-                  unnest(list_transform(range(1, len(w) - {NGRAM - 2}),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                              || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+    sh AS (SELECT DISTINCT doc_id, {shingle_unnest_sql(NGRAM)} AS shingle
            FROM toks WHERE len(w) >= {NGRAM}),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -294,25 +306,22 @@ def minhash_signatures(docs: DataFrame,
     )
 
 
-# Session-persisted signature indexes, keyed by (application, table
-# dir, family, hash mode).  Like the ANN bucket index
+# Session-persisted signature indexes, keyed by (table dir, family,
+# hash mode) per application.  Like the ANN bucket index
 # (similarity.lsh_index), a dedup signature table is BUILT ONCE and
 # probed many times — every LSH/SimHash query over the same corpus
 # reuses the persisted (doc_id, signature) frame instead of re-running
 # the shingle explode + distinct + signature aggregation.  At 100 TB
 # the same seam is a materialized parquet signature table the dedup
 # pipeline maintains alongside the corpus.
-_SIG_INDEX_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+_SIG_INDEX_CACHE = SessionCache(persist=True)
 
 
 def _sig_index(spark: SparkSession, sf_dir: str, family: str,
                hash_mode: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, family, hash_mode)
-    idx = _SIG_INDEX_CACHE.get(key)
-    if idx is None:
-        idx = build().persist()
-        _SIG_INDEX_CACHE[key] = idx
-    return idx
+    return _SIG_INDEX_CACHE.get_or_build(
+        spark, (sf_dir, family, hash_mode), build
+    )
 
 
 def shingle_hash_index(spark: SparkSession, sf_dir: str,
@@ -476,10 +485,7 @@ def minhash_lsh_pairs(docs: DataFrame,
 
 _MINHASH_SHINGLE_CTE = f"""
     toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
-                  unnest(list_transform(range(1, len(w) - {NGRAM - 2}),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                              || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+    sh AS (SELECT DISTINCT doc_id, {shingle_unnest_sql(NGRAM)} AS shingle
            FROM toks WHERE len(w) >= {NGRAM})"""
 
 _MINHASH_MINS_SQL = ",\n           ".join(
@@ -507,15 +513,21 @@ _MINHASH_MATCHES_SQL = " + ".join(
     for k in range(MINHASH_K)
 )
 
-_MINHASH_ORACLE = f"""
-    WITH {_MINHASH_SHINGLE_CTE},
+# The shingle→signature→bands→capped CTE chain (sha2 oracle mode) —
+# shared by the pair oracle below and the LSH-fed SemDeDup composite's
+# oracle (operators/similarity.py), so candidate generation cannot
+# drift between the two.
+MINHASH_CAPPED_CTES = f"""{_MINHASH_SHINGLE_CTE},
     sig AS (SELECT doc_id,
            {_MINHASH_MINS_SQL}
            FROM sh GROUP BY doc_id),
     bands AS ({_MINHASH_BAND_SELECTS}),
     capped AS (SELECT * FROM
                (SELECT *, COUNT(*) OVER (PARTITION BY band, bhash) AS bsize
-                FROM bands) WHERE bsize <= {MAX_BUCKET})
+                FROM bands) WHERE bsize <= {MAX_BUCKET})"""
+
+_MINHASH_ORACLE = f"""
+    WITH {MINHASH_CAPPED_CTES}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST({_MINHASH_MATCHES_SQL} AS DOUBLE) / {MINHASH_K}
                AS est_similarity
@@ -550,10 +562,7 @@ JACCARD_CLUSTER_THRESHOLD = 0.5
     f"""
     WITH RECURSIVE
     toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
-                  unnest(list_transform(range(1, len(w) - {NGRAM - 2}),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                              || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+    sh AS (SELECT DISTINCT doc_id, {shingle_unnest_sql(NGRAM)} AS shingle
            FROM toks WHERE len(w) >= {NGRAM}),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

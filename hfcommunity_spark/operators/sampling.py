@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
+from hfcommunity_spark.operators.dedup import shingle_unnest_sql
 from hfcommunity_spark.registry import query
 
 SALT = "smpl:"
@@ -99,9 +100,7 @@ CONTAM_NGRAM = 3  # contamination screens use smaller n than dedup:
     ),
     toks AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM sp),
     sh AS (SELECT DISTINCT doc_id, split,
-                  unnest(list_transform(range(1, len(w) - {CONTAM_NGRAM - 2}),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    AS shingle
+                  {shingle_unnest_sql(CONTAM_NGRAM)} AS shingle
            FROM toks WHERE len(w) >= {CONTAM_NGRAM})
     SELECT te.doc_id,
            COUNT(DISTINCT te.shingle) AS n_shared_shingles,
@@ -162,10 +161,7 @@ DECONTAM_NGRAM = 5  # the ACTION uses the dedup shingle width: a full
     toks AS (SELECT d.doc_id, sp.split, string_split(d.text, ' ') AS w
              FROM documents d JOIN sp ON sp.doc_id = d.doc_id),
     sh AS (SELECT DISTINCT doc_id, split,
-                  unnest(list_transform(range(1, len(w) - {DECONTAM_NGRAM - 2}),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                              || ' ' || w[i+3] || ' ' || w[i+4]))
-                    AS shingle
+                  {shingle_unnest_sql(DECONTAM_NGRAM)} AS shingle
            FROM toks WHERE len(w) >= {DECONTAM_NGRAM}),
     leaking AS (
       SELECT DISTINCT tr.doc_id

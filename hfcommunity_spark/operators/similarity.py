@@ -45,6 +45,7 @@ from pyspark.sql.types import LongType
 
 from hfcommunity_spark.io import read_table
 from hfcommunity_spark.registry import query
+from hfcommunity_spark.session_cache import SessionCache
 
 DIM = 64
 N_PLANES = 16
@@ -99,24 +100,27 @@ def _cosine_to_query_udf(q: np.ndarray):
     return cos
 
 
-_QUERY_VEC_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
+_QUERY_VEC_CACHE = SessionCache(persist=False)
 
 
-def _query_vector(emb: DataFrame, vec_id: int = 0) -> np.ndarray:
+def _query_vector(emb: DataFrame, vec_id: int = 0,
+                  cache_key: str | None = None) -> np.ndarray:
     """Driver-side fetch of ONE query vector (bounded by construction).
-    Cached per (application, plan, vec_id): repeated probes of the same
-    table shouldn't each pay a head() job for an immutable vector."""
-    key = (
-        emb.sparkSession.sparkContext.applicationId,
-        emb.semanticHash(),
-        vec_id,
-    )
-    vec = _QUERY_VEC_CACHE.get(key)
-    if vec is None:
+    ``cache_key`` is the table directory (sf_dir) — collision-free, like
+    every other index cache; a 32-bit plan semanticHash was not (ADVICE
+    r4).  Callers holding an ad-hoc frame pass no key and skip the
+    cache: repeated probes of the same TABLE are the case worth a
+    head()-job save."""
+
+    def fetch() -> np.ndarray:
         row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
-        vec = np.asarray(row[0], dtype=np.float64)
-        _QUERY_VEC_CACHE[key] = vec
-    return vec
+        return np.asarray(row[0], dtype=np.float64)
+
+    if cache_key is None:
+        return fetch()
+    return _QUERY_VEC_CACHE.get_or_build(
+        emb.sparkSession, (cache_key, vec_id), fetch
+    )
 
 
 def _rank_topk(scored: DataFrame, k: int = TOP_K,
@@ -156,7 +160,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines to ~1e-12, far below the neighbor spacing, so ranks hash
     identically while raw float output would not."""
     emb = read_table(spark, sf_dir, "embeddings")
-    q = _query_vector(emb)
+    q = _query_vector(emb, cache_key=sf_dir)
     scored = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", _cosine_to_query_udf(q)(F.col("embedding")).alias("sim")
     )
@@ -205,24 +209,23 @@ def _probe_buckets(center: int, max_hamming: int = MULTIPROBE_HAMMING) -> list[i
 # persisted (vec_id, embedding, bucket) frame.  At 100 TB the same
 # seam is a bucket-partitioned parquet table (build job writes
 # partitionBy("bucket"); probes partition-prune), not executor memory.
-_LSH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_INDEX_CACHE = SessionCache(persist=True)
 
 
 def lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed index: embeddings + their 16-bit hyperplane
     signature, persisted per session so repeated probes don't
     recompute signatures over the corpus."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    idx = _LSH_INDEX_CACHE.get(key)
-    if idx is None:
+
+    def build() -> DataFrame:
         emb = read_table(spark, sf_dir, "embeddings")
-        idx = emb.select(
+        return emb.select(
             "vec_id",
             "embedding",
             lsh_bucket_udf(F.col("embedding")).alias("bucket"),
-        ).persist()
-        _LSH_INDEX_CACHE[key] = idx
-    return idx
+        )
+
+    return _LSH_INDEX_CACHE.get_or_build(spark, (sf_dir,), build)
 
 
 @query("sim_lsh_bucketed_topk", None, survey="X-UD5,J9,A12")
@@ -245,7 +248,7 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lsh_index``.  Approximate by construction → rows-only check (the
     exact baseline above is the oracle-checked twin)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    q = _query_vector(emb)
+    q = _query_vector(emb, cache_key=sf_dir)
     q_bucket = int(_signatures(q[None, :])[0])
     cand = (
         lsh_index(spark, sf_dir)
@@ -534,7 +537,8 @@ def _centroid_rows(emb: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_probe_topk(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def _ivf_probe_topk(emb: DataFrame, centroids: list[list[float]],
+                    cache_key: str | None = None) -> DataFrame:
     """Shared IVF probe: vectorized cell assignment (one GEMM per Arrow
     batch — operators/kmeans.assign_cells), query cell computed
     driver-side with the same arithmetic, equi-filter on the cell id
@@ -542,7 +546,7 @@ def _ivf_probe_topk(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     top-k."""
     from hfcommunity_spark.operators.kmeans import _nearest_cells, assign_cells
 
-    q = _query_vector(emb)
+    q = _query_vector(emb, cache_key=cache_key)
     q_cell = int(_nearest_cells(q[None, :], np.asarray(centroids, np.float64))[0])
     assigned = assign_cells(emb, centroids)
     scored = (
@@ -565,14 +569,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     cent = {r.cell: list(map(float, r.centroid)) for r in _centroid_rows(emb).collect()}
     centroids = [cent[k] for k in sorted(cent)]
-    return _ivf_probe_topk(emb, centroids)
+    return _ivf_probe_topk(emb, centroids, cache_key=sf_dir)
 
 
-# Learned k-means codebooks per (application, table dir, k, iters) —
-# a trained quantizer is an index artifact (k×dim floats): built once,
-# probed by every later query; at cluster scale it's a small persisted
-# codebook file next to the corpus.
-_KMEANS_CODEBOOK_CACHE: dict[tuple[str, str, int, int], list] = {}
+# Learned k-means codebooks per (table dir, k, iters) per application
+# — a trained quantizer is an index artifact (k×dim floats): built
+# once, probed by every later query; at cluster scale it's a small
+# persisted codebook file next to the corpus.
+_KMEANS_CODEBOOK_CACHE = SessionCache(persist=False)
 
 
 @query("sim_kmeans_ivf_topk", None, survey="X-UD5,J9,A12")
@@ -585,21 +589,23 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the driver contract."""
     from hfcommunity_spark.operators.kmeans import kmeans_fit
 
-    key = (spark.sparkContext.applicationId, sf_dir, 8, 3)
-    centroids = _KMEANS_CODEBOOK_CACHE.get(key)
     emb = read_table(spark, sf_dir, "embeddings")
-    if centroids is None:
+
+    def train() -> list:
         # cache during the fit only: Lloyd's makes 2 passes per
         # iteration over the same frame; unpersist once the codebook is
         # learned — the probe plan re-reads the (column-pruned) parquet
         # instead of pinning executor memory.
         emb_c = emb.persist()
         try:
-            centroids = kmeans_fit(emb_c, k=8, iters=3)
+            return kmeans_fit(emb_c, k=8, iters=3)
         finally:
             emb_c.unpersist()
-        _KMEANS_CODEBOOK_CACHE[key] = centroids
-    return _ivf_probe_topk(emb, centroids)
+
+    centroids = _KMEANS_CODEBOOK_CACHE.get_or_build(
+        spark, (sf_dir, 8, 3), train
+    )
+    return _ivf_probe_topk(emb, centroids, cache_key=sf_dir)
 
 
 @query(

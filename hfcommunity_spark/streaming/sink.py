@@ -62,12 +62,26 @@ class SnapshotMergeSink:
         df = spark.read.parquet(self.path)
         return df.drop(BUCKET_COL) if self.n_buckets else df
 
+    def _snapshot_exists(self, spark) -> bool:
+        """Explicit bootstrap detection through the Hadoop FS API (works
+        for any scheme the snapshot path uses, not just local files).
+        The bare try/except that used to guard the read treated EVERY
+        read failure as 'no snapshot yet' — a transient error (perms,
+        corrupt footer) would then dynamic-partition-overwrite dirty
+        buckets without merging, silently dropping sunk rows (ADVICE
+        r4).  Now only true absence bootstraps; real read errors
+        propagate so the micro-batch fails and retries."""
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(jpath)
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if self.n_buckets is None:
-            try:
+            if self._snapshot_exists(spark):
                 existing = spark.read.parquet(self.path)
-            except Exception:  # first batch: no snapshot yet
+            else:  # first batch: no snapshot yet
                 existing = batch_df.limit(0)
             merged = insert_ignore(
                 existing, batch_df, self.pk, self.order_by
@@ -85,11 +99,11 @@ class SnapshotMergeSink:
         dirty = sorted(
             r[0] for r in batch.select(BUCKET_COL).distinct().collect()
         )
-        try:
+        if self._snapshot_exists(spark):
             existing = spark.read.parquet(self.path).filter(
                 F.col(BUCKET_COL).isin(dirty)
             )
-        except Exception:  # first batch: no snapshot yet
+        else:  # first batch: no snapshot yet
             existing = batch.limit(0)
         merged = insert_ignore(existing, batch, self.pk, self.order_by)
         (
