@@ -13,22 +13,60 @@ diamond merges).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _eager_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """``localCheckpoint(eager=True)`` plus the ids of the checkpoint's
+    newly persisted RDD blocks, so the caller can free a superseded
+    round's storage deterministically (see :func:`_free_checkpoint`)."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    ck = df.localCheckpoint(eager=True)
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    return ck, sorted(after - before)
+
+
+def _free_checkpoint(spark: SparkSession, ids: list[int]) -> None:
+    """Release checkpoint blocks NOW instead of waiting for the GC-
+    driven ContextCleaner — otherwise long iterative chains grow
+    executor storage nondeterministically (ADVICE r4).  Local
+    checkpoint blocks ARE the data (lineage is truncated), so only free
+    a round once every frame derived from it has itself been eagerly
+    materialized."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = m.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
 
 
 def ancestors(commit_parents: DataFrame, start_shas: DataFrame,
               max_hops: int = 20) -> DataFrame:
     """All ancestors of ``start_shas`` (column ``sha``) within
     ``max_hops``: returns (sha, ancestor_sha, hops) with the minimal
-    hop count per ancestor (BFS order guarantees minimality)."""
+    hop count per ancestor (BFS order guarantees minimality).
+
+    Lineage discipline (the repo-wide rule for driver-side loops):
+    every hop's frontier is EAGERLY localCheckpoint-ed, and the visited
+    set is a union of those checkpointed leaves — the plan grows one
+    leaf per hop (linear), never by re-expansion of the previous hop's
+    un-truncated lineage (geometric — the diameter-32 analysis OOM the
+    CC loops below document).  ``isEmpty`` then probes materialized
+    blocks instead of re-running the whole walk each hop.  Each
+    ancestor row is materialized exactly once (in its discovery hop's
+    checkpoint); only an empty final frontier's blocks are freed."""
+    spark = commit_parents.sparkSession
     edges = commit_parents.select(
         F.col("commit_sha").alias("child"), F.col("parent_sha").alias("parent")
+    ).persist()  # probed once per hop; upstream lineage may be expensive
+    frontier, _start_ids = _eager_checkpoint(
+        start_shas.select(
+            F.col("sha"), F.col("sha").alias("node"), F.lit(0).alias("hops")
+        )
     )
-    frontier = start_shas.select(
-        F.col("sha"), F.col("sha").alias("node"), F.lit(0).alias("hops")
-    )
-    seen = frontier.select("sha", "node", "hops")
+    seen = frontier
     for hop in range(1, max_hops + 1):
         step = (
             frontier.join(edges, frontier["node"] == edges["child"])
@@ -37,10 +75,13 @@ def ancestors(commit_parents: DataFrame, start_shas: DataFrame,
         )
         # keep only nodes not reached at a smaller hop count
         step = step.join(seen.select("sha", "node"), ["sha", "node"], "left_anti")
+        step, step_ids = _eager_checkpoint(step)
         if step.isEmpty():
+            _free_checkpoint(spark, step_ids)
             break
         seen = seen.unionByName(step)
         frontier = step
+    edges.unpersist()
     return (
         seen.filter(F.col("hops") > 0)
         .select("sha", F.col("node").alias("ancestor_sha"), "hops")
@@ -90,17 +131,20 @@ def _star_components(edges: DataFrame, src: str, dst: str,
     # large over sym...) — without truncation the plan tree grows
     # exponentially per round and Catalyst OOMs on canonicalization
     # before the data is ever touched
-    e = e0.distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    e, e_ids = _eager_checkpoint(e0.distinct())
     # vertices of the ORIGINAL graph (star contraction prunes interior
     # edges, so the final labels must re-attach every input vertex) —
     # derived from the CHECKPOINTED edge set: deriving from e0 would
     # re-run the whole upstream edge pipeline (e.g. the shingle join
-    # feeding dd_dup_clusters) a second time at the final label join
-    vertices = (
+    # feeding dd_dup_clusters) a second time at the final label join.
+    # Eager (not lazy): round 1's checkpoint supersedes the initial edge
+    # set and frees its blocks below, so everything that reads them must
+    # be materialized first.
+    vertices, _vertex_ids = _eager_checkpoint(
         e.select(F.col("a").alias("vertex"))
         .unionByName(e.select(F.col("b").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     converged = False
@@ -132,14 +176,13 @@ def _star_components(edges: DataFrame, src: str, dst: str,
         )
         mins2 = _mins(sym2)
         # small-star: (v, m(u)) for v ∈ Γ(u), v < u, plus (u, m(u))
-        small = (
+        small, small_ids = _eager_checkpoint(
             sym2.filter(F.col("b") < F.col("a"))
             .join(mins2, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .unionByName(mins2.select("a", F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         new_n = small.count()
         # fixpoint ⇔ same distinct edge set: equal cardinality AND
@@ -148,7 +191,10 @@ def _star_components(edges: DataFrame, src: str, dst: str,
             new_n == n_edges
             and small.join(e, ["a", "b"], "left_anti").isEmpty()
         )
-        e, n_edges = small, new_n
+        # this round's checkpoint supersedes the previous edge set —
+        # free its blocks now (vertices was materialized up front)
+        _free_checkpoint(spark, e_ids)
+        e, e_ids, n_edges = small, small_ids, new_n
         if same:
             converged = True
             break
@@ -225,6 +271,8 @@ def _min_label_components(edges: DataFrame, src: str, dst: str,
 
     converged = False
     rounds = 0
+    spark = edges.sparkSession
+    prev_ids: list[int] = []
     for _ in range(max_iters):
         # TWO propagation rounds per materialized action: the first is
         # chained lazily, only the second carries the convergence
@@ -236,13 +284,18 @@ def _min_label_components(edges: DataFrame, src: str, dst: str,
         # persist: _step references its input labels twice (self row +
         # messages), so without lineage truncation the logical plan
         # doubles per round — a diameter-32 path graph OOMs the driver
-        # during analysis before any data moves.
+        # during analysis before any data moves.  The previous round's
+        # checkpoint blocks are freed as soon as the new round is
+        # materialized (ADVICE r4: deterministic storage, like the
+        # persist/unpersist discipline this replaced).
         mid = _step(labels, with_old=False)
-        new_labels = _step(mid, with_old=True).localCheckpoint(eager=True)
+        new_labels, new_ids = _eager_checkpoint(_step(mid, with_old=True))
         n_changed = new_labels.filter(
             F.col("component") != F.col("__old")
         ).count()
         rounds += 2
+        _free_checkpoint(spark, prev_ids)
+        prev_ids = new_ids
         labels = new_labels.select("vertex", "component")
         if n_changed == 0:
             converged = True

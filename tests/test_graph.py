@@ -38,6 +38,40 @@ def test_ancestors_respects_max_hops(spark):
     assert out == {"d", "b", "c"}
 
 
+def test_ancestors_deep_chain_no_lineage_blowup(spark):
+    """The commit-DAG analog of the diameter-32 pathology the CC loops
+    document (VERDICT r4): a depth-64 linear history must complete —
+    before the per-hop eager localCheckpoint the BFS loop's plan grew
+    geometrically (seen referenced twice per hop) and analysis OOM'd
+    long before any data moved."""
+    depth = 64
+    chain = spark.createDataFrame(
+        [(f"c{i}", f"c{i + 1}") for i in range(depth)],
+        ["commit_sha", "parent_sha"],
+    )
+    starts = spark.createDataFrame([("c0",)], ["sha"])
+    out = {r.ancestor_sha: r.hops
+           for r in ancestors(chain, starts, max_hops=depth).collect()}
+    assert out == {f"c{i}": i for i in range(1, depth + 1)}
+
+
+def test_ancestors_frees_empty_frontier_storage(spark):
+    """The walk's only superseded checkpoint (the empty final frontier)
+    is freed; what stays persisted is bounded by the hop count (one
+    leaf per hop), not growing monotonically across calls."""
+    starts = spark.createDataFrame([("e",)], ["sha"])
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    ancestors(_edges(spark), starts).collect()
+    first = n_persistent()
+    ancestors(_edges(spark), starts).collect()
+    second = n_persistent()
+    # a second identical walk may not leak beyond its own leaves
+    assert second <= 2 * first
+
+
 def test_merge_commit_detection(spark):
     out = {r.sha: r.n_parents for r in merge_commits(_edges(spark)).collect()}
     assert out == {"d": 2}
