@@ -121,7 +121,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x10_stream_neardup_gate",  # X7, J9, X-UD5
     # (samp_split_contamination rotates out with r2/r3 stamps: J5 via
     # the semantic-clusters composite, A9 via samp_decontaminated)
-    "dd_semantic_dup_clusters",  # X-UD5, J5, J6
+    # --- round-5 addition, stamped on arrival ---------------------
+    # (dd_semantic_dup_clusters — the exact oracle twin — rotates out
+    # with its r4 hash-green stamp; the production LSH-fed composite
+    # covers the same X-UD5/J5/J6 ids and adds J9)
+    "dd_semantic_dup_clusters_lsh",  # X-UD5, J5, J6, J9
     # --- coverage representatives (set cover over SURVEY ids) ------
     "d3_partial_update_stale",  # D3, P2
     "d5_scd2_user_state",  # D2, D4, W2
