@@ -473,36 +473,47 @@ SEMDEDUP_BITS = 8
 SEMDEDUP_TABLE_SEED = 142
 
 
-def _table_planes(t: int) -> np.ndarray:
-    """Table ``t``'s (B, dim) hyperplanes — deterministic, identical on
-    driver, executors, and (as SQL literals) in the DuckDB oracle."""
+def _table_planes(t: int, bits: int = SEMDEDUP_BITS) -> np.ndarray:
+    """Table ``t``'s (bits, dim) hyperplanes — deterministic, identical
+    on driver, executors, and (as SQL literals) in the DuckDB oracle.
+    ``bits`` is a prefix property: the first 8 rows of a 12-bit table
+    equal the 8-bit table's planes (same RandomState stream), so wider
+    signatures refine, never re-draw."""
     rng = np.random.RandomState(SEMDEDUP_TABLE_SEED + t)
-    return rng.standard_normal((SEMDEDUP_BITS, DIM))
+    return rng.standard_normal((bits, DIM))
 
 
-@F.pandas_udf(ArrayType(LongType()))
-def lsh_table_buckets_udf(emb: pd.Series) -> pd.Series:
-    """All L per-table bucket ids for each row — one (n, dim)×(dim, L·B)
-    GEMM per Arrow batch, sliced into L B-bit ids."""
-    if not len(emb):
-        return pd.Series([], dtype=object)
-    m = _np_rows(emb)
-    out = np.empty((len(m), SEMDEDUP_TABLES), dtype=np.int64)
-    shifts = np.arange(SEMDEDUP_BITS, dtype=np.int64)
-    for t in range(SEMDEDUP_TABLES):
-        bits = (m @ _table_planes(t).T > 0).astype(np.int64)
-        out[:, t] = (bits << shifts).sum(axis=1)
-    return pd.Series(list(out))
+def table_buckets_udf(bits: int = SEMDEDUP_BITS):
+    """Pandas UDF computing all L per-table bucket ids for each row —
+    one GEMM per Arrow batch, sliced into L ``bits``-bit ids.  ``bits``
+    must grow ~log₂(n) to keep bucket occupancy (and therefore the
+    candidate join) bounded as the corpus scales; the declared query
+    pins the oracle-matched default, tools/scale_rehearsal.py measures
+    the saturation."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def udf(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        m = _np_rows(emb)
+        out = np.empty((len(m), SEMDEDUP_TABLES), dtype=np.int64)
+        shifts = np.arange(bits, dtype=np.int64)
+        for t in range(SEMDEDUP_TABLES):
+            sign = (m @ _table_planes(t, bits).T > 0).astype(np.int64)
+            out[:, t] = (sign << shifts).sum(axis=1)
+        return pd.Series(list(out))
+
+    return udf
 
 
-def lsh_table_rows(emb: DataFrame) -> DataFrame:
+def lsh_table_rows(emb: DataFrame, bits: int = SEMDEDUP_BITS) -> DataFrame:
     """(vec_id, tbl, bucket) rows over ``emb`` (vec_id, embedding),
     hot buckets capped — the probe-ready multi-table index shape."""
     from hfcommunity_spark.operators.dedup import MAX_BUCKET, cap_bucket_size
 
     rows = emb.select(
         "vec_id",
-        F.posexplode(lsh_table_buckets_udf(F.col("embedding"))).alias(
+        F.posexplode(table_buckets_udf(bits)(F.col("embedding"))).alias(
             "tbl", "bucket"
         ),
     )
