@@ -100,6 +100,38 @@ def test_streaming_merge_sink_first_writer_across_batches(spark, tmp_path):
     assert final[final.event_id == 1].value.tolist() == [1.0]
 
 
+def test_sink_corrupt_snapshot_propagates_not_overwrites(spark, tmp_path):
+    """ADVICE r4: a snapshot that EXISTS but fails to read must raise
+    (so the micro-batch retries) — the old bare-except treated any read
+    failure as 'no snapshot yet' and the dirty-bucket overwrite then
+    silently dropped previously-sunk rows.  Only true absence may
+    bootstrap."""
+    import os
+
+    import pytest
+
+    snap = str(tmp_path / "snapshot")
+    os.makedirs(snap)
+    with open(os.path.join(snap, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet footer")
+    sink = SnapshotMergeSink(
+        snap, pk=["event_id"], order_by=["ts"], n_buckets=4
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, T0, 1, "click", 1.0, None)],
+            columns=["event_id", "ts", "user_id", "event_type",
+                     "value", "props"],
+        ),
+        schema=jobs.EVENT_SCHEMA,
+    )
+    with pytest.raises(Exception, match="(?i)parquet|footer|read"):
+        sink.process_batch(batch, 0)
+    # the broken snapshot was not clobbered by an unmerged overwrite
+    with open(os.path.join(snap, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"this is not a parquet footer"
+
+
 def test_bucketed_sink_rewrites_only_dirty_partitions(spark, tmp_path):
     """n_buckets mode: a micro-batch touching one pk_bucket must leave
     every other partition's files byte-identical (same paths, sizes,
