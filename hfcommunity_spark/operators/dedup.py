@@ -149,40 +149,53 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle is hashed to a long before the distinct/join shuffles
     (``doc_shingle_hashes``), so both shuffles move fixed 8-byte keys —
     identical pair output to the string join (and the string-based
-    DuckDB oracle) up to a ~1e-9 64-bit collision."""
-    # the distinct (doc_id, shingle-hash) posting list is an inverted
-    # index: referenced three times here (per-doc counts + both sides
-    # of the candidate self-join) and again by dd_dup_clusters —
-    # session-persisted like the other signature indexes
-    sh = shingle_hash_index(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    DuckDB oracle) up to a ~1e-9 64-bit collision.  The scored pair
+    frame is itself a build-once artifact (probed again by
+    ``dd_dup_clusters``), session-persisted like the cosine pair set."""
+    return ngram_jaccard_pair_index(spark, sf_dir)
+
+
+def ngram_jaccard_pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted (doc_a, doc_b, shared, jaccard) pair frame —
+    see ``dd_ngram_jaccard_pairs`` for the dataflow."""
+
+    def build() -> DataFrame:
+        # the distinct (doc_id, shingle-hash) posting list is an
+        # inverted index: referenced three times here (per-doc counts +
+        # both sides of the candidate self-join) — session-persisted
+        # like the other signature indexes
+        sh = shingle_hash_index(spark, sf_dir)
+        counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ca = counts.alias("ca")
+        cb = counts.alias("cb")
+        return (
+            pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+            .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                "shared",
+                (
+                    F.col("shared").cast("double")
+                    / (F.col("ca.n") + F.col("cb.n") - F.col("shared"))
+                ).alias("jaccard"),
+            )
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    return (
-        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared",
-            (
-                F.col("shared").cast("double")
-                / (F.col("ca.n") + F.col("cb.n") - F.col("shared"))
-            ).alias("jaccard"),
-        )
-    )
+
+    return _sig_index(spark, sf_dir, "jaccard_pairs", "xxhash64", build)
 
 
 def sha60(col, seed: int):
@@ -598,7 +611,7 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative operator IS hash-checked, not rows-only."""
     from hfcommunity_spark.operators.graph import connected_components
 
-    pairs = dd_ngram_jaccard_pairs(spark, sf_dir).filter(
+    pairs = ngram_jaccard_pair_index(spark, sf_dir).filter(
         F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
     )
     edges = pairs.select(
