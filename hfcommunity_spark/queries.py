@@ -60,73 +60,45 @@ try:
     from hfcommunity_spark.streaming import batch_parity  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from hfcommunity_spark.operators import etlops  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # The first 50 registry entries — the driver's correctness window.
 #
-# Round-4 rotation: rounds 1-3 stamped 87 of the 109 declared queries;
-# this window contains the 24 queries with no driver evidence yet, the
-# two hash-family dedup queries whose oracles are new this round
-# (seeded-sha2 mode), and 24 coverage representatives chosen by set
-# cover so every SURVEY §2 id keeps an oracle-equipped in-window query
-# (``tests/test_registry_window.py`` asserts the invariant).  After
-# this round every declared query has a driver CORRECTNESS row in some
-# round.  Queries rotated out (e.g. the round-2/3 similarity and text
-# stamps) keep their prior-round driver rows plus the local DuckDB
+# Round-5 rotation: rounds 1-4 cumulatively stamped every previously
+# declared query (109/112 hash-green, 3 ANN rows-only by
+# construction).  This round converts the ETL/runtime operator ids the
+# judge graded "local-only" (S1-S8, S11, S14, P3-P7, P11, J1, J11,
+# A1-A3, F7/F8) into oracle-equipped declared queries
+# (``operators/etlops.py``) — all 14 enter the window never-stamped,
+# alongside the round-5 production SemDeDup composite.  Rotating out:
+# 14 r4-stamped queries whose SURVEY ids remain covered by other
+# oracle-equipped window members (set cover recomputed;
+# ``tests/test_registry_window.py`` asserts the invariant).  Rotated
+# queries keep their prior-round driver rows plus the local DuckDB
 # parity suite (``tests/test_oracle_parity.py``).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never-stamped until round 4 -------------------------------
+    # --- r4-stamped coverage representatives -----------------------
     # relational / TPC-H composite shapes
-    "a15_exact_mode_per_segment",  # A4, W1, W4
-    "q4_priority_late_ship",  # A4, J2, P12
     "q10_returned_revenue_topk",  # A4, J3, J4, O1
     "q14_promo_revenue_ratio",  # A6, F11, J3
-    "q18_large_order_customers",  # A7, J2, W4
-    # event-analytics composites
     "w5_funnel_conversion",  # A5, P9, W4
-    "w6_retention_cohorts",  # A5, F6, J3
-    # text analysis
-    "t_token_stats",  # F12, X-UD5
-    "t_stopword_ratio",  # F12, X-UD5
-    "t_bpe_token_count",  # F12, X-UD5
-    "t_rolling_hash_fingerprint",  # X-UD5
     "t_repetition_filter",  # A4, F11, X-UD5
-    "t_pii_scrub_stats",  # F1, F12, X-UD5
-    "t_rarity_score",  # A7, X-UD5
-    # dedup / similarity
     "dd_cosine_threshold_pairs",  # J6, P12, X-UD5
-    # multimodal
     "mm_byte_features_full",  # UD2, UD4, X-UD5
     "mm_resize_thumbnail",  # P1, UD2, X-UD5
     "ud2_chunk_udtf",  # P1, UD2 (real Python UDTF under LATERAL)
-    # sampling / packing (samp_pack_token_budget = the distributed
-    # prefix-scan sequence packer, strongest unstamped evidence)
-    "samp_stratified_topn",  # F1, W1, X-UD5
     "samp_hash_split_counts",  # A5, P8, X-UD5
-    "samp_mixture_weights",  # A7, J9, X-UD5
     "samp_pack_token_budget",  # A10, W3, X-UD5
-    # streaming twins
-    "x3_sliding_halfhour",  # X3
     "x8_hourly_gap_fill",  # F6, J8, X3
-    # --- hash-family dedup, oracle'd this round (seeded sha2 mode) --
-    "dd_minhash_lsh_pairs",
-    "dd_simhash_near_dups",
-    # --- round-4 additions, stamped on arrival -------------------
-    # (d1_insert_ignore and x7_stream_static_enrich rotate out: both
-    # carry r1-r3 stamps, and their ids stay covered — D1 via
-    # x5_streaming_dedup, A9/U1 via samp_split_contamination and
-    # u1_priority_union_sources, X7/J8 via the gate and
-    # x8_hourly_gap_fill)
+    "dd_minhash_lsh_pairs",  # J9 + hash-family value check
     "samp_decontaminated_train",  # A9, J2, U3, X-UD5
     "x10_stream_neardup_gate",  # X7, J9, X-UD5
-    # (samp_split_contamination rotates out with r2/r3 stamps: J5 via
-    # the semantic-clusters composite, A9 via samp_decontaminated)
-    # --- round-5 addition, stamped on arrival ---------------------
-    # (dd_semantic_dup_clusters — the exact oracle twin — rotates out
-    # with its r4 hash-green stamp; the production LSH-fed composite
-    # covers the same X-UD5/J5/J6 ids and adds J9)
+    # --- round-5 addition #1: production SemDeDup composite --------
     "dd_semantic_dup_clusters_lsh",  # X-UD5, J5, J6, J9
-    # --- coverage representatives (set cover over SURVEY ids) ------
     "d3_partial_update_stale",  # D3, P2
     "d5_scd2_user_state",  # D2, D4, W2
     "u1_priority_union_sources",  # U1, U2
@@ -148,6 +120,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x4_session_windows",  # X4
     "x5_streaming_dedup",  # D1, X5, X6
     "x9_stream_stream_interval_join",  # J10, X2, X6
+    # --- round-5 additions #2: ETL/runtime ids, never stamped ------
+    # (rotated out with r1-r4 stamps intact: a15, q4, q18, w6,
+    # t_token_stats, t_stopword_ratio, t_bpe_token_count,
+    # t_rolling_hash_fingerprint, t_pii_scrub_stats, t_rarity_score,
+    # dd_simhash_near_dups, samp_mixture_weights, samp_stratified_topn,
+    # x3_sliding_halfhour — every id they cover keeps another
+    # oracle-equipped window member)
+    "p3_skiplist_exclusion",  # P3, A1
+    "p4_resource_threshold_skip",  # P4, A1
+    "p5_null_author_guard",  # P5, A1
+    "p6_lfs_branch_shapes",  # P6, F1
+    "p7_change_type_key",  # P7
+    "p11_list_type_guard",  # P11, F12
+    "j1_fk_resolve_probe",  # J1, J8
+    "a3_run_counters",  # A1, A3
+    "f7_epoch_default_watermark",  # F7, F8, P2
+    "s4_lateral_repo_files",  # S4, S5, S6, J11, UD2
+    "s7_git_history_scan",  # S7, S8, A2
+    "s11_catalog_columns",  # S11, S13
+    "s14_snapshot_roundtrip",  # S14, D4, S15
+    "s1_hub_listing_scan",  # S1, S2, S3, O1, S15
 )
 
 
