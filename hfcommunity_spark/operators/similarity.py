@@ -228,7 +228,50 @@ def lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _LSH_INDEX_CACHE.get_or_build(spark, (sf_dir,), build)
 
 
-@query("sim_lsh_bucketed_topk", None, survey="X-UD5,J9,A12")
+def _ann_bucket_sql() -> str:
+    """DuckDB twin of the 16-bit ANN signature over ``emb`` (the
+    DOUBLE[]-cast embedding) — same inline-plane-literals trick as
+    ``_lsh_bucket_sql``.  Margins measured: min |projection| over the
+    seed-42 planes is 3.3e-4 (sf0.01) / 5.4e-5 (sf0.1), nine orders
+    above cross-engine double-summation noise."""
+    P = _hyperplanes()
+    bits = []
+    for b in range(N_PLANES):
+        vec = ", ".join(repr(float(x)) for x in P[b])
+        bits.append(
+            f"(CASE WHEN list_dot_product(emb, [{vec}]) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _lsh_topk_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    sig AS (SELECT vec_id, emb, {_ann_bucket_sql()} AS bucket
+            FROM e),
+    q AS (SELECT emb AS q_emb, bucket AS q_bucket
+          FROM sig WHERE vec_id = 0),
+    cand AS (SELECT s.vec_id,
+                    -- DOUBLE[] on both sides: the FLOAT[] overload
+                    -- returns float32, which rounds differently
+                    list_cosine_similarity(s.emb, q.q_emb) AS sim
+             FROM sig s, q
+             WHERE s.vec_id <> 0
+               AND bit_count(xor(s.bucket, q.q_bucket))
+                   <= {MULTIPROBE_HAMMING}),
+    top AS (SELECT vec_id, sim FROM cand
+            ORDER BY sim DESC, vec_id LIMIT {TOP_K})
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER)
+             AS rank,
+           ROUND(sim, 4)::DOUBLE AS sim_rounded
+    FROM top
+    """
+
+
+@query("sim_lsh_bucketed_topk", _lsh_topk_oracle(), survey="X-UD5,J9,A12")
 def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via hyperplane LSH with multi-probe.  The query's
     bucket is computed driver-side; the multi-probe is ONE hamming
@@ -245,8 +288,15 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate scoring runs JVM-side (``cosine`` over ≤ bucket-cap
     rows) — the probe path never launches a Python worker; signatures
     are one GEMM per Arrow batch, computed ONCE per session by
-    ``lsh_index``.  Approximate by construction → rows-only check (the
-    exact baseline above is the oracle-checked twin)."""
+    ``lsh_index``.  Approximate by construction — but the DECLARED
+    semantics (top-k within the hamming-≤4 candidate ball) are exactly
+    reproduced by the DuckDB oracle with the plane constants inlined as
+    round-trip literals (the ``dd_semantic_dup_clusters_lsh`` trick),
+    so since round 5 this is VALUE-CHECKED, not rows-only; measured
+    margins (sign projections ≥5.4e-5, rank gaps ~1e-3, 4-dp rounding
+    distance ≥7e-3 at the checked SFs) dwarf cross-engine float noise.
+    Recall vs the exact baseline stays locked by
+    ``tests/test_ann_recall.py``."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = _query_vector(emb, cache_key=sf_dir)
     q_bucket = int(_signatures(q[None, :])[0])

@@ -113,7 +113,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_label_centroid_topk",  # A7, W1, X-UD5
     "a4_topk_customers_by_orders",  # A4, J3, O2
     "a11_rollup_customers",  # A11, J4
-    "a12_sketch_tolerance",  # A12
+    # (a12_sketch_tolerance rotates out with its r4 stamp; A12 stays
+    # covered by the newly oracle-equipped ANN probe below)
+    "sim_lsh_bucketed_topk",  # A12, J9, X-UD5 — hash-green for the
+    # first time: round-5 oracle inlines the hyperplane constants
     "j7_composite_key_first_line",  # J7, W4
     "o3_order_offset_page",  # O3
     "x3_tumbling_hourly",  # F6, X1, X2, X3

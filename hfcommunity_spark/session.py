@@ -47,7 +47,14 @@ def get_spark(
         # receive pushed filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: one JVM is driver AND all 32 executor threads,
+        # plus every session-persisted index frame (shingle posting
+        # list, minhash bands, cosine pair set, ...).  8g measurably
+        # GC-thrashes late in the 127-query bench (samp_* family ran
+        # 2-5x slower than in isolation); 24g restores isolation-level
+        # timings.  On a real cluster executors carry the cached
+        # frames and the driver default can drop back down.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
