@@ -866,16 +866,57 @@ def _ivf_probe_topk(emb: DataFrame, centroids: list[list[float]],
     return _rank_topk(scored, with_sim=True)
 
 
-@query("sim_ivf_topk", None, survey="X-UD5,J9,A12")
+_IVF_TOPK_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    dims AS (SELECT unnest(range(1, {DIM + 1})) AS dim),
+    per_dim AS (SELECT label, dim, SUM(emb[dim]) / COUNT(*) AS m
+                FROM e, dims GROUP BY label, dim),
+    c AS (SELECT label AS cell, list(m ORDER BY dim) AS centroid
+          FROM per_dim GROUP BY label),
+    -- nearest-centroid assignment; ties break to the lowest cell id,
+    -- matching numpy argmin's first-occurrence rule (cell ids need not
+    -- equal Spark's codebook indices — only the SELECTED candidate set
+    -- must agree, and nearest-centroid is labeling-invariant)
+    assign AS (
+      SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.emb, c.centroid), c.cell) AS rn
+      FROM e, c),
+    cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    q AS (SELECT e.emb AS q_emb, cells.cell AS q_cell
+          FROM e JOIN cells USING (vec_id) WHERE e.vec_id = 0),
+    cand AS (SELECT e.vec_id,
+                    list_cosine_similarity(e.emb, q.q_emb) AS sim
+             FROM e JOIN cells USING (vec_id), q
+             WHERE cells.cell = q.q_cell AND e.vec_id <> 0),
+    top AS (SELECT vec_id, sim FROM cand
+            ORDER BY sim DESC, vec_id LIMIT {TOP_K})
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER)
+             AS rank,
+           ROUND(sim, 4)::DOUBLE AS sim_rounded
+    FROM top
+    """
+
+
+@query("sim_ivf_topk", _IVF_TOPK_ORACLE, survey="X-UD5,J9,A12")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label centroids act as the coarse quantizer
     (k-means stand-in); every vector is assigned to its nearest
     centroid cell by a vectorized GEMM projection (no per-row window,
     no shuffle), and the query probes only its own cell.  The k×dim
     centroid matrix is collected driver-side — bounded by k, the
-    standard IVF codebook shape.  rows-only (approximate by
-    construction; dd_embedding_nearest_neighbor is the exact recall
-    oracle)."""
+    standard IVF codebook shape.  Approximate by construction, but the
+    declared semantics (top-k within the query's nearest-centroid
+    cell) are deterministic given the centroids, and label centroids —
+    unlike the learned k-means codebook below — ARE SQL-derivable, so
+    since round 5 the DuckDB oracle reproduces the full pipeline and
+    the query is value-checked.  Measured decision margins (argmin
+    gaps ≥3.2e-6, rank gaps ≥7.3e-5 at the checked SFs) dwarf the
+    ~1e-12 cross-engine float noise; recall stays locked by
+    ``tests/test_ann_recall.py``."""
     emb = read_table(spark, sf_dir, "embeddings")
     cent = {r.cell: list(map(float, r.centroid)) for r in _centroid_rows(emb).collect()}
     centroids = [cent[k] for k in sorted(cent)]

@@ -86,7 +86,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q10_returned_revenue_topk",  # A4, J3, J4, O1
     "q14_promo_revenue_ratio",  # A6, F11, J3
     "w5_funnel_conversion",  # A5, P9, W4
-    "t_repetition_filter",  # A4, F11, X-UD5
+    # (t_repetition_filter rotates out with its r4 stamp; A4/F11/X-UD5
+    # keep other oracle-equipped window members)
+    "sim_ivf_topk",  # A12, J9, X-UD5 — hash-green for the first time:
+    # round-5 oracle derives the label-centroid quantizer in SQL
     "dd_cosine_threshold_pairs",  # J6, P12, X-UD5
     "mm_byte_features_full",  # UD2, UD4, X-UD5
     "mm_resize_thumbnail",  # P1, UD2, X-UD5
