@@ -1,0 +1,200 @@
+"""The end-to-end training-data curation composite (north-star
+X-UD5): one declared query chaining the four pipeline stages every
+pretraining corpus pass runs — quality gate → exact dedup → near-dup
+canonicalization → n-gram decontamination — with a single DuckDB
+oracle reproducing the whole chain, so the COMPOSITION (not just each
+stage) is value-checked.
+
+Every stage reuses the session-persisted index artifacts the
+individual queries build (`ngram_jaccard_pair_index`,
+`shingle_hash_index`), mirroring a cluster deployment where each is a
+materialized table maintained beside the corpus: the composite adds
+NO new heavy computation — it is semi-joins and aggregations over
+existing indexes.
+
+Scale shape (the 100 TB lens): the quality gate and exact dedup are
+one scan + one hash-shuffle; near-dup restriction is two semi-joins of
+the (already capped, already bucketed) pair frame against the survivor
+set; connected components is O(log n) star contraction over τ-pairs
+only; decontamination is a posting-list semi-join whose held-out side
+broadcasts at real split ratios.  No cross products, no driver
+transit, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.registry import query
+from hfcommunity_spark.operators.dedup import (
+    JACCARD_CLUSTER_THRESHOLD,
+    NGRAM,
+    ngram_jaccard_pair_index,
+    shingle_hash_index,
+    shingle_unnest_sql,
+)
+from hfcommunity_spark.operators.sampling import (
+    DECONTAM_NGRAM,
+    SALT,
+    TRAIN_UPPER,
+    VAL_UPPER,
+    hash_split,
+)
+
+MIN_TOKENS = 30  # quality gate: drop the 'short' length bucket
+# (at sf0.01 the four stages keep 302 of 500 docs — every stage prunes)
+
+
+_CURATION_ORACLE = f"""
+    WITH RECURSIVE
+    -- stage 1: quality gate (token count >= {MIN_TOKENS})
+    q AS (SELECT doc_id, lang, source, text,
+                 LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS ntok
+          FROM documents
+          WHERE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                >= {MIN_TOKENS}),
+    -- stage 2: exact dedup, min doc_id survives per content hash
+    ex AS (SELECT * FROM q
+           QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))),
+    -- stage 3: near-dup clusters over the jaccard pair graph,
+    -- restricted to stage-2 survivors; component label = min member
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, {shingle_unnest_sql(NGRAM)} AS shingle
+           FROM toks WHERE len(w) >= {NGRAM}),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS shared
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b),
+    jac AS (SELECT doc_a, doc_b FROM pairs
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared)
+                  >= {JACCARD_CLUSTER_THRESHOLD}),
+    edges AS (SELECT doc_a, doc_b FROM jac
+              WHERE doc_a IN (SELECT doc_id FROM ex)
+                AND doc_b IN (SELECT doc_id FROM ex)),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach AS (
+      SELECT DISTINCT a AS vertex, a AS component FROM und
+      UNION
+      SELECT u.b, r.component FROM reach r JOIN und u ON u.a = r.vertex
+    ),
+    comp AS (SELECT vertex AS doc_id, MIN(component) AS component
+             FROM reach GROUP BY vertex),
+    keep AS (SELECT e.doc_id FROM ex e LEFT JOIN comp c USING (doc_id)
+             WHERE c.component IS NULL OR c.component = e.doc_id),
+    -- stage 4: train split minus docs sharing a {DECONTAM_NGRAM}-gram
+    -- with ANY held-out doc (full-corpus held-out side)
+    spl AS (SELECT doc_id,
+             CASE WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)),
+                              1, 2) < '{TRAIN_UPPER}' THEN 'train'
+                  WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)),
+                              1, 2) < '{VAL_UPPER}' THEN 'val'
+                  ELSE 'test' END AS split
+            FROM documents),
+    shd AS (SELECT DISTINCT doc_id,
+                   {shingle_unnest_sql(DECONTAM_NGRAM)} AS shingle
+            FROM toks WHERE len(w) >= {DECONTAM_NGRAM}),
+    holdout_sh AS (SELECT DISTINCT shingle
+                   FROM shd JOIN spl USING (doc_id)
+                   WHERE split <> 'train'),
+    leaking AS (SELECT DISTINCT doc_id FROM shd
+                WHERE shingle IN (SELECT shingle FROM holdout_sh)),
+    final AS (SELECT k.doc_id FROM keep k
+              JOIN spl USING (doc_id)
+              WHERE split = 'train'
+                AND k.doc_id NOT IN (SELECT doc_id FROM leaking))
+    SELECT q.lang, q.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q.ntok) AS BIGINT) AS total_tokens
+    FROM final JOIN q USING (doc_id)
+    GROUP BY q.lang, q.source
+    """
+
+
+@query(
+    "pipe_curation_end_to_end",
+    _CURATION_ORACLE,
+    survey="X-UD5,J2,J5,U3,A9,F1,W4",
+)
+def pipe_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate → exact dedup (min-id per sha256, W4/F1/A9/D1
+    semantics) → near-dup canonicalization (jaccard-τ pair graph
+    restricted to survivors, star-contraction components, keep the
+    component minimum, J5) → n-gram decontamination of the train split
+    (posting-list semi-join, leak set anti-joined away, J2/U3) →
+    per-(lang, source) corpus stats.  The DuckDB oracle replays the
+    identical four stages (recursive CTE for the components), so the
+    full composition is hash-checked.
+
+    Pair and shingle frames come from the session-persisted indexes
+    shared with the dedup family (``ngram_jaccard_pair_index``,
+    ``shingle_hash_index``); restricting full-corpus τ-pairs to the
+    survivor set is exact because pairwise jaccard is independent of
+    the rest of the corpus."""
+    from hfcommunity_spark.operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    ntok = F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+
+    # stage 1: quality gate
+    q = docs.select(
+        "doc_id", "lang", "source", "text", ntok.alias("ntok")
+    ).filter(F.col("ntok") >= MIN_TOKENS)
+
+    # stage 2: exact dedup (keep-first = min doc_id per fingerprint)
+    fp_min = (
+        q.groupBy(F.sha2(text, 256).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ex = q.join(fp_min, "doc_id", "left_semi")
+    ex_ids = ex.select("doc_id")
+
+    # stage 3: near-dup canonicalization over survivor-restricted pairs
+    pairs = ngram_jaccard_pair_index(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
+    )
+    edges = (
+        pairs.join(ex_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a",
+                   "left_semi")
+        .join(ex_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b",
+              "left_semi")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(edges).select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
+    keep = (
+        ex.join(comp, "doc_id", "left")
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col("doc_id"))
+        )
+        .select("doc_id", "lang", "source", "ntok")
+    )
+
+    # stage 4: decontaminate the train split against held-out shingles
+    split = docs.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+    sh = shingle_hash_index(spark, sf_dir, DECONTAM_NGRAM)
+    shs = sh.join(split, "doc_id")
+    holdout_sh = shs.filter(F.col("split") != "train").select("h")
+    leaking = (
+        sh.join(holdout_sh, "h", "left_semi").select("doc_id").distinct()
+    )
+    final = (
+        keep.join(split.filter(F.col("split") == "train"), "doc_id",
+                  "left_semi")
+        .join(leaking, "doc_id", "left_anti")
+    )
+
+    return final.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+    )

@@ -64,6 +64,10 @@ try:
     from hfcommunity_spark.operators import etlops  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from hfcommunity_spark.operators import curation  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # The first 50 registry entries — the driver's correctness window.
@@ -92,7 +96,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-5 oracle derives the label-centroid quantizer in SQL
     "dd_cosine_threshold_pairs",  # J6, P12, X-UD5
     "mm_byte_features_full",  # UD2, UD4, X-UD5
-    "mm_resize_thumbnail",  # P1, UD2, X-UD5
+    # (mm_resize_thumbnail rotates out with its r4 stamp; P1/UD2 keep
+    # ud2_chunk_udtf and mm_byte_features_full)
+    "pipe_curation_end_to_end",  # X-UD5, J2, J5, U3, A9, F1, W4 —
+    # round-5 flagship: the four-stage curation pipeline as ONE
+    # hash-checked composition (quality -> exact dedup -> near-dup
+    # canonicalization -> decontamination)
     "ud2_chunk_udtf",  # P1, UD2 (real Python UDTF under LATERAL)
     "samp_hash_split_counts",  # A5, P8, X-UD5
     "samp_pack_token_budget",  # A10, W3, X-UD5
