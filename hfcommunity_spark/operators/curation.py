@@ -137,6 +137,18 @@ def pipe_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``shingle_hash_index``); restricting full-corpus τ-pairs to the
     survivor set is exact because pairwise jaccard is independent of
     the rest of the corpus."""
+    final = curated_docs(spark, sf_dir)
+    return final.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+    )
+
+
+def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document survivor frame (doc_id, lang, source, ntok)
+    the composite aggregates — exposed so tests can assert the
+    invariants (min length, hash-distinct, near-dup-canonical,
+    decontaminated, train-only) on the id set directly."""
     from hfcommunity_spark.operators.graph import connected_components
 
     docs = read_table(spark, sf_dir, "documents")
@@ -188,13 +200,8 @@ def pipe_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaking = (
         sh.join(holdout_sh, "h", "left_semi").select("doc_id").distinct()
     )
-    final = (
+    return (
         keep.join(split.filter(F.col("split") == "train"), "doc_id",
                   "left_semi")
         .join(leaking, "doc_id", "left_anti")
-    )
-
-    return final.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("ntok").cast("bigint").alias("total_tokens"),
     )

@@ -1,0 +1,78 @@
+"""Behavioral checks for the end-to-end curation composite beyond the
+oracle parity: every stage must actually prune, and the final survivor
+set must satisfy the declared invariants — minimum length, distinct
+content hashes, at most one survivor per near-dup cluster, zero
+held-out shingle overlap, train split only."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.operators.curation import MIN_TOKENS, curated_docs
+from hfcommunity_spark.operators.dedup import (
+    JACCARD_CLUSTER_THRESHOLD,
+    ngram_jaccard_pair_index,
+    shingle_hash_index,
+)
+from hfcommunity_spark.operators.sampling import DECONTAM_NGRAM, hash_split
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def final(spark):
+    return curated_docs(spark, SF_ORACLE).persist()
+
+
+def test_composite_prunes_but_keeps_a_corpus(spark, final):
+    total = read_table(spark, SF_ORACLE, "documents").count()
+    kept = final.count()
+    assert 0 < kept < total
+
+
+def test_min_length_invariant(final):
+    assert final.filter(F.col("ntok") < MIN_TOKENS).count() == 0
+
+
+def test_exact_dedup_invariant(spark, final):
+    docs = read_table(spark, SF_ORACLE, "documents")
+    joined = final.select("doc_id").join(docs, "doc_id")
+    n = joined.count()
+    n_hashes = joined.select(F.sha2("text", 256)).distinct().count()
+    assert n == n_hashes
+
+
+def test_neardup_canonical_invariant(spark, final):
+    """No surviving τ-pair may have BOTH endpoints in the final set."""
+    pairs = ngram_jaccard_pair_index(spark, SF_ORACLE).filter(
+        F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
+    )
+    ids = final.select("doc_id")
+    both = (
+        pairs.join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a",
+                   "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b",
+              "left_semi")
+    )
+    assert both.count() == 0
+
+
+def test_decontamination_invariant(spark, final):
+    """No survivor shares a DECONTAM_NGRAM shingle with any held-out
+    doc, and every survivor is in the train split."""
+    docs = read_table(spark, SF_ORACLE, "documents")
+    split = docs.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+    sh = shingle_hash_index(spark, SF_ORACLE, DECONTAM_NGRAM)
+    shs = sh.join(split, "doc_id")
+    holdout = shs.filter(F.col("split") != "train").select("h").distinct()
+    overlap = (
+        sh.join(final.select("doc_id"), "doc_id", "left_semi")
+        .join(holdout, "h", "left_semi")
+    )
+    assert overlap.count() == 0
+    non_train = final.join(
+        split.filter(F.col("split") == "train"), "doc_id", "left_anti"
+    )
+    assert non_train.count() == 0

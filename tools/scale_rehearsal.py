@@ -52,6 +52,8 @@ QUERIES = [
     ("dd_ngram_jaccard_pairs", "bucketed-postings", 1.0),
     ("dd_dup_clusters", "bucketed-postings+cc", 1.0),
     ("samp_decontaminated_train", "bucketed-postings", 1.0),
+    ("pipe_curation_end_to_end", "bucketed-postings+cc", 1.0),
+    ("sim_ivf_topk", "bucketed-ivf", 1.0),
     ("q5_supplier_nation_volume", "relational", 1.0),
     ("q10_returned_revenue_topk", "relational", 1.0),
     ("q18_large_order_customers", "relational", 1.0),
