@@ -30,7 +30,10 @@ from hfcommunity_spark.io import read_table
 from hfcommunity_spark.registry import query
 from hfcommunity_spark.operators.dedup import (
     JACCARD_CLUSTER_THRESHOLD,
+    MINHASH_K,
+    MINHASH_CAPPED_CTES,
     NGRAM,
+    _MINHASH_MATCHES_SQL,
     ngram_jaccard_pair_index,
     shingle_hash_index,
     shingle_unnest_sql,
@@ -204,4 +207,156 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.join(split.filter(F.col("split") == "train"), "doc_id",
                   "left_semi")
         .join(leaking, "doc_id", "left_anti")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x11 — streaming admission gate: the curation pipeline's ingest face
+# ---------------------------------------------------------------------------
+
+INCOMING_MOD = 10
+INCOMING_REM = 3  # docs with doc_id % 10 = 3 play the arriving batch
+NEARDUP_REJECT_EST = 0.5  # MinHash estimate at/above which arrivals drop
+
+_INC = f"doc_id % {INCOMING_MOD} = {INCOMING_REM}"
+_CORP = f"doc_id % {INCOMING_MOD} <> {INCOMING_REM}"
+_X11_MATCHES = _MINHASH_MATCHES_SQL.replace("a.m", "i.m").replace("b.m", "c.m")
+
+_X11_ORACLE = f"""
+    WITH {MINHASH_CAPPED_CTES},
+    corpus_capped AS (SELECT * FROM capped WHERE {_CORP}),
+    inc AS (SELECT doc_id, text,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS ntok
+            FROM documents WHERE {_INC}),
+    corp_fp AS (SELECT DISTINCT sha256(text) AS fp
+                FROM documents WHERE {_CORP}),
+    inc_bands AS (SELECT * FROM bands WHERE {_INC}),
+    near AS (SELECT i.doc_id,
+                    MAX(CAST({_X11_MATCHES} AS DOUBLE) / {MINHASH_K})
+                      AS max_est
+             FROM inc_bands i JOIN corpus_capped c
+               ON i.band = c.band AND i.bhash = c.bhash
+                  AND i.doc_id <> c.doc_id
+             GROUP BY i.doc_id),
+    spl AS (SELECT doc_id,
+             CASE WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)),
+                              1, 2) < '{TRAIN_UPPER}' THEN 'train'
+                  WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)),
+                              1, 2) < '{VAL_UPPER}' THEN 'val'
+                  ELSE 'test' END AS split
+            FROM documents),
+    dtoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shd AS (SELECT DISTINCT doc_id,
+                   {{DECONTAM_SHINGLE}} AS shingle
+            FROM dtoks WHERE len(w) >= {DECONTAM_NGRAM}),
+    holdout_sh AS (SELECT DISTINCT shingle
+                   FROM shd JOIN spl USING (doc_id)
+                   WHERE split <> 'train' AND {_CORP}),
+    contam AS (SELECT DISTINCT doc_id FROM shd
+               WHERE {_INC}
+                 AND shingle IN (SELECT shingle FROM holdout_sh)),
+    decided AS (
+      SELECT i.doc_id,
+             CASE WHEN i.ntok < {MIN_TOKENS} THEN 'too_short'
+                  WHEN sha256(i.text) IN (SELECT fp FROM corp_fp)
+                    THEN 'exact_dup'
+                  WHEN COALESCE(n.max_est >= {NEARDUP_REJECT_EST}, FALSE)
+                    THEN 'near_dup'
+                  WHEN i.doc_id IN (SELECT doc_id FROM contam)
+                    THEN 'contaminated'
+                  ELSE NULL END AS reason
+      FROM inc i LEFT JOIN near n ON n.doc_id = i.doc_id)
+    SELECT doc_id, reason IS NULL AS admitted, reason
+    FROM decided
+    """.replace("{DECONTAM_SHINGLE}", shingle_unnest_sql(DECONTAM_NGRAM))
+
+
+@query(
+    "x11_streaming_curation_gate",
+    _X11_ORACLE,
+    survey="X7,J2,J9,X-UD5",
+)
+def x11_streaming_curation_gate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The curation pipeline's INGEST face: an arriving micro-batch
+    (the ``doc_id % 10 = 3`` slice, the same batch-twin convention as
+    ``x10_stream_neardup_gate``) is admitted or dropped BEFORE
+    entering the corpus, with the first failing stage as the recorded
+    reason — ``too_short`` (quality), ``exact_dup`` (fingerprint
+    probe of the corpus), ``near_dup`` (MinHash estimate ≥ 0.5
+    against the session-persisted, capped corpus band index —
+    incoming side deliberately uncapped), ``contaminated`` (shares a
+    {DECONTAM_NGRAM}-gram with a held-out corpus doc).
+
+    Every probe is a stream-static join against an index the batch
+    pipeline already maintains, so ingestion adds no new state: at
+    100 TB this is exactly a foreachBatch body (the streaming test
+    drives the near-dup member through real micro-batches).  sha2 hash
+    mode end-to-end → the full admission decision, reasons included,
+    is value-checked against DuckDB."""
+    from hfcommunity_spark.operators.dedup import (
+        minhash_band_index,
+        neardup_gate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % INCOMING_MOD == INCOMING_REM
+    text = F.col("text")
+    ntok = (
+        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    )
+    inc = docs.filter(is_inc).select(
+        "doc_id", ntok.alias("ntok"), F.sha2(text, 256).alias("fp")
+    )
+
+    corp_fp = (
+        docs.filter(~is_inc)
+        .select(F.sha2(text, 256).alias("fp"))
+        .distinct()
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+
+    idx = minhash_band_index(spark, sf_dir, hash_mode="sha2").filter(
+        F.col("doc_id") % INCOMING_MOD != INCOMING_REM
+    )
+    gate = neardup_gate(docs.filter(is_inc), idx, hash_mode="sha2").select(
+        "doc_id", "max_est_similarity"
+    )
+
+    split = docs.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+    shd = shingle_hash_index(spark, sf_dir, DECONTAM_NGRAM)
+    holdout_sh = (
+        shd.join(split.filter(F.col("split") != "train"), "doc_id")
+        .filter(F.col("doc_id") % INCOMING_MOD != INCOMING_REM)
+        .select("h")
+    )
+    contam = (
+        shd.filter(F.col("doc_id") % INCOMING_MOD == INCOMING_REM)
+        .join(holdout_sh, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+
+    decided = (
+        inc.join(corp_fp, "fp", "left")
+        .join(gate, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ntok") < MIN_TOKENS, "too_short")
+            .when(F.col("is_exact_dup"), "exact_dup")
+            .when(
+                F.coalesce(
+                    F.col("max_est_similarity") >= NEARDUP_REJECT_EST,
+                    F.lit(False),
+                ),
+                "near_dup",
+            )
+            .when(F.col("is_contaminated"), "contaminated")
+            .alias("reason"),
+        )
+    )
+    return decided.select(
+        "doc_id", F.col("reason").isNull().alias("admitted"), "reason"
     )

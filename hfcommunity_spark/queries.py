@@ -108,7 +108,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x8_hourly_gap_fill",  # F6, J8, X3
     "dd_minhash_lsh_pairs",  # J9 + hash-family value check
     "samp_decontaminated_train",  # A9, J2, U3, X-UD5
-    "x10_stream_neardup_gate",  # X7, J9, X-UD5
+    # (x10_stream_neardup_gate rotates out with its r4 stamp; the
+    # round-5 streaming curation gate below covers X7/J9/X-UD5 + J2
+    # and drives the same neardup_gate member plus three more probes)
+    "x11_streaming_curation_gate",  # X7, J2, J9, X-UD5
     # --- round-5 addition #1: production SemDeDup composite --------
     "dd_semantic_dup_clusters_lsh",  # X-UD5, J5, J6, J9
     "d3_partial_update_stale",  # D3, P2

@@ -76,3 +76,26 @@ def test_decontamination_invariant(spark, final):
         split.filter(F.col("split") == "train"), "doc_id", "left_anti"
     )
     assert non_train.count() == 0
+
+
+def test_x11_gate_reasons_at_sf01(spark):
+    """The driver's parity scale (sf0.01) never exercises the
+    'contaminated' branch; sf0.1 does (43 docs).  Cross-check the full
+    admission decision against the oracle at the larger scale, and
+    pin that at least three distinct reject reasons fire."""
+    import duckdb
+
+    from hfcommunity_spark.operators.curation import (
+        _X11_ORACLE,
+        x11_streaming_curation_gate,
+    )
+    from tests.oracle_utils import assert_frames_match, duck_connection
+
+    sf = "/root/testdata/sf0.1"
+    sdf = x11_streaming_curation_gate(spark, sf).toPandas()
+    con = duck_connection(sf)
+    ddf = con.execute(_X11_ORACLE).df()
+    con.close()
+    assert_frames_match(sdf, ddf, "x11@sf0.1")
+    reasons = set(sdf.reason.dropna())
+    assert {"too_short", "near_dup", "contaminated"} <= reasons

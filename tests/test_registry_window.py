@@ -54,9 +54,11 @@ def test_every_declared_survey_id_covered_inside_window():
 
 def test_north_star_families_inside_window():
     window = set(DRIVER_WINDOW)
-    # d3/d5 carry the merge-family evidence in the round-4 window
-    # (d1/d2 keep their r1-r3 stamps); x10 is the stream-static slot
-    # (x7 rotated out with r2/r3 stamps).
+    # d3/d5 carry the merge-family evidence (d1/d2 keep their r1-r3
+    # stamps); "x1" pins the stream-static gate slot (x10 in round 4,
+    # the x11 curation gate since round 5); "pipe_" pins the
+    # end-to-end curation composite.
     for prefix in ("dd_", "sim_", "t_", "mm_", "ud", "d3", "d5",
-                   "u1", "skew", "samp_", "x3", "x4", "x5", "x9", "x10"):
+                   "u1", "skew", "samp_", "pipe_",
+                   "x3", "x4", "x5", "x9", "x1"):
         assert any(n.startswith(prefix) for n in window), prefix
