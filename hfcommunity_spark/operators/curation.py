@@ -290,56 +290,68 @@ def x11_streaming_curation_gate(spark: SparkSession,
 
     Every probe is a stream-static join against an index the batch
     pipeline already maintains, so ingestion adds no new state: at
-    100 TB this is exactly a foreachBatch body (the streaming test
-    drives the near-dup member through real micro-batches).  sha2 hash
-    mode end-to-end → the full admission decision, reasons included,
-    is value-checked against DuckDB."""
-    from hfcommunity_spark.operators.dedup import (
-        minhash_band_index,
-        neardup_gate,
-    )
+    100 TB this is exactly a foreachBatch body
+    (``tests/test_streaming.py`` drives :func:`curation_admission`
+    through real micro-batches in production xxhash64 mode, including
+    the ``exact_dup`` branch no slice of the synthetic corpus hits).
+    sha2 hash mode end-to-end → the full admission decision, reasons
+    included, is value-checked against DuckDB."""
+    from hfcommunity_spark.operators.dedup import minhash_band_index
 
     docs = read_table(spark, sf_dir, "documents")
     is_inc = F.col("doc_id") % INCOMING_MOD == INCOMING_REM
+    incoming = docs.filter(is_inc).select("doc_id", "text")
+    corp_fp = docs.filter(~is_inc).select(
+        F.sha2(F.col("text"), 256).alias("fp")
+    )
+    idx = minhash_band_index(spark, sf_dir, hash_mode="sha2").filter(
+        F.col("doc_id") % INCOMING_MOD != INCOMING_REM
+    )
+    split = docs.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+    holdout_sh = (
+        shingle_hash_index(spark, sf_dir, DECONTAM_NGRAM)
+        .join(split.filter(F.col("split") != "train"), "doc_id")
+        .filter(F.col("doc_id") % INCOMING_MOD != INCOMING_REM)
+        .select("h")
+    )
+    return curation_admission(incoming, corp_fp, idx, holdout_sh,
+                              hash_mode="sha2")
+
+
+def curation_admission(incoming: DataFrame, corp_fp: DataFrame,
+                       band_index: DataFrame, holdout_sh: DataFrame,
+                       hash_mode: str = "xxhash64") -> DataFrame:
+    """One micro-batch's admission decision (the foreachBatch body):
+    ``incoming`` (doc_id, text) against the corpus artifacts —
+    ``corp_fp`` (fp: sha256 text fingerprints), ``band_index`` (the
+    capped MinHash band index), ``holdout_sh`` (h: held-out
+    {DECONTAM_NGRAM}-gram shingle hashes).  Returns (doc_id, admitted,
+    reason) with the first failing stage as the reason."""
+    from hfcommunity_spark.operators.dedup import (
+        doc_shingle_hashes,
+        neardup_gate,
+    )
+
     text = F.col("text")
     ntok = (
         F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
     )
-    inc = docs.filter(is_inc).select(
+    inc = incoming.select(
         "doc_id", ntok.alias("ntok"), F.sha2(text, 256).alias("fp")
     )
-
-    corp_fp = (
-        docs.filter(~is_inc)
-        .select(F.sha2(text, 256).alias("fp"))
-        .distinct()
-        .withColumn("is_exact_dup", F.lit(True))
-    )
-
-    idx = minhash_band_index(spark, sf_dir, hash_mode="sha2").filter(
-        F.col("doc_id") % INCOMING_MOD != INCOMING_REM
-    )
-    gate = neardup_gate(docs.filter(is_inc), idx, hash_mode="sha2").select(
+    fp_flag = corp_fp.distinct().withColumn("is_exact_dup", F.lit(True))
+    gate = neardup_gate(incoming, band_index, hash_mode=hash_mode).select(
         "doc_id", "max_est_similarity"
     )
-
-    split = docs.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
-    shd = shingle_hash_index(spark, sf_dir, DECONTAM_NGRAM)
-    holdout_sh = (
-        shd.join(split.filter(F.col("split") != "train"), "doc_id")
-        .filter(F.col("doc_id") % INCOMING_MOD != INCOMING_REM)
-        .select("h")
-    )
     contam = (
-        shd.filter(F.col("doc_id") % INCOMING_MOD == INCOMING_REM)
-        .join(holdout_sh, "h", "left_semi")
+        doc_shingle_hashes(incoming, DECONTAM_NGRAM)
+        .join(holdout_sh.select("h").distinct(), "h", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_contaminated", F.lit(True))
     )
-
     decided = (
-        inc.join(corp_fp, "fp", "left")
+        inc.join(fp_flag, "fp", "left")
         .join(gate, "doc_id", "left")
         .join(contam, "doc_id", "left")
         .select(

@@ -378,3 +378,117 @@ def test_stream_neardup_gate_micro_batches(spark, tmp_path):
     assert streamed[100001].n_near_dups >= 1
     assert streamed[100001].max_est_similarity == 1.0
     assert streamed[100003].n_near_dups >= 1
+
+
+def test_stream_curation_gate_micro_batches(spark, tmp_path):
+    """X11: the FULL curation admission decision runs per micro-batch
+    through foreachBatch against the session-persisted corpus
+    artifacts (production xxhash64 mode).  Crafted arrivals exercise
+    every reject reason — including exact_dup, which no slice of the
+    synthetic corpus hits — and the union of per-batch decisions must
+    equal the batch twin."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.curation import (
+        DECONTAM_NGRAM,
+        curation_admission,
+    )
+    from hfcommunity_spark.operators.dedup import (
+        minhash_band_index,
+        shingle_hash_index,
+    )
+    from hfcommunity_spark.operators.sampling import hash_split
+
+    sf = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(f"{sf}/documents.parquet")
+    # a long corpus doc to replay (exact_dup) and near-modify (near_dup)
+    long_doc = (
+        corpus.filter(F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1 >= 40)
+        .orderBy("doc_id").limit(1).select("text").collect()[0].text
+    )
+    words = long_doc.split(" ")
+    near_text = " ".join(words[:-1] + ["zzzmutated"])
+    # a held-out corpus doc whose 5-grams the contaminated arrival copies
+    holdout_doc = (
+        corpus.select("doc_id", "text",
+                      hash_split(F.col("doc_id")).alias("split"))
+        .filter((F.col("split") != "train")
+                & (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1 >= 40))
+        .orderBy("doc_id").limit(1).collect()[0]
+    )
+    hw = holdout_doc.text.split(" ")
+    contaminated_text = " ".join(
+        ["fresh"] * 35 + hw[:DECONTAM_NGRAM]  # long enough + one leaked 5-gram
+    )
+    novel_text = " ".join(f"novelword{i}" for i in range(40))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    rows = [
+        (200001, long_doc),            # exact_dup
+        (200002, "tiny doc"),          # too_short
+        (200003, near_text),           # near_dup (sig differs, est high)
+        (200004, contaminated_text),   # contaminated
+        (200005, novel_text),          # admitted
+    ]
+    expected = {
+        200001: "exact_dup",
+        200002: "too_short",
+        200003: "near_dup",
+        200004: "contaminated",
+        200005: None,
+    }
+
+    corp_fp = corpus.select(F.sha2("text", 256).alias("fp"))
+    idx = minhash_band_index(spark, sf, hash_mode="xxhash64")
+    split = corpus.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+    holdout_sh = (
+        shingle_hash_index(spark, sf, DECONTAM_NGRAM)
+        .join(split.filter(F.col("split") != "train"), "doc_id")
+        .select("h")
+    )
+
+    src = str(tmp_path / "curation_in")
+    got = []
+
+    def gate_batch(batch_df, batch_id):
+        got.extend(
+            curation_admission(
+                batch_df, corp_fp, idx, holdout_sh, hash_mode="xxhash64"
+            ).collect()
+        )
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", f"{tmp_path}/ckpt_curation")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_stream()
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_stream()
+
+    streamed = {r.doc_id: r for r in got}
+    assert streamed.keys() == expected.keys()
+    for doc_id, want in expected.items():
+        assert streamed[doc_id].reason == want, (doc_id, streamed[doc_id])
+        assert streamed[doc_id].admitted == (want is None)
+
+    twin = {
+        r.doc_id: r.reason
+        for r in curation_admission(
+            spark.createDataFrame(rows, schema), corp_fp, idx, holdout_sh,
+            hash_mode="xxhash64",
+        ).collect()
+    }
+    assert twin == expected
