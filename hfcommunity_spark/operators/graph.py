@@ -88,17 +88,37 @@ def ancestors(commit_parents: DataFrame, start_shas: DataFrame,
     )
 
 
+# Below this many distinct edges the whole component problem fits one
+# task and the single-pass union-find beats star contraction's
+# multi-round fixed costs (each round = several shuffles + an eager
+# checkpoint + two probe jobs — ~1-2s of overhead per round at any
+# data size).  4M edges ≈ 64 MB of longs plus the parent dict — well
+# inside one executor task.  Dedup edge sets are SMALL relative to the
+# corpus (only τ-near pairs survive), so even 100 TB runs often take
+# this path; the star path remains the unbounded fallback.
+CC_LOCAL_EDGE_LIMIT = 4_000_000
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
-                         max_iters: int = 25) -> DataFrame:
-    """Undirected connected components via alternating large-star /
-    small-star contraction (Kiveris et al., "Connected Components in
-    MapReduce and Beyond") — O(log n) rounds vs. O(diameter) for plain
-    min-label propagation, with the same per-round primitive (one
-    equi join + one min aggregation).  Returns (vertex, component)
+                         max_iters: int = 25,
+                         local_edge_limit: int = CC_LOCAL_EDGE_LIMIT,
+                         ) -> DataFrame:
+    """Undirected connected components.  Returns (vertex, component)
     with component = min vertex id reachable.
 
-    Each round every node u computes m(u) = min of itself and its
+    Adaptive execution (the AQE-broadcast-switch philosophy applied to
+    an iterative algorithm): the deduplicated edge set is materialized
+    once (eager localCheckpoint) and counted; at or below
+    ``local_edge_limit`` a SINGLE-TASK union-find labels it in one
+    pass (executor-side ``mapInPandas``, union-by-min so the root IS
+    the component minimum), otherwise the alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") runs — O(log n) rounds vs. O(diameter) for
+    plain min-label propagation, with the same per-round primitive
+    (one equi join + one min aggregation).
+
+    Star rounds: every node u computes m(u) = min of itself and its
     neighbors; large-star rewires u's strictly-larger neighbors to
     m(u), small-star rewires u's smaller neighbors AND u itself to
     m(u).  The edge set monotonically contracts toward stars centered
@@ -106,9 +126,19 @@ def connected_components(edges: DataFrame, src: str = "src",
     fixpoint.  The loop is driver-side and eager, the data stays
     distributed.  Raises RuntimeError if ``max_iters`` rounds pass
     without a fixpoint (silent non-convergence would return wrong
-    labels with no hint — ADVICE r2)."""
-    labels, _rounds, converged = _star_components(
-        edges, src, dst, max_iters
+    labels with no hint — ADVICE r2).  Tests force the star path with
+    ``local_edge_limit=0``."""
+    spark = edges.sparkSession
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    e, e_ids = _eager_checkpoint(e0.distinct())
+    n_edges = e.count()
+    if n_edges <= local_edge_limit:
+        return _local_union_find(e)
+    labels, _rounds, converged = _star_rounds(
+        spark, e, e_ids, n_edges, max_iters
     )
     if not converged:
         raise RuntimeError(
@@ -118,35 +148,81 @@ def connected_components(edges: DataFrame, src: str = "src",
     return labels
 
 
+def _local_union_find(e: DataFrame) -> DataFrame:
+    """(vertex, component) by one union-find pass over the (already
+    checkpointed) edge frame in a single executor task.  Union-by-min
+    keeps every tree rooted at its minimum vertex id, so the final
+    root equals the star path's component label exactly."""
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+                ra, rb = find(int(a)), find(int(b))
+                if ra == rb:
+                    continue
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        vs = sorted(parent)
+        yield pd.DataFrame(
+            {"vertex": vs, "component": [find(v) for v in vs]}
+        )
+
+    return e.coalesce(1).mapInPandas(uf, "vertex long, component long")
+
+
 def _star_components(edges: DataFrame, src: str, dst: str,
                      max_iters: int) -> tuple[DataFrame, int, bool]:
-    """(labels, rounds_used, converged) — see connected_components."""
+    """(labels, rounds_used, converged) — the star path, always (no
+    adaptive switch); kept for the round-count benchmarks in
+    tests/test_graph.py."""
+    spark = edges.sparkSession
     e0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
+    e, e_ids = _eager_checkpoint(e0.distinct())
+    return _star_rounds(spark, e, e_ids, e.count(), max_iters)
+
+
+def _star_rounds(spark: SparkSession, e: DataFrame, e_ids: list[int],
+                 n_edges: int,
+                 max_iters: int) -> tuple[DataFrame, int, bool]:
+    """Large/small-star contraction over a pre-checkpointed edge set."""
     # each round's edge set is materialized with an EAGER localCheckpoint:
     # unlike persist(), it truncates the logical plan, and star rounds
     # reference their input ~16× (sym twice, mins over sym, small over
     # large over sym...) — without truncation the plan tree grows
     # exponentially per round and Catalyst OOMs on canonicalization
-    # before the data is ever touched
-    spark = edges.sparkSession
-    e, e_ids = _eager_checkpoint(e0.distinct())
+    # before the data is ever touched.  The caller already checkpointed
+    # and counted the deduplicated input (`e`, `e_ids`, `n_edges`).
+    #
     # vertices of the ORIGINAL graph (star contraction prunes interior
     # edges, so the final labels must re-attach every input vertex) —
-    # derived from the CHECKPOINTED edge set: deriving from e0 would
-    # re-run the whole upstream edge pipeline (e.g. the shingle join
-    # feeding dd_dup_clusters) a second time at the final label join.
-    # Eager (not lazy): round 1's checkpoint supersedes the initial edge
-    # set and frees its blocks below, so everything that reads them must
-    # be materialized first.
+    # derived from the CHECKPOINTED edge set: deriving from the raw
+    # edges would re-run the whole upstream edge pipeline (e.g. the
+    # shingle join feeding dd_dup_clusters) a second time at the final
+    # label join.  Eager (not lazy): round 1's checkpoint supersedes
+    # the initial edge set and frees its blocks below, so everything
+    # that reads them must be materialized first.
     vertices, _vertex_ids = _eager_checkpoint(
         e.select(F.col("a").alias("vertex"))
         .unionByName(e.select(F.col("b").alias("vertex")))
         .distinct()
     )
-    n_edges = e.count()
     converged = False
     rounds = 0
 

@@ -165,4 +165,39 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(40)], ["src", "dst"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iters=2)
+        # local_edge_limit=0 forces the star path (the adaptive
+        # union-find would label 40 edges in one pass)
+        connected_components(edges, max_iters=2, local_edge_limit=0)
+
+
+def test_local_union_find_matches_star_path(spark):
+    """The adaptive single-task union-find and the star path must
+    produce identical labels on random graphs, and the default limit
+    routes small edge sets to the local path."""
+    import random
+
+    from hfcommunity_spark.operators.graph import connected_components
+
+    rng = random.Random(77)
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(150)
+    ] + [(200, 201)]  # plus an isolated 2-cycle-free island
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    local = {
+        (r.vertex, r.component)
+        for r in connected_components(df).collect()
+    }
+    star = {
+        (r.vertex, r.component)
+        for r in connected_components(df, local_edge_limit=0).collect()
+    }
+    assert local == star and local
+
+
+def test_local_union_find_empty_edges(spark):
+    from hfcommunity_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(empty)
+    assert out.columns == ["vertex", "component"]
+    assert out.count() == 0
