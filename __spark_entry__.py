@@ -21,10 +21,17 @@ from hfcommunity_spark.queries import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from hfcommunity_spark.operators.relational import a7_pricing_summary
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return a7_pricing_summary(spark, "/root/testdata/sf0.001")
+    The flagship is the end-to-end curation composite (quality gate →
+    exact dedup → near-dup canonicalization → decontamination →
+    corpus stats) — the north-star training-data pipeline in one
+    declared, oracle-checked query."""
+    from hfcommunity_spark.operators.curation import (
+        pipe_curation_end_to_end,
+    )
+
+    return pipe_curation_end_to_end(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
