@@ -40,11 +40,10 @@ from hfcommunity_spark.operators.dedup import (
 )
 from hfcommunity_spark.operators.sampling import (
     DECONTAM_NGRAM,
-    SALT,
-    TRAIN_UPPER,
-    VAL_UPPER,
     hash_split,
+    hash_split_sql,
 )
+from hfcommunity_spark.operators.textops import token_count
 
 MIN_TOKENS = 30  # quality gate: drop the 'short' length bucket
 # (at sf0.01 the four stages keep 302 of 500 docs — every stage prunes)
@@ -93,12 +92,7 @@ _CURATION_ORACLE = f"""
              WHERE c.component IS NULL OR c.component = e.doc_id),
     -- stage 4: train split minus docs sharing a {DECONTAM_NGRAM}-gram
     -- with ANY held-out doc (full-corpus held-out side)
-    spl AS (SELECT doc_id,
-             CASE WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)),
-                              1, 2) < '{TRAIN_UPPER}' THEN 'train'
-                  WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)),
-                              1, 2) < '{VAL_UPPER}' THEN 'val'
-                  ELSE 'test' END AS split
+    spl AS (SELECT doc_id, {hash_split_sql()} AS split
             FROM documents),
     shd AS (SELECT DISTINCT doc_id,
                    {shingle_unnest_sql(DECONTAM_NGRAM)} AS shingle
@@ -156,7 +150,7 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     text = F.col("text")
-    ntok = F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    ntok = token_count(text)
 
     # stage 1: quality gate
     q = docs.select(
@@ -238,12 +232,7 @@ _X11_ORACLE = f"""
                ON i.band = c.band AND i.bhash = c.bhash
                   AND i.doc_id <> c.doc_id
              GROUP BY i.doc_id),
-    spl AS (SELECT doc_id,
-             CASE WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)),
-                              1, 2) < '{TRAIN_UPPER}' THEN 'train'
-                  WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)),
-                              1, 2) < '{VAL_UPPER}' THEN 'val'
-                  ELSE 'test' END AS split
+    spl AS (SELECT doc_id, {hash_split_sql()} AS split
             FROM documents),
     dtoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     shd AS (SELECT DISTINCT doc_id,
@@ -286,7 +275,7 @@ def x11_streaming_curation_gate(spark: SparkSession,
     probe of the corpus), ``near_dup`` (MinHash estimate ≥ 0.5
     against the session-persisted, capped corpus band index —
     incoming side deliberately uncapped), ``contaminated`` (shares a
-    {DECONTAM_NGRAM}-gram with a held-out corpus doc).
+    ``DECONTAM_NGRAM``-gram with a held-out corpus doc).
 
     Every probe is a stream-static join against an index the batch
     pipeline already maintains, so ingestion adds no new state: at
@@ -325,7 +314,7 @@ def curation_admission(incoming: DataFrame, corp_fp: DataFrame,
     ``incoming`` (doc_id, text) against the corpus artifacts —
     ``corp_fp`` (fp: sha256 text fingerprints), ``band_index`` (the
     capped MinHash band index), ``holdout_sh`` (h: held-out
-    {DECONTAM_NGRAM}-gram shingle hashes).  Returns (doc_id, admitted,
+    ``DECONTAM_NGRAM``-gram shingle hashes).  Returns (doc_id, admitted,
     reason) with the first failing stage as the reason."""
     from hfcommunity_spark.operators.dedup import (
         doc_shingle_hashes,
@@ -333,25 +322,31 @@ def curation_admission(incoming: DataFrame, corp_fp: DataFrame,
     )
 
     text = F.col("text")
-    ntok = (
-        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
-    )
     inc = incoming.select(
-        "doc_id", ntok.alias("ntok"), F.sha2(text, 256).alias("fp")
+        "doc_id", token_count(text).alias("ntok"),
+        F.sha2(text, 256).alias("fp"),
     )
-    fp_flag = corp_fp.distinct().withColumn("is_exact_dup", F.lit(True))
+    # semi-join flag, not a left join on fp: the corpus side needs no
+    # dedup (left_semi is insensitive to duplicates — no extra
+    # distinct shuffle in the per-batch hot path, and no row blowup if
+    # the corpus holds repeated fingerprints)
+    exact = (
+        inc.join(corp_fp, inc.fp == corp_fp.fp, "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact_dup", F.lit(True))
+    )
     gate = neardup_gate(incoming, band_index, hash_mode=hash_mode).select(
         "doc_id", "max_est_similarity"
     )
     contam = (
         doc_shingle_hashes(incoming, DECONTAM_NGRAM)
-        .join(holdout_sh.select("h").distinct(), "h", "left_semi")
+        .join(holdout_sh.select("h"), "h", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_contaminated", F.lit(True))
     )
     decided = (
-        inc.join(fp_flag, "fp", "left")
+        inc.join(exact, "doc_id", "left")
         .join(gate, "doc_id", "left")
         .join(contam, "doc_id", "left")
         .select(

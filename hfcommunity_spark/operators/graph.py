@@ -20,12 +20,26 @@ from pyspark.sql import functions as F
 def _eager_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
     """``localCheckpoint(eager=True)`` plus the ids of the checkpoint's
     newly persisted RDD blocks, so the caller can free a superseded
-    round's storage deterministically (see :func:`_free_checkpoint`)."""
+    round's storage deterministically (see :func:`_free_checkpoint`).
+
+    The before/after diff of persistent RDDs is filtered to ids whose
+    RDD is actually locally checkpointed: the checkpoint JOB may also
+    materialize unrelated LAZY ``persist()`` caches upstream (e.g. a
+    session-persisted index feeding the edge pipeline), and without
+    the filter those ids were captured here and later unpersisted by
+    ``_free_checkpoint`` — silently evicting build-once/probe-many
+    caches for the rest of the session (round-5 review finding)."""
     jsc = df.sparkSession.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
     ck = df.localCheckpoint(eager=True)
-    after = set(jsc.getPersistentRDDs().keySet().toArray())
-    return ck, sorted(after - before)
+    m = jsc.getPersistentRDDs()
+    new_ids = set(m.keySet().toArray()) - before
+    ck_ids = []
+    for i in new_ids:
+        rdd = m.get(i)
+        if rdd is not None and rdd.rdd().isLocallyCheckpointed():
+            ck_ids.append(i)
+    return ck, sorted(ck_ids)
 
 
 def _free_checkpoint(spark: SparkSession, ids: list[int]) -> None:
@@ -89,13 +103,16 @@ def ancestors(commit_parents: DataFrame, start_shas: DataFrame,
 
 
 # Below this many distinct edges the whole component problem fits one
-# task and the single-pass union-find beats star contraction's
+# task and the single-task vectorized labeling beats star contraction's
 # multi-round fixed costs (each round = several shuffles + an eager
 # checkpoint + two probe jobs — ~1-2s of overhead per round at any
-# data size).  4M edges ≈ 64 MB of longs plus the parent dict — well
-# inside one executor task.  Dedup edge sets are SMALL relative to the
-# corpus (only τ-near pairs survive), so even 100 TB runs often take
-# this path; the star path remains the unbounded fallback.
+# data size).  The labeling is numpy min-propagation + pointer jumping
+# (no per-edge Python loop): 4M edges ≈ two 32 MB int64 arrays plus
+# O(V) label arrays, converging in O(log diameter) vectorized rounds —
+# seconds of one core, well inside one executor task.  Dedup edge sets
+# are SMALL relative to the corpus (only τ-near pairs survive), so
+# even 100 TB runs often take this path; the star path remains the
+# unbounded fallback.
 CC_LOCAL_EDGE_LIMIT = 4_000_000
 
 
@@ -149,37 +166,43 @@ def connected_components(edges: DataFrame, src: str = "src",
 
 
 def _local_union_find(e: DataFrame) -> DataFrame:
-    """(vertex, component) by one union-find pass over the (already
-    checkpointed) edge frame in a single executor task.  Union-by-min
-    keeps every tree rooted at its minimum vertex id, so the final
-    root equals the star path's component label exactly."""
+    """(vertex, component) over the (already checkpointed) edge frame
+    in a single executor task, fully vectorized: per round, every
+    vertex takes the min label across its edges (two ``minimum.at``
+    scatters), then pointer-jumps (``label[label]``) to a fixpoint —
+    label paths halve per jump, so rounds are O(log diameter) and
+    every round is C-speed numpy over int64 arrays (a per-edge Python
+    union-find loop would spend minutes at the 4M-edge limit).  Labels
+    are vertex indices in ascending-id order, so the converged label
+    IS the component minimum — identical to the star path."""
 
     def uf(batches):
+        import numpy as np
         import pandas as pd
 
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.setdefault(r, r) != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
+        chunks_a, chunks_b = [], []
         for pdf in batches:
-            for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
-                ra, rb = find(int(a)), find(int(b))
-                if ra == rb:
-                    continue
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        vs = sorted(parent)
-        yield pd.DataFrame(
-            {"vertex": vs, "component": [find(v) for v in vs]}
-        )
+            chunks_a.append(pdf["a"].to_numpy(dtype=np.int64))
+            chunks_b.append(pdf["b"].to_numpy(dtype=np.int64))
+        a = (np.concatenate(chunks_a) if chunks_a
+             else np.empty(0, np.int64))
+        b = (np.concatenate(chunks_b) if chunks_b
+             else np.empty(0, np.int64))
+        verts, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = inv[: len(a)], inv[len(a):]
+        label = np.arange(len(verts), dtype=np.int64)
+        while True:
+            prev = label.copy()
+            np.minimum.at(label, ai, label[bi])
+            np.minimum.at(label, bi, label[ai])
+            while True:  # pointer jumping
+                nxt = label[label]
+                if np.array_equal(nxt, label):
+                    break
+                label = nxt
+            if np.array_equal(label, prev):
+                break
+        yield pd.DataFrame({"vertex": verts, "component": verts[label]})
 
     return e.coalesce(1).mapInPandas(uf, "vertex long, component long")
 

@@ -82,6 +82,18 @@ def hash_split(col) -> F.Column:
     )
 
 
+def hash_split_sql(id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`hash_split` as a CASE fragment — generated
+    from the same SALT / boundary constants so every oracle that embeds
+    the split derives it from ONE definition (the same no-hand-copies
+    rule as ``shingle_unnest_sql``; round-5 review finding)."""
+    h = f"substr(sha256('{SALT}' || CAST({id_expr} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {h} < '{TRAIN_UPPER}' THEN 'train' "
+        f"WHEN {h} < '{VAL_UPPER}' THEN 'val' ELSE 'test' END"
+    )
+
+
 CONTAM_NGRAM = 3  # contamination screens use smaller n than dedup:
 # a 3-gram hit is a weaker signal but catches partial leakage
 
@@ -91,11 +103,7 @@ CONTAM_NGRAM = 3  # contamination screens use smaller n than dedup:
     f"""
     WITH sp AS (
       SELECT doc_id, text,
-             CASE WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
-                       < '{TRAIN_UPPER}' THEN 'train'
-                  WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
-                       < '{VAL_UPPER}' THEN 'val'
-                  ELSE 'test' END AS split
+             {hash_split_sql()} AS split
       FROM documents
     ),
     toks AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM sp),
@@ -151,11 +159,7 @@ DECONTAM_NGRAM = 5  # the ACTION uses the dedup shingle width: a full
     f"""
     WITH sp AS (
       SELECT doc_id, source,
-             CASE WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
-                       < '{TRAIN_UPPER}' THEN 'train'
-                  WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
-                       < '{VAL_UPPER}' THEN 'val'
-                  ELSE 'test' END AS split
+             {hash_split_sql()} AS split
       FROM documents
     ),
     toks AS (SELECT d.doc_id, sp.split, string_split(d.text, ' ') AS w
@@ -210,11 +214,7 @@ def samp_decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT source, split, COUNT(*) AS n_docs FROM (
       SELECT source,
-             CASE WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
-                       < '{TRAIN_UPPER}' THEN 'train'
-                  WHEN substr(sha256('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
-                       < '{VAL_UPPER}' THEN 'val'
-                  ELSE 'test' END AS split
+             {hash_split_sql()} AS split
       FROM documents
     ) GROUP BY source, split
     """,

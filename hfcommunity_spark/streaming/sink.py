@@ -70,11 +70,33 @@ class SnapshotMergeSink:
         corrupt footer) would then dynamic-partition-overwrite dirty
         buckets without merging, silently dropping sunk rows (ADVICE
         r4).  Now only true absence bootstraps; real read errors
-        propagate so the micro-batch fails and retries."""
+        propagate so the micro-batch fails and retries.
+
+        True absence includes an existing directory with NO committed
+        data file: a crash during the very first write leaves the dir
+        with only ``_temporary``/marker entries, and treating that as
+        an existing snapshot would fail schema inference on every
+        retry — the stream could never bootstrap (round-5 review
+        finding).  A committed parquet footer that is merely corrupt
+        still counts as existing, so that failure mode continues to
+        propagate instead of overwriting."""
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs.exists(jpath)
+        if not fs.exists(jpath):
+            return False
+        base = fs.makeQualified(jpath).toString().rstrip("/")
+        it = fs.listFiles(jpath, True)  # recursive over partition dirs
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            rel = p[len(base):].lstrip("/")
+            # committed data files only: every path segment must be
+            # visible (skips _temporary/** leftovers, _SUCCESS markers,
+            # dot-hidden commit metadata) — the same rule Spark's own
+            # file listing applies
+            if all(not seg.startswith(("_", ".")) for seg in rel.split("/")):
+                return True
+        return False
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -201,3 +201,37 @@ def test_local_union_find_empty_edges(spark):
     out = connected_components(empty)
     assert out.columns == ["vertex", "component"]
     assert out.count() == 0
+
+
+def test_eager_checkpoint_does_not_capture_lazy_caches(spark):
+    """Round-5 review: a LAZY persist() whose first materialization
+    happens inside a checkpoint job must not be captured as checkpoint
+    storage — _free_checkpoint would otherwise evict it and every
+    later probe would recompute from scratch."""
+    from hfcommunity_spark.operators.graph import (
+        _eager_checkpoint,
+        _free_checkpoint,
+    )
+
+    jsc = spark.sparkContext._jsc
+    base = set(jsc.getPersistentRDDs().keySet().toArray())
+    cached = spark.range(1000).selectExpr("id", "id * 2 AS v").persist()
+    try:
+        # not yet materialized; the checkpoint job triggers it
+        derived = cached.selectExpr("id", "v + 1 AS w")
+        ck, ids = _eager_checkpoint(derived)
+        assert ck.count() == 1000
+        assert ids, "checkpoint storage must be captured"
+        _free_checkpoint(spark, ids)
+        m = jsc.getPersistentRDDs()
+        survivors = [
+            i for i in set(m.keySet().toArray()) - base
+            if m.get(i) is not None
+            and not m.get(i).rdd().isLocallyCheckpointed()
+        ]
+        assert survivors, "lazy cache was evicted by _free_checkpoint"
+        for i in ids:  # the checkpoint blocks themselves ARE freed
+            assert m.get(i) is None or not m.get(
+                i).rdd().getStorageLevel().isValid()
+    finally:
+        cached.unpersist()

@@ -253,3 +253,30 @@ def test_bucketed_sink_through_streaming_attach(spark, tmp_path):
     assert final.event_id.tolist() == [1, 2]
     assert BUCKET_COL not in final.columns
     assert final[final.event_id == 1].value.tolist() == [1.0]
+
+
+def test_sink_bootstraps_over_crashed_first_write(spark, tmp_path):
+    """Round-5 review: a directory left behind by a CRASHED first write
+    (only _temporary leftovers, no committed data file) is true absence
+    — the sink must bootstrap instead of failing schema inference on
+    every retry forever."""
+    import os
+
+    snap = str(tmp_path / "snapshot")
+    os.makedirs(os.path.join(snap, "_temporary", "0"))
+    with open(os.path.join(snap, "_temporary", "0",
+                           "part-00000.parquet"), "wb") as f:
+        f.write(b"uncommitted leftover")
+    sink = SnapshotMergeSink(
+        snap, pk=["event_id"], order_by=["ts"], n_buckets=4
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, T0, 1, "click", 1.0, None)],
+            columns=["event_id", "ts", "user_id", "event_type",
+                     "value", "props"],
+        ),
+        schema=jobs.EVENT_SCHEMA,
+    )
+    sink.process_batch(batch, 0)
+    assert sink.read(spark).count() == 1
