@@ -492,3 +492,66 @@ def test_stream_curation_gate_micro_batches(spark, tmp_path):
         ).collect()
     }
     assert twin == expected
+
+
+def test_stream_curation_gate_index_evolution(spark, tmp_path):
+    """The real ingestion loop: each batch's ADMITTED docs append
+    their band rows to the corpus index before the next batch probes —
+    a near-copy of a doc admitted in batch 1 must be rejected in batch
+    2, which a static index would have admitted."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.curation import curation_admission
+    from hfcommunity_spark.operators.dedup import (
+        _minhash_bands,
+        minhash_band_index,
+        minhash_signatures,
+        shingle_hash_index,
+    )
+    from hfcommunity_spark.operators.sampling import hash_split
+
+    sf = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(f"{sf}/documents.parquet")
+    corp_fp = corpus.select(F.sha2("text", 256).alias("fp"))
+    split = corpus.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+    holdout_sh = (
+        shingle_hash_index(spark, sf, 5)
+        .join(split.filter(F.col("split") != "train"), "doc_id")
+        .select("h")
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    novel = " ".join(f"evolvetoken{i}" for i in range(45))
+    near_copy = " ".join(
+        novel.split(" ")[:-1] + ["evolvemutated"]
+    )
+    batch1 = spark.createDataFrame([(300001, novel)], schema)
+    batch2 = spark.createDataFrame([(300002, near_copy)], schema)
+
+    idx = minhash_band_index(spark, sf, hash_mode="xxhash64")
+
+    # batch 1: novel doc admitted
+    d1 = curation_admission(batch1, corp_fp, idx, holdout_sh).collect()
+    assert d1[0].admitted and d1[0].reason is None
+
+    # maintenance: admitted docs' bands append to the index (at scale:
+    # an append to the bucket-partitioned index table)
+    admitted_ids = [r.doc_id for r in d1 if r.admitted]
+    admitted_docs = batch1.filter(F.col("doc_id").isin(admitted_ids))
+    evolved = idx.unionByName(
+        _minhash_bands(
+            minhash_signatures(admitted_docs, hash_mode="xxhash64"),
+            "xxhash64",
+        )
+    )
+
+    # batch 2 vs STATIC index: the near-copy sails through (wrong)
+    static = curation_admission(batch2, corp_fp, idx, holdout_sh).collect()
+    assert static[0].admitted
+
+    # batch 2 vs EVOLVED index: rejected as a near-dup of 300001
+    d2 = curation_admission(batch2, corp_fp, evolved, holdout_sh).collect()
+    assert not d2[0].admitted and d2[0].reason == "near_dup"
