@@ -629,27 +629,25 @@ def s7_git_history_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S11 — catalog introspection (databaseImport.py:70-75)
 # ---------------------------------------------------------------------------
 
-_S11_TABLES_SQL = ", ".join(f"'{t}'" for t in TESTDATA_TABLES)
-
-
-@query(
-    "s11_catalog_columns",
-    f"""
-    SELECT table_name,
-           column_name,
-           CAST(ordinal_position AS INT) AS ordinal,
-           CASE data_type
+_S11_DESCRIBES = "\n    UNION ALL\n    ".join(
+    f"""SELECT '{t}' AS table_name, column_name,
+           CASE column_type
              WHEN 'BIGINT' THEN 'bigint'
              WHEN 'INTEGER' THEN 'int'
              WHEN 'VARCHAR' THEN 'string'
              WHEN 'DOUBLE' THEN 'double'
              WHEN 'TIMESTAMP' THEN 'timestamp'
              WHEN 'FLOAT[]' THEN 'array<float>'
-             ELSE lower(data_type)
+             ELSE lower(column_type)
            END AS dtype
-    FROM information_schema.columns
-    WHERE table_name IN ({_S11_TABLES_SQL})
-    """,
+    FROM (DESCRIBE SELECT * FROM {t})"""
+    for t in TESTDATA_TABLES
+)
+
+
+@query(
+    "s11_catalog_columns",
+    _S11_DESCRIBES,
     survey="S11,S13",
 )
 def s11_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,20 +656,24 @@ def s11_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema (:70-75).  Both engines walk their catalog over the same
     ten tables and must agree column-by-column — Spark's post-load
     schema (including the events ns→µs timestamp normalization in
-    ``io.read_table``) vs DuckDB's ``information_schema.columns``,
-    normalized to Spark's ``simpleString`` type vocabulary."""
+    ``io.read_table``) vs DuckDB ``DESCRIBE`` subqueries, normalized
+    to Spark's ``simpleString`` type vocabulary.  DESCRIBE (rather
+    than ``information_schema.columns``) resolves each table exactly
+    like a query would, so the oracle is agnostic to HOW the driver
+    registered the views (CREATE VIEW, CTAS, or ``con.register``) and
+    immune to same-named tables in other attached schemas."""
     rows = []
     for t in TESTDATA_TABLES:
         schema = read_table(spark, sf_dir, t).schema
-        for i, field in enumerate(schema.fields, start=1):
+        for field in schema.fields:
             # parquet naive timestamps surface as TIMESTAMP_NTZ in Spark
             # and plain TIMESTAMP in DuckDB — one wall-clock type in both
             dtype = field.dataType.simpleString().replace(
                 "timestamp_ntz", "timestamp"
             )
-            rows.append((t, field.name, i, dtype))
+            rows.append((t, field.name, dtype))
     return spark.createDataFrame(
-        rows, "table_name string, column_name string, ordinal int, dtype string"
+        rows, "table_name string, column_name string, dtype string"
     )
 
 
