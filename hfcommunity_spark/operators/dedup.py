@@ -782,3 +782,81 @@ def simhash_near_dups(docs: DataFrame,
     return simhash_pairs_from_chunks(
         _simhash_chunks(simhash_signatures(docs, hash_mode=hash_mode))
     )
+
+
+# --- exact-substring duplication audit (round 5) -------------------
+
+_DUP_SPAN_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    spans AS (SELECT doc_id, {shingle_unnest_sql(NGRAM)} AS shingle
+              FROM toks WHERE len(w) >= {NGRAM}),
+    occ AS (SELECT shingle FROM
+              (SELECT shingle, COUNT(DISTINCT doc_id) AS nd
+               FROM spans GROUP BY shingle)
+            WHERE nd >= 2),
+    tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans
+            GROUP BY doc_id),
+    dup AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+            FROM spans JOIN occ USING (shingle) GROUP BY doc_id)
+    SELECT tot.doc_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(n_dup_spans, 0) AS DOUBLE) / n_spans
+             AS dup_ratio
+    FROM tot LEFT JOIN dup USING (doc_id)
+    """
+
+
+@query("dd_dup_span_ratio", _DUP_SPAN_ORACLE, survey="X-UD5,J2,A7")
+def dd_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (the RefinedWeb/Gopher
+    "exact substring dedup" diagnostic, at shingle resolution): for
+    every document, the fraction of its {NGRAM}-gram positions whose
+    span also occurs in at least one OTHER document.  Downstream
+    curation strips or down-weights docs whose dup_ratio crosses a
+    policy threshold — this query is the audit face that makes the
+    policy testable.
+
+    Scale shape: positions keep multiplicity (unlike the Jaccard
+    posting list) but every shingle-keyed shuffle moves the 8-byte
+    ``xxhash64`` of the span, never the string
+    (:func:`doc_shingle_hashes` trade, same ~1e-9 collision bound vs
+    the string-keyed oracle); the cross-doc occurrence set is a
+    map-side-combined distinct + count ≥2 filter, and the dup-position
+    count is a left-semi probe of that (deduplicated, hence
+    non-multiplying) key set — no pair join anywhere, so cost stays
+    linear in corpus size where true pairwise dedup would be
+    quadratic.  All outputs are exact integers with one final double
+    division."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_words = docs.withColumn("w", F.split(F.col("text"), " ")).filter(
+        F.size("w") >= NGRAM
+    )
+    spans = with_words.select(
+        "doc_id", F.explode(F.expr(_shingle_expr(NGRAM))).alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    tot = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    occ = (
+        spans.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = (
+        spans.join(occ, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return tot.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+        (
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("double")
+            / F.col("n_spans")
+        ).alias("dup_ratio"),
+    )

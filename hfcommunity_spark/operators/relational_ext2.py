@@ -504,3 +504,92 @@ def w6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+# --- rolling-window anomaly detection (round 5) --------------------
+
+ANOM_LOOKBACK = 20   # trailing frame width (rows), current row excluded
+ANOM_Z = 2.5         # |z| threshold
+
+_ANOMALY_ORACLE = f"""
+    WITH m AS (
+      SELECT event_id, event_type, ts,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS micro
+      FROM events
+    ),
+    framed AS (
+      SELECT event_id, event_type, ts, micro,
+             COUNT(*) OVER w AS cnt,
+             SUM(micro) OVER w AS s1,
+             SUM(CAST(micro AS DECIMAL(38,0)) * micro) OVER w AS s2
+      FROM m
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING
+                            AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_id, event_type, ts,
+             ROUND((CAST(micro AS DOUBLE) * cnt - s1)
+                   / SQRT(CAST(cnt * s2 - CAST(s1 AS DECIMAL(38,0)) * s1
+                               AS DOUBLE)), 4) AS z_rounded
+      FROM framed WHERE cnt = {ANOM_LOOKBACK}
+    )
+    SELECT event_id, event_type, ts, z_rounded
+    FROM z WHERE ABS(z_rounded) >= {ANOM_Z}
+    """
+
+
+@query("w_event_anomaly_zscore", _ANOMALY_ORACLE, survey="W3,F11,X-UD5")
+def w_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    the mean/std of its event_type's trailing {ANOM_LOOKBACK}-row
+    frame (current row excluded — no self-contamination), flagged at
+    |z| ≥ {ANOM_Z}.  The batch twin of a streaming metrics monitor —
+    the same frame algebra a `transformWithState` job would keep as
+    a ring buffer per key.
+
+    Scale shape: one shuffle on event_type (the window partition key);
+    the frame sums are incremental per partition.  Key skew bounds the
+    partition sizes exactly as the other per-key windows in this
+    module.
+
+    Determinism: values are floored to exact integer micro-units, so
+    the frame sums are exact (BIGINT / DECIMAL(38,0)) no matter what
+    order the engine's frame accumulator adds them in; the z-score is
+    algebraically rearranged to (x·n − Σx)/√(n·Σx² − (Σx)²) so the
+    only floating ops are one exact-int→double cast each, one IEEE
+    sqrt (correctly rounded), and one division — bit-identical
+    cross-engine; the hash-checked value is rounded to 4 decimals."""
+    events = read_table(spark, sf_dir, "events")
+    m = events.select(
+        "event_id", "event_type", "ts",
+        F.floor(F.col("value") * 1000000).cast("long").alias("micro"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_LOOKBACK, -1)
+    )
+    micro_dec = F.col("micro").cast("decimal(38,0)")
+    framed = m.select(
+        "event_id", "event_type", "ts", "micro",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("micro").over(w).alias("s1"),
+        F.sum(micro_dec * F.col("micro")).over(w).alias("s2"),
+    )
+    var_num = (
+        F.col("cnt") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    )
+    z = (
+        (F.col("micro").cast("double") * F.col("cnt") - F.col("s1"))
+        / F.sqrt(var_num.cast("double"))
+    )
+    return (
+        framed.filter(F.col("cnt") == ANOM_LOOKBACK)
+        .select(
+            "event_id", "event_type", "ts",
+            F.round(z, 4).alias("z_rounded"),
+        )
+        .filter(F.abs(F.col("z_rounded")) >= ANOM_Z)
+    )

@@ -1066,3 +1066,79 @@ def dd_semantic_dedup_quality_gate(spark: SparkSession,
     pairs = cosine_pair_index(spark, sf_dir, COSINE_PAIR_TAU)
     gated = pairs.join(kept, F.col("vec_a") == F.col("kid"), "left_semi")
     return gated.join(kept, F.col("vec_b") == F.col("kid"), "left_semi")
+
+
+# --- embedding-space quality pruning (round 5) ---------------------
+
+OUTLIER_PER_LABEL = 3
+
+_OUTLIER_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    dims AS (SELECT unnest(range(1, {DIM + 1})) AS dim),
+    per_dim AS (SELECT label, dim, SUM(emb[dim]) / COUNT(*) AS m
+                FROM e, dims GROUP BY label, dim),
+    c AS (SELECT label, list(m ORDER BY dim) AS centroid
+          FROM per_dim GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             ROUND(list_sum(list_transform(range(1, {DIM + 1}),
+                     i -> (emb[i] - centroid[i]) * (emb[i] - centroid[i]))),
+                   4)::DOUBLE AS dist2_rounded
+      FROM e JOIN c USING (label)),
+    ranked AS (
+      SELECT label, vec_id, dist2_rounded,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY dist2_rounded DESC, vec_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT label, vec_id, dist2_rounded, rank
+    FROM ranked WHERE rank <= {OUTLIER_PER_LABEL}
+    """
+
+
+@query("emb_centroid_outlier_prune", _OUTLIER_ORACLE,
+       survey="X-UD5,W1,J9,A7")
+def emb_centroid_outlier_prune(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Embedding-space quality pruning: the ``OUTLIER_PER_LABEL``
+    vectors farthest (squared euclidean) from their own label centroid
+    — the cluster-outlier half of SemDeDup-style curation (SemDeDup
+    removes the *densest* duplicates; its published companion prune
+    drops the farthest-from-centroid outliers as likely noise).
+
+    Scale shape: the centroid build is the same k×dim posexplode
+    partial agg as the IVF family (one tiny shuffle regardless of row
+    count); the distance is a codegen'd ``zip_with``/``aggregate``
+    fold after a k-row broadcast join — no Python worker, no
+    data-sized shuffle.  The per-label ranking windows over k
+    partitions; per-label cardinality is corpus_size/k, the same
+    bound the stratified-sampling window carries
+    (``sampling.py:samp_stratified_topn``).
+
+    Determinism: the fold adds the 64 squared diffs strictly
+    left-to-right; the oracle's ``list_sum(list_transform(...))``
+    walks the same order.  Scores are rounded to 4 decimals and the
+    rank is computed over the ROUNDED score (vec_id tie-break), so
+    the ordering is reproducible from the displayed values."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = _centroid_rows(emb).withColumnRenamed("cell", "label")
+    e = emb.select(
+        "label", "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", F.round(dist2, 4).alias("dist2_rounded")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist2_rounded"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OUTLIER_PER_LABEL)
+        .select("label", "vec_id", "dist2_rounded", "rank")
+    )

@@ -68,6 +68,10 @@ try:
     from hfcommunity_spark.operators import curation  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from hfcommunity_spark.operators import retrieval  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # The first 50 registry entries — the driver's correctness window.

@@ -1,0 +1,115 @@
+"""Invariant tests for the round-5 additions: BM25 retrieval,
+embedding-centroid outlier pruning, rolling z-score anomaly
+detection, and the exact-substring duplication audit.
+
+Value-level cross-engine correctness is covered by the auto-enrolled
+``tests/test_oracle_parity.py`` sweep; these tests pin the semantic
+invariants that a hash match alone wouldn't explain to a reader."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_bm25_topk_shape_and_term_presence(spark):
+    from hfcommunity_spark.operators.retrieval import (
+        BM25_TERMS,
+        BM25_TOP_K,
+        sim_bm25_topk,
+    )
+
+    rows = sim_bm25_topk(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    assert [r.rank for r in rows] != []
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    # ranks follow the rounded score (desc) with doc_id tie-break
+    ordered = sorted(rows, key=lambda r: (-r.score_rounded, r.doc_id))
+    assert [r.rank for r in ordered] == list(range(1, len(rows) + 1))
+    assert all(r.score_rounded > 0 for r in rows)
+    # every ranked doc actually contains at least one query term
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")["text"]
+    )
+    for r in rows:
+        toks = set(docs[r.doc_id].split(" "))
+        assert toks & set(BM25_TERMS)
+
+
+def test_outlier_prune_per_label_counts(spark):
+    from hfcommunity_spark.operators.similarity import (
+        OUTLIER_PER_LABEL,
+        emb_centroid_outlier_prune,
+    )
+
+    pdf = emb_centroid_outlier_prune(spark, SF_ORACLE).toPandas()
+    assert (pdf["dist2_rounded"] >= 0).all()
+    per_label = pdf.groupby("label")["rank"].agg(["count", "min", "max"])
+    assert (per_label["count"] == OUTLIER_PER_LABEL).all()
+    assert (per_label["min"] == 1).all()
+    assert (per_label["max"] == OUTLIER_PER_LABEL).all()
+    # pruned outliers are the per-label MAXIMA: nothing outside the
+    # prune set may be farther than its label's rank-3 distance
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").toPandas()
+    cents = {
+        lbl: np.mean(np.stack(g["embedding"].to_numpy()).astype(np.float64), axis=0)
+        for lbl, g in emb.groupby("label")
+    }
+    d2 = emb.apply(
+        lambda r: float(
+            np.sum((np.asarray(r["embedding"], np.float64) - cents[r["label"]]) ** 2)
+        ),
+        axis=1,
+    )
+    emb = emb.assign(d2=d2.round(4))
+    for lbl, g in pdf.groupby("label"):
+        floor = g["dist2_rounded"].min()
+        others = emb[(emb["label"] == lbl) & (~emb["vec_id"].isin(g["vec_id"]))]
+        assert (others["d2"] <= floor).all()
+
+
+def test_anomaly_zscore_matches_pandas_rolling(spark):
+    from hfcommunity_spark.operators.relational_ext2 import (
+        ANOM_LOOKBACK,
+        ANOM_Z,
+        w_event_anomaly_zscore,
+    )
+
+    got = w_event_anomaly_zscore(spark, SF_SMOKE).toPandas()
+    assert (got["z_rounded"].abs() >= ANOM_Z).all()
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev["micro"] = np.floor(ev["value"] * 1_000_000).astype("int64")
+    expected = []
+    for _, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        m = g["micro"].astype(float)
+        roll = m.shift(1).rolling(ANOM_LOOKBACK)
+        mu, sd = roll.mean(), roll.std(ddof=0)
+        z = ((m - mu) / sd).round(4)
+        hit = g[(z.abs() >= ANOM_Z) & sd.notna() & (sd > 0)]
+        expected.extend(zip(hit["event_id"], z[hit.index]))
+    exp = pd.DataFrame(expected, columns=["event_id", "z_exp"])
+    merged = got.merge(exp, on="event_id", how="outer", indicator=True)
+    assert (merged["_merge"] == "both").all(), merged[merged._merge != "both"]
+    assert np.allclose(merged["z_rounded"], merged["z_exp"], atol=1e-4)
+
+
+def test_dup_span_ratio_bounds_and_exact_dups(spark):
+    from hfcommunity_spark.operators.dedup import dd_dup_span_ratio
+
+    pdf = dd_dup_span_ratio(spark, SF_ORACLE).toPandas()
+    assert (pdf["n_dup_spans"] <= pdf["n_spans"]).all()
+    assert ((pdf["dup_ratio"] >= 0) & (pdf["dup_ratio"] <= 1)).all()
+    # any pair of byte-identical documents must audit at ratio 1.0
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").toPandas()
+    dup_texts = docs[docs.duplicated("text", keep=False)]
+    long_enough = dup_texts[dup_texts["text"].str.count(" ") + 1 >= 5]
+    if not long_enough.empty:
+        audited = pdf.set_index("doc_id").loc[long_enough["doc_id"]]
+        assert (audited["dup_ratio"] == 1.0).all()
