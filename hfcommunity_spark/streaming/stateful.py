@@ -64,3 +64,88 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming anomaly monitor (round 5) ---------------------------
+#
+# The true streaming face of ``w_event_anomaly_zscore``
+# (operators/relational_ext2.py): per event_type, a ring buffer of the
+# last ANOM_LOOKBACK micro-unit values is carried in the checkpointed
+# state store, and each arriving event is scored against the buffer
+# BEFORE being pushed — the same trailing-frame-excluding-current
+# algebra as the batch twin, so a stream replayed in (ts, event_id)
+# order per key produces exactly the batch query's flags.
+#
+# State size: ANOM_LOOKBACK longs per event_type — bounded by key
+# cardinality × frame width, not stream length.  Arithmetic is exact
+# integer sums (Python ints) with the same
+# (x·n − Σx)/√(n·Σx² − (Σx)²) rearrangement and half-away-from-zero
+# rounding as the batch oracle pair.
+
+ANOMALY_OUTPUT_SCHEMA = "event_id long, event_type string, z_rounded double"
+ANOMALY_STATE_SCHEMA = "micros array<long>"
+
+
+def _round_half_away(x: float, digits: int = 4) -> float:
+    """Spark/DuckDB ROUND semantics (HALF_UP, away from zero for
+    negatives) — Python's built-in round() is banker's and would
+    disagree on exact .00005 boundaries."""
+    import math
+
+    scale = 10**digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
+def _update_anomaly(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+    import math
+
+    from hfcommunity_spark.operators.relational_ext2 import (
+        ANOM_LOOKBACK,
+        ANOM_Z,
+    )
+
+    (event_type,) = key
+    buf: list[int] = list(state.get[0]) if state.exists else []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="stable")
+    out_ids, out_z = [], []
+    for eid, micro in zip(
+        batch["event_id"].astype("int64"),
+        (batch["value"] * 1_000_000).map(math.floor).astype("int64"),
+    ):
+        micro = int(micro)
+        if len(buf) == ANOM_LOOKBACK:
+            n, s1 = len(buf), sum(buf)
+            s2 = sum(m * m for m in buf)
+            var_num = n * s2 - s1 * s1
+            if var_num > 0:
+                z = _round_half_away(
+                    (float(micro) * n - s1) / math.sqrt(float(var_num))
+                )
+                if abs(z) >= ANOM_Z:
+                    out_ids.append(int(eid))
+                    out_z.append(z)
+        buf.append(micro)
+        if len(buf) > ANOM_LOOKBACK:
+            buf.pop(0)
+    state.update((buf,))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.Series(out_ids, dtype="int64"),
+            "event_type": pd.Series([event_type] * len(out_ids), dtype="object"),
+            "z_rounded": pd.Series(out_z, dtype="float64"),
+        }
+    )
+
+
+def streaming_anomaly_zscore(events: DataFrame) -> DataFrame:
+    """Attach the ring-buffer anomaly monitor to a streaming events
+    frame; emits (event_id, event_type, z_rounded) for events scoring
+    |z| ≥ ANOM_Z against their type's trailing frame."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_anomaly,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

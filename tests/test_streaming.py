@@ -555,3 +555,57 @@ def test_stream_curation_gate_index_evolution(spark, tmp_path):
     # batch 2 vs EVOLVED index: rejected as a near-dup of 300001
     d2 = curation_admission(batch2, corp_fp, evolved, holdout_sh).collect()
     assert not d2[0].admitted and d2[0].reason == "near_dup"
+
+
+def test_streaming_anomaly_matches_batch_twin(spark, tmp_path):
+    """X5/X6 + W3: the ring-buffer streaming anomaly monitor
+    (applyInPandasWithState) replayed over two micro-batches in
+    event order produces exactly the flags of its batch twin
+    ``w_event_anomaly_zscore`` on the unioned data — one policy,
+    two execution modes, like the curation gate pair."""
+    from hfcommunity_spark.operators.relational_ext2 import (
+        ANOM_LOOKBACK,
+        w_event_anomaly_zscore,
+    )
+    from hfcommunity_spark.streaming.stateful import streaming_anomaly_zscore
+
+    # one key, stable alternation with two spikes landing after the
+    # frame fills; a second key stays entirely un-anomalous
+    rows = []
+    for i in range(30):
+        val = 10.0 + (0.2 if i % 2 else 0.0)
+        if i in (24, 28):
+            val = 55.0
+        rows.append((i, T0 + dt.timedelta(seconds=i), 1, "m", val, None))
+    for i in range(ANOM_LOOKBACK + 5):
+        rows.append(
+            (100 + i, T0 + dt.timedelta(seconds=i), 2, "q",
+             5.0 + (0.4 if i % 2 else 0.0), None)
+        )
+    pdf = _events_pdf(rows)
+
+    src = str(tmp_path / "in")
+    split = 22
+    out = _run_two_batches(
+        spark,
+        lambda: streaming_anomaly_zscore(jobs.read_event_stream(spark, src)),
+        tmp_path,
+        "t_anomaly",
+        "append",
+        src,
+        pdf.iloc[:split],
+        pdf.iloc[split:],
+    ).toPandas()
+
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(pdf, schema=jobs.EVENT_SCHEMA).write.parquet(
+        f"{batch_dir}/events.parquet"
+    )
+    expected = w_event_anomaly_zscore(spark, batch_dir).toPandas()
+
+    assert len(expected) > 0  # the spikes must actually flag
+    got = out.sort_values("event_id").reset_index(drop=True)
+    exp = expected.sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["z_rounded"].tolist() == exp["z_rounded"].tolist()

@@ -57,6 +57,12 @@ QUERIES = [
     ("q5_supplier_nation_volume", "relational", 1.0),
     ("q10_returned_revenue_topk", "relational", 1.0),
     ("q18_large_order_customers", "relational", 1.0),
+    # round-5 additions: every candidate path is posting-list / keyed
+    # (linear by design); none carries a pairwise stage.
+    ("sim_bm25_topk", "bucketed-postings", 1.0),
+    ("dd_dup_span_ratio", "bucketed-postings", 1.0),
+    ("emb_centroid_outlier_prune", "centroid-window", 1.0),
+    ("w_event_anomaly_zscore", "keyed-window", 1.0),
 ]
 
 
@@ -154,7 +160,23 @@ def generate() -> None:
                (SELECT unnest(range({FACTOR})) AS k)
         ) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
     """)
-    for t in ("region", "nation", "supplier", "part", "events"):
+    # events: 10 replicas with key offsets, timestamps as-is.  The
+    # replicas interleave inside each per-type frame (shared ts, the
+    # event_id tie-break keeps the order total), which is exactly the
+    # right timing shape: per-key partitions grow 10×, so the keyed
+    # windows' sort+scan should scale ~linearly in row count.
+    n_evt = strides("events", "event_id")
+    n_usr = strides("events", "user_id")
+    con.execute(f"""
+        COPY (
+          SELECT event_id + k * {n_evt} AS event_id, ts,
+                 user_id + k * {n_usr} AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{BASE}/events.parquet'),
+               (SELECT unnest(range({FACTOR})) AS k)
+        ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "supplier", "part"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet')) "
             f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
