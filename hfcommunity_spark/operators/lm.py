@@ -1,0 +1,247 @@
+"""Unigram language-model scoring over the ``documents`` corpus
+(SURVEY §2.11 X-UD5 north star): DSIR-style importance selection and
+CCNet-style per-language perplexity bucketing.
+
+The reference has no data-selection surface (its query layer is
+delegated to MariaDB — reference/extractor/databaseImport.py:1); these
+are part of the beyond-reference LLM-pipeline capability set, next to
+BM25 retrieval (``operators/retrieval.py``) and the dedup/ANN families.
+Both methods are from the public literature:
+
+- DSIR (Xie et al., "Data Selection for Language Models via Importance
+  Resampling", 2023): score each raw-pool document by the bag-of-words
+  log-likelihood ratio between a small target corpus and the raw pool,
+  then keep the top-weighted documents.  Here the target is the 'val'
+  hash split and the raw pool the 'train' split, so the whole query is
+  reproducible from the corpus alone.
+- CCNet (Wenzek et al., 2020): score each document under a per-language
+  unigram LM and cut each language into head/middle/tail perplexity
+  terciles.  CCNet uses a 5-gram KenLM; a unigram LM is the same
+  pipeline shape with the corpus itself as training data.
+
+Scale shape (the 100 TB lens): the token explode is narrow; every
+shuffle is keyed — (lang, token) / token for the LM statistics,
+doc_id for the per-document rollup — with map-side partial aggregation,
+so Zipf-head tokens fan in at one row per (doc, token) at most.  The
+per-token score tables are vocabulary-sized; they join back to the
+occurrence stream on the token key (an equi-join Spark can hash or
+broadcast by size — at these SFs they broadcast).  The tercile window
+is partitioned per language (CCNet's own granularity), never global.
+
+Determinism contract (the driver hash-compares values): all counts are
+exact integers; each per-token score takes exactly ONE libm ``ln``
+(not correctly rounded cross-engine) and is immediately rounded
+half-away-from-zero to integer MICROS, so the per-document sums are
+exact BIGINT arithmetic — associative, order-independent, identical in
+any engine.  The only remaining float op is one IEEE division
+(correctly rounded) for the per-token mean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hfcommunity_spark.io import read_table
+from hfcommunity_spark.operators.sampling import hash_split, hash_split_sql
+from hfcommunity_spark.registry import query
+
+MICROS = 1_000_000  # per-token log scores as integer micro-nats
+DSIR_KEEP = 200     # documents selected from the raw pool
+
+
+_DSIR_ORACLE = f"""
+    WITH sp AS (
+      SELECT doc_id, text, {hash_split_sql()} AS split FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, split, unnest(string_split(text, ' ')) AS w
+      FROM sp WHERE split IN ('train', 'val')
+    ),
+    cnt AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cr
+      FROM toks GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM cnt
+    ),
+    lr AS (
+      SELECT w,
+             CAST(ROUND(LN(
+               ((CAST(ct AS DOUBLE) + 1.0) * CAST(nr + v AS DOUBLE))
+               / ((CAST(cr AS DOUBLE) + 1.0) * CAST(nt + v AS DOUBLE))
+             ) * {MICROS}) AS BIGINT) AS lr_micro
+      FROM cnt, tot
+    ),
+    docw AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lr_micro) AS BIGINT) AS weight_micro
+      FROM toks t JOIN lr USING (w)
+      WHERE t.split = 'train'
+      GROUP BY t.doc_id
+    ),
+    top AS (SELECT * FROM docw
+            ORDER BY weight_micro DESC, doc_id LIMIT {DSIR_KEEP})
+    SELECT doc_id, n_tokens, weight_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM top
+    """
+
+
+@query("samp_dsir_select", _DSIR_ORACLE, survey="X-UD5,A10,O2,J9,F11")
+def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection: rank the 'train' hash-split pool by
+    the add-1-smoothed unigram log-likelihood ratio toward the 'val'
+    split and keep the top {DSIR_KEEP}.
+
+    Plan: explode → one (w) partial-agg shuffle for the split counts,
+    a 1-row broadcast of the corpus totals, the vocabulary-sized
+    log-ratio table broadcast back onto the occurrence stream, one
+    doc_id rollup shuffle, TakeOrderedAndProject top-k.  Per-token
+    log ratios are micro-rounded BIGINTs so document weights are
+    exact integer sums (order-independent; see module docstring)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id", "text", hash_split(F.col("doc_id")).alias("split")
+    ).filter(F.col("split").isin("train", "val"))
+    toks = sp.select(
+        "doc_id", "split", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long").alias("ct"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long").alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ratio = (
+        (F.col("ct").cast("double") + F.lit(1.0))
+        * (F.col("nr") + F.col("v")).cast("double")
+    ) / (
+        (F.col("cr").cast("double") + F.lit(1.0))
+        * (F.col("nt") + F.col("v")).cast("double")
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log(ratio) * MICROS, 0).cast("long").alias("lr_micro"),
+    )
+    docw = (
+        toks.filter(F.col("split") == "train")
+        .join(F.broadcast(lr), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_micro").cast("long").alias("weight_micro"),
+        )
+    )
+    top = docw.orderBy(
+        F.desc("weight_micro"), F.asc("doc_id")
+    ).limit(DSIR_KEEP)
+    w = Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("doc_id", "n_tokens", "weight_micro", "rank")
+
+
+_PPL_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY lang, w
+    ),
+    nl AS (SELECT lang, CAST(SUM(f) AS BIGINT) AS n FROM freq GROUP BY lang),
+    nll AS (
+      SELECT lang, w,
+             CAST(ROUND(LN(CAST(n AS DOUBLE) / CAST(f AS DOUBLE))
+                        * {MICROS}) AS BIGINT) AS nll_micro
+      FROM freq JOIN nl USING (lang)
+    ),
+    docstats AS (
+      SELECT t.doc_id, t.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(nll_micro) AS BIGINT) AS total_nll_micro
+      FROM toks t JOIN nll USING (lang, w)
+      GROUP BY t.doc_id, t.lang
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(total_nll_micro AS DOUBLE) / n_tokens AS mean_nll_micro
+      FROM docstats
+    )
+    SELECT doc_id, lang, n_tokens, mean_nll_micro,
+           CASE NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY mean_nll_micro, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM scored
+    """
+
+
+@query("t_unigram_ppl_buckets", _PPL_ORACLE, survey="X-UD5,A7,F11,W1")
+def t_unigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document under its
+    language's unigram LM (mean negative log-probability per token,
+    in micro-nats) and cut each language into head/middle/tail
+    terciles — head = lowest perplexity = most in-distribution.
+
+    Plan: explode → (lang, w) partial-agg shuffle for frequencies, a
+    language-sized rollup for corpus totals, the per-token NLL table
+    joined back on (lang, w), one doc_id rollup shuffle, then an
+    NTILE window partitioned BY LANGUAGE (CCNet's own granularity —
+    no global sort; each language's docs sort within its partition).
+    The mean is one IEEE division of an exact BIGINT micro-nat sum."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    freq = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    nl = freq.groupBy("lang").agg(F.sum("f").cast("long").alias("n"))
+    nll = freq.join(F.broadcast(nl), "lang").select(
+        "lang", "w",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("f").cast("double"))
+            * MICROS,
+            0,
+        ).cast("long").alias("nll_micro"),
+    )
+    docstats = (
+        toks.join(F.broadcast(nll), ["lang", "w"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("nll_micro").cast("long").alias("total_nll_micro"),
+        )
+    )
+    scored = docstats.select(
+        "doc_id", "lang", "n_tokens",
+        (F.col("total_nll_micro").cast("double") / F.col("n_tokens"))
+        .alias("mean_nll_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("mean_nll_micro"), F.asc("doc_id")
+    )
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id", "lang", "n_tokens", "mean_nll_micro",
+        F.when(bucket == 1, "head")
+        .when(bucket == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

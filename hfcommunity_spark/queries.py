@@ -72,6 +72,10 @@ try:
     from hfcommunity_spark.operators import retrieval  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from hfcommunity_spark.operators import lm  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # The first 50 registry entries — the driver's correctness window.

@@ -113,3 +113,94 @@ def test_dup_span_ratio_bounds_and_exact_dups(spark):
     if not long_enough.empty:
         audited = pdf.set_index("doc_id").loc[long_enough["doc_id"]]
         assert (audited["dup_ratio"] == 1.0).all()
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """The selection must be exactly the arg-top-K of the full train
+    pool by (weight, doc_id), and a reference pandas recomputation of
+    the add-1 LLR on the same splits must agree with the integer
+    micro-nat weights."""
+    import math
+
+    from hfcommunity_spark.operators.lm import DSIR_KEEP, samp_dsir_select
+    from hfcommunity_spark.operators.sampling import (
+        SALT,
+        TRAIN_UPPER,
+        VAL_UPPER,
+    )
+
+    out = samp_dsir_select(spark, SF_ORACLE).toPandas()
+    assert len(out) == min(DSIR_KEEP, len(out))
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+    # ranks follow (weight desc, doc_id asc)
+    ordered = out.sort_values(
+        ["weight_micro", "doc_id"], ascending=[False, True]
+    )
+    assert ordered["rank"].tolist() == list(range(1, len(out) + 1))
+
+    # pandas twin of the whole computation
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").toPandas()
+
+    def split_of(doc_id):
+        h = hashlib.sha256(f"{SALT}{doc_id}".encode()).hexdigest()[:2]
+        return "train" if h < TRAIN_UPPER else ("val" if h < VAL_UPPER else "test")
+
+    docs["split"] = docs["doc_id"].map(split_of)
+    pool = docs[docs["split"].isin(["train", "val"])]
+    ct: dict[str, int] = {}
+    cr: dict[str, int] = {}
+    for _, row in pool.iterrows():
+        tgt = ct if row["split"] == "val" else cr
+        for w in row["text"].split(" "):
+            tgt[w] = tgt.get(w, 0) + 1
+    vocab = set(ct) | set(cr)
+    nt, nr, v = sum(ct.values()), sum(cr.values()), len(vocab)
+    lr = {
+        w: round(
+            math.log(
+                ((ct.get(w, 0) + 1.0) * (nr + v))
+                / ((cr.get(w, 0) + 1.0) * (nt + v))
+            )
+            * 1_000_000
+        )
+        for w in vocab
+    }
+    train = pool[pool["split"] == "train"]
+    weights = {
+        int(r["doc_id"]): sum(lr[w] for w in r["text"].split(" "))
+        for _, r in train.iterrows()
+    }
+    expected = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = expected[: len(out)]
+    got = list(zip(out["doc_id"], out["weight_micro"]))
+    assert [(int(d), int(wm)) for d, wm in got] == [
+        (d, wm) for d, wm in expected
+    ]
+
+
+def test_unigram_ppl_buckets_balanced_and_monotone(spark):
+    """Per language: NTILE(3) bucket sizes differ by at most one, and
+    the bucket boundaries are monotone in mean NLL (head <= middle <=
+    tail)."""
+    from hfcommunity_spark.operators.lm import t_unigram_ppl_buckets
+
+    pdf = t_unigram_ppl_buckets(spark, SF_ORACLE).toPandas()
+    assert set(pdf["ppl_bucket"]) <= {"head", "middle", "tail"}
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").toPandas()
+    assert len(pdf) == len(docs)  # every doc scored exactly once
+    for lang, grp in pdf.groupby("lang"):
+        sizes = grp["ppl_bucket"].value_counts()
+        if len(grp) >= 3:
+            assert sizes.max() - sizes.min() <= 1
+        if {"head", "middle"} <= set(sizes.index):
+            assert (
+                grp[grp.ppl_bucket == "head"]["mean_nll_micro"].max()
+                <= grp[grp.ppl_bucket == "middle"]["mean_nll_micro"].min()
+            )
+        if {"middle", "tail"} <= set(sizes.index):
+            assert (
+                grp[grp.ppl_bucket == "middle"]["mean_nll_micro"].max()
+                <= grp[grp.ppl_bucket == "tail"]["mean_nll_micro"].min()
+            )

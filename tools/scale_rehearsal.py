@@ -60,6 +60,8 @@ QUERIES = [
     # round-5 additions: every candidate path is posting-list / keyed
     # (linear by design); none carries a pairwise stage.
     ("sim_bm25_topk", "bucketed-postings", 1.0),
+    ("samp_dsir_select", "bucketed-postings", 1.0),
+    ("t_unigram_ppl_buckets", "bucketed-postings", 1.0),
     ("dd_dup_span_ratio", "bucketed-postings", 1.0),
     ("emb_centroid_outlier_prune", "centroid-window", 1.0),
     ("w_event_anomaly_zscore", "keyed-window", 1.0),
