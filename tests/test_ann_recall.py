@@ -63,3 +63,14 @@ def test_exact_nn_is_symmetric_ground_truth(spark, exact_topk):
         for r in sim.dd_embedding_nearest_neighbor(spark, SF).collect()
     }
     assert nn[0] == exact_topk[0]
+
+
+def test_matryoshka_rerank_recall(spark, exact_topk):
+    """The 16-dim coarse prefix keeps enough geometry that a
+    100-candidate pool re-ranked exactly must recover most of the true
+    top-20 — and anything it ranks is exactly scored, so rank-1 being
+    a true neighbor is not probabilistic if recall@1 holds."""
+    got = sim.sim_matryoshka_rerank(spark, SF).collect()
+    assert _recall(got, exact_topk) >= 0.5
+    by_rank = {r.rank: r.vec_id for r in got}
+    assert by_rank[1] in exact_topk
