@@ -187,3 +187,23 @@ def test_no_cartesian_products_in_inventory(spark):
             continue
         plan = _formatted_plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_round5_lm_and_mrl_plan_shapes(spark):
+    """Round-5 additions keep the module disciplines: DSIR and the
+    matryoshka funnel end in a heap top-k with broadcast stat/candidate
+    sides; the perplexity terciles window is PARTITIONED (per
+    language), never a single-partition global sort."""
+    for name in ("samp_dsir_select", "sim_matryoshka_rerank"):
+        plan = _formatted_plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        # the rank Window consumes only the k-row heap output
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), name
+
+    plan = _formatted_plan(spark, "t_unigram_ppl_buckets")
+    assert "Window" in plan
+    # the tercile window's Exchange is hashpartitioning on lang — a
+    # SinglePartition exchange feeding the Window would be the global
+    # sort the design forbids
+    assert "SinglePartition" not in plan
