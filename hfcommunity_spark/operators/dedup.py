@@ -860,3 +860,97 @@ def dd_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_spans")
         ).alias("dup_ratio"),
     )
+
+
+# --- LSH approximation-quality audit (round 5) ---------------------
+
+LSH_AUDIT_TAU = JACCARD_CLUSTER_THRESHOLD
+
+_LSH_AUDIT_ORACLE = f"""
+    WITH {MINHASH_CAPPED_CTES},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM capped a JOIN capped b
+               ON a.band = b.band AND a.bhash = b.bhash
+              AND a.doc_id < b.doc_id),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY doc_a, doc_b),
+    truth AS (SELECT doc_a, doc_b FROM jp
+              JOIN counts ca ON ca.doc_id = doc_a
+              JOIN counts cb ON cb.doc_id = doc_b
+              WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared)
+                    >= {LSH_AUDIT_TAU}),
+    m AS (SELECT t.doc_a IS NOT NULL AS is_true,
+                 c.doc_a IS NOT NULL AS is_cand
+          FROM truth t FULL OUTER JOIN cand c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT
+      CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_candidates,
+      CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT)
+        AS tp,
+      CAST(SUM(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
+           AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
+           AS BIGINT) AS fn,
+      ROUND(CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 4) AS recall_rounded,
+      ROUND(CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 4)
+        AS precision_rounded
+    FROM m
+    """
+
+
+@query("dd_lsh_recall_audit", _LSH_AUDIT_ORACLE, survey="X-UD5,J8,A6,J9")
+def dd_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit for the banded-MinHash candidate
+    generator: exact confusion counts of its pair set against the true
+    n-gram Jaccard pairs at the cluster-policy threshold
+    ({LSH_AUDIT_TAU}), plus recall/precision.  This is the query a
+    pipeline owner runs on a SAMPLE before trusting the LSH band
+    config on the full corpus — the s-curve's false-negative rate at
+    the policy threshold, measured rather than assumed.
+
+    Scale shape: both pair sets come from the session-persisted
+    signature indexes (built once per corpus); the confusion join is a
+    full outer on the pair key — one shuffle of two already-reduced
+    pair frames — and the output is a single row.  The recall floor
+    itself is locked in ``tests/test_llmops.py``; this query makes the
+    measurement value-checked and driver-visible."""
+    truth = (
+        ngram_jaccard_pair_index(spark, sf_dir)
+        .filter(F.col("jaccard") >= LSH_AUDIT_TAU)
+        .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    )
+    cand = minhash_lsh_pairs_from_bands(
+        minhash_band_index(spark, sf_dir, hash_mode="sha2")
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_cand"))
+    m = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true"),
+        F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+    )
+    agg = m.agg(
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("long").alias("n_true"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+        .cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("is_true") & F.col("is_cand"), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(F.col("is_cand") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when(F.col("is_true") & ~F.col("is_cand"), 1).otherwise(0))
+        .cast("long").alias("fn"),
+    )
+    return agg.select(
+        "n_true", "n_candidates", "tp", "fp", "fn",
+        F.round(F.col("tp").cast("double") / F.col("n_true"), 4)
+        .alias("recall_rounded"),
+        F.round(F.col("tp").cast("double") / F.col("n_candidates"), 4)
+        .alias("precision_rounded"),
+    )

@@ -96,19 +96,14 @@ _DSIR_ORACLE = f"""
     """
 
 
-@query("samp_dsir_select", _DSIR_ORACLE, survey="X-UD5,A10,O2,J9,F11")
-def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance selection: rank the 'train' hash-split pool by
-    the add-1-smoothed unigram log-likelihood ratio toward the 'val'
-    split and keep the top {DSIR_KEEP}.
-
-    Plan: explode → one (w) partial-agg shuffle for the split counts,
-    a 1-row broadcast of the corpus totals, the vocabulary-sized
-    log-ratio table broadcast back onto the occurrence stream, one
-    doc_id rollup shuffle, TakeOrderedAndProject top-k.  Per-token
-    log ratios are micro-rounded BIGINTs so document weights are
-    exact integer sums (order-independent; see module docstring)."""
-    docs = read_table(spark, sf_dir, "documents")
+def dsir_lr_frames(docs: DataFrame):
+    """The DSIR unigram-LM artifacts from a documents pool: the
+    exploded (doc_id, split, w) occurrence stream, the vocabulary-sized
+    per-token micro-nat log-ratio table (w, lr_micro), and the 1-row
+    totals frame (nt, nr, v, oov_micro) — ``oov_micro`` is the add-1
+    log ratio of a token unseen in BOTH splits, the score an
+    out-of-vocabulary arrival gets at admission time.  Target = 'val'
+    hash split, raw pool = 'train'."""
     sp = docs.select(
         "doc_id", "text", hash_split(F.col("doc_id")).alias("split")
     ).filter(F.col("split").isin("train", "val"))
@@ -125,6 +120,16 @@ def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct").cast("long").alias("nt"),
         F.sum("cr").cast("long").alias("nr"),
         F.count(F.lit(1)).cast("long").alias("v"),
+    ).select(
+        "nt", "nr", "v",
+        F.round(
+            F.log(
+                (F.col("nr") + F.col("v")).cast("double")
+                / (F.col("nt") + F.col("v")).cast("double")
+            )
+            * MICROS,
+            0,
+        ).cast("long").alias("oov_micro"),
     )
     ratio = (
         (F.col("ct").cast("double") + F.lit(1.0))
@@ -137,6 +142,23 @@ def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.round(F.log(ratio) * MICROS, 0).cast("long").alias("lr_micro"),
     )
+    return toks, lr, tot
+
+
+@query("samp_dsir_select", _DSIR_ORACLE, survey="X-UD5,A10,O2,J9,F11")
+def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection: rank the 'train' hash-split pool by
+    the add-1-smoothed unigram log-likelihood ratio toward the 'val'
+    split and keep the top {DSIR_KEEP}.
+
+    Plan: explode → one (w) partial-agg shuffle for the split counts,
+    a 1-row broadcast of the corpus totals, the vocabulary-sized
+    log-ratio table broadcast back onto the occurrence stream, one
+    doc_id rollup shuffle, TakeOrderedAndProject top-k.  Per-token
+    log ratios are micro-rounded BIGINTs so document weights are
+    exact integer sums (order-independent; see module docstring)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks, lr, _tot = dsir_lr_frames(docs)
     docw = (
         toks.filter(F.col("split") == "train")
         .join(F.broadcast(lr), "w")
@@ -245,3 +267,127 @@ def t_unigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+# --- streaming DSIR admission gate (round 5) -----------------------
+#
+# The ingest face of the importance model: an arriving micro-batch is
+# scored against the FROZEN corpus LM (the same per-token log-ratio
+# table samp_dsir_select ranks with) and admitted iff its total
+# micro-nat weight is non-negative — i.e. the document looks at least
+# as target-like as raw-pool-like under the corpus statistics.
+# Out-of-vocabulary tokens get the add-1 score of a token unseen in
+# both splits (oov_micro), so the gate is total.  Like the curation
+# gate (operators/curation.py), every probe is a stream-static join
+# against an artifact the batch pipeline already maintains; the
+# admission sign is an exact integer comparison, so the decision is
+# bit-stable in any engine and any partitioning.
+
+def dsir_gate(incoming: DataFrame, lr: DataFrame,
+              tot: DataFrame) -> DataFrame:
+    """One micro-batch's admission decision (the foreachBatch body):
+    ``incoming`` (doc_id, text) scored against the frozen LM artifacts
+    ``lr`` (w, lr_micro) and ``tot`` (…, oov_micro).  Returns
+    (doc_id, n_tokens, weight_micro, mean_lr_micro, admitted)."""
+    toks = incoming.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    scored = (
+        toks.join(F.broadcast(lr), "w", "left")
+        .crossJoin(F.broadcast(tot.select("oov_micro")))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lr_micro"), F.col("oov_micro"))
+            .alias("lr_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("lr_micro").cast("long").alias("weight_micro"),
+    )
+    return agg.select(
+        "doc_id", "n_tokens", "weight_micro",
+        (F.col("weight_micro").cast("double") / F.col("n_tokens"))
+        .alias("mean_lr_micro"),
+        (F.col("weight_micro") >= 0).alias("admitted"),
+    )
+
+
+_X12_INC = "doc_id % 10 = 3"
+_X12_CORP = "doc_id % 10 <> 3"
+
+_X12_ORACLE = f"""
+    WITH sp AS (
+      SELECT doc_id, text, {hash_split_sql()} AS split
+      FROM documents WHERE {_X12_CORP}
+    ),
+    toks AS (
+      SELECT doc_id, split, unnest(string_split(text, ' ')) AS w
+      FROM sp WHERE split IN ('train', 'val')
+    ),
+    cnt AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cr
+      FROM toks GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM cnt
+    ),
+    oov AS (
+      SELECT CAST(ROUND(LN(CAST(nr + v AS DOUBLE) / CAST(nt + v AS DOUBLE))
+                        * {MICROS}) AS BIGINT) AS oov_micro
+      FROM tot
+    ),
+    lr AS (
+      SELECT w,
+             CAST(ROUND(LN(
+               ((CAST(ct AS DOUBLE) + 1.0) * CAST(nr + v AS DOUBLE))
+               / ((CAST(cr AS DOUBLE) + 1.0) * CAST(nt + v AS DOUBLE))
+             ) * {MICROS}) AS BIGINT) AS lr_micro
+      FROM cnt, tot
+    ),
+    inc AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE {_X12_INC}
+    ),
+    scored AS (
+      SELECT i.doc_id, COALESCE(lr.lr_micro, o.oov_micro) AS lr_micro
+      FROM inc i LEFT JOIN lr ON lr.w = i.w, oov o
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lr_micro) AS BIGINT) AS weight_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, weight_micro,
+           CAST(weight_micro AS DOUBLE) / n_tokens AS mean_lr_micro,
+           weight_micro >= 0 AS admitted
+    FROM agg
+    """
+
+
+@query("x12_stream_dsir_gate", _X12_ORACLE, survey="X7,J8,J9,A10,X-UD5")
+def x12_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming DSIR admission gate: the arriving
+    slice (``doc_id % 10 = 3``, the same batch-twin convention as
+    x10/x11) is scored token-by-token against the corpus LM built
+    from the REMAINING documents and admitted iff its integer
+    micro-nat weight is ≥ 0.
+
+    Plan: the LM statistics are corpus-side aggregates (built once —
+    at 100 TB a materialized artifact next to the band indexes); the
+    arriving batch explodes narrowly, left-joins the broadcast
+    log-ratio table (OOV fallback from the 1-row totals broadcast),
+    and rolls up once on doc_id.  The admission decision is the SIGN
+    OF AN EXACT INTEGER — no float comparison anywhere in the
+    gate."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(_X12_CORP))
+    incoming = docs.filter(F.expr(_X12_INC)).select("doc_id", "text")
+    _toks, lr, tot = dsir_lr_frames(corpus)
+    return dsir_gate(incoming, lr, tot)

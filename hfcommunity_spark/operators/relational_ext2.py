@@ -532,7 +532,12 @@ _ANOMALY_ORACLE = f"""
              ROUND((CAST(micro AS DOUBLE) * cnt - s1)
                    / SQRT(CAST(cnt * s2 - CAST(s1 AS DECIMAL(38,0)) * s1
                                AS DOUBLE)), 4) AS z_rounded
-      FROM framed WHERE cnt = {ANOM_LOOKBACK}
+      FROM framed
+      WHERE cnt = {ANOM_LOOKBACK}
+        -- zero-variance frames (a constant run fills the window, e.g.
+        -- replicated or clamped metrics) admit no z-score: same guard
+        -- as the streaming twin's ring buffer (streaming/stateful.py)
+        AND cnt * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 > 0
     )
     SELECT event_id, event_type, ts, z_rounded
     FROM z WHERE ABS(z_rounded) >= {ANOM_Z}
@@ -587,6 +592,10 @@ def w_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         framed.filter(F.col("cnt") == ANOM_LOOKBACK)
+        # zero-variance frames (constant runs — found by the sf1.0
+        # rehearsal's replicated events) admit no z-score; same guard
+        # as the streaming twin's ring buffer (streaming/stateful.py)
+        .filter(var_num > 0)
         .select(
             "event_id", "event_type", "ts",
             F.round(z, 4).alias("z_rounded"),

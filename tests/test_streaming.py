@@ -609,3 +609,120 @@ def test_streaming_anomaly_matches_batch_twin(spark, tmp_path):
     assert got["event_id"].tolist() == exp["event_id"].tolist()
     assert got["event_type"].tolist() == exp["event_type"].tolist()
     assert got["z_rounded"].tolist() == exp["z_rounded"].tolist()
+
+
+def test_stream_dsir_gate_micro_batches(spark, tmp_path):
+    """X12: the DSIR admission gate runs per micro-batch through
+    foreachBatch against the frozen corpus LM artifacts; the union of
+    per-batch decisions must equal the batch twin on the same
+    arrivals, and crafted arrivals hit both sides of the gate —
+    target-like (words common in the 'val' split), raw-like, and
+    all-OOV."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.lm import dsir_gate, dsir_lr_frames
+
+    sf = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(f"{sf}/documents.parquet")
+    _toks, lr, tot = dsir_lr_frames(corpus)
+    lr_pdf = lr.toPandas().set_index("w")["lr_micro"]
+    oov = tot.select("oov_micro").collect()[0][0]
+
+    # most target-like and most raw-like vocabulary words
+    best = " ".join(lr_pdf.sort_values(ascending=False).index[:10])
+    worst = " ".join(lr_pdf.sort_values(ascending=True).index[:10])
+    all_oov = " ".join(f"oovword{i}" for i in range(10))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    rows = [(300001, best), (300002, worst), (300003, all_oov)]
+
+    src = str(tmp_path / "dsir_in")
+    got = []
+
+    def gate_batch(batch_df, batch_id):
+        got.extend(dsir_gate(batch_df, lr, tot).collect())
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", f"{tmp_path}/ckpt_dsir")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_stream()
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_stream()
+
+    streamed = {r.doc_id: r for r in got}
+    assert streamed.keys() == {300001, 300002, 300003}
+    # the gate's sign IS the integer sum's sign
+    exp_weights = {
+        300001: sum(int(lr_pdf[w]) for w in best.split(" ")),
+        300002: sum(int(lr_pdf[w]) for w in worst.split(" ")),
+        300003: 10 * int(oov),
+    }
+    for doc_id, wm in exp_weights.items():
+        r = streamed[doc_id]
+        assert r.weight_micro == wm, (doc_id, r)
+        assert r.admitted == (wm >= 0)
+    assert streamed[300001].admitted  # top target words must pass
+    assert not streamed[300002].admitted  # top raw words must fail
+
+    twin = {
+        r.doc_id: (r.weight_micro, r.admitted)
+        for r in dsir_gate(
+            spark.createDataFrame(rows, schema), lr, tot
+        ).collect()
+    }
+    assert twin == {
+        d: (wm, wm >= 0) for d, wm in exp_weights.items()
+    }
+
+
+def test_anomaly_zscore_constant_run_no_flags(spark, tmp_path):
+    """Regression (found by the sf1.0 rehearsal): a constant run that
+    fills the whole trailing frame has zero variance — both execution
+    modes must skip the score rather than divide by zero, even when
+    the next value differs wildly."""
+    import datetime as dt
+
+    from hfcommunity_spark.operators.relational_ext2 import (
+        ANOM_LOOKBACK,
+        w_event_anomaly_zscore,
+    )
+    from hfcommunity_spark.streaming.stateful import streaming_anomaly_zscore
+
+    rows = [
+        (i, T0 + dt.timedelta(seconds=i), 1, "const", 7.0, None)
+        for i in range(ANOM_LOOKBACK + 5)
+    ]
+    rows.append((99, T0 + dt.timedelta(seconds=99), 1, "const", 9999.0, None))
+    pdf = _events_pdf(rows)
+    batch_dir = str(tmp_path / "const")
+    spark.createDataFrame(pdf, schema=jobs.EVENT_SCHEMA).write.parquet(
+        f"{batch_dir}/events.parquet"
+    )
+    assert w_event_anomaly_zscore(spark, batch_dir).count() == 0
+
+    src = str(tmp_path / "const_in")
+    out = _run_two_batches(
+        spark,
+        lambda: streaming_anomaly_zscore(jobs.read_event_stream(spark, src)),
+        tmp_path,
+        "t_anomaly_const",
+        "append",
+        src,
+        pdf.iloc[:10],
+        pdf.iloc[10:],
+    )
+    assert out.count() == 0
