@@ -76,6 +76,10 @@ try:
     from hfcommunity_spark.operators import lm  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from hfcommunity_spark.operators import layout  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # The first 50 registry entries — the driver's correctness window.

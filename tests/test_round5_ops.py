@@ -204,3 +204,22 @@ def test_unigram_ppl_buckets_balanced_and_monotone(spark):
                 grp[grp.ppl_bucket == "middle"]["mean_nll_micro"].max()
                 <= grp[grp.ppl_bucket == "tail"]["mean_nll_micro"].min()
             )
+
+
+def test_zorder_buckets_narrow_both_dims(spark):
+    """The Z-layout must narrow the zone-map span of BOTH dimensions
+    well below the insertion layout's (which is narrow only in the
+    insertion key) — the property that makes a Z-order rewrite pay for
+    itself in file pruning."""
+    from hfcommunity_spark.operators.layout import (
+        layout_zorder_pruning_audit,
+    )
+
+    rows = {
+        r.layout: r
+        for r in layout_zorder_pruning_audit(spark, SF_ORACLE).collect()
+    }
+    z, ins = rows["zorder"], rows["insertion"]
+    assert z.n_rows == ins.n_rows  # both layouts cover every row
+    assert z.avg_span_date < ins.avg_span_date / 4
+    assert z.avg_span_cust < ins.avg_span_cust / 4

@@ -726,3 +726,50 @@ def test_anomaly_zscore_constant_run_no_flags(spark, tmp_path):
         pdf.iloc[10:],
     )
     assert out.count() == 0
+
+
+def test_stream_dsir_gate_lm_evolution(spark):
+    """The DSIR ingestion loop's maintenance step: admitted documents
+    enter the raw pool, so the LM rebuild must DAMP the very signal
+    that admitted them — after ingesting many copies of a
+    target-looking doc, the same doc scores strictly lower against
+    the evolved log-ratio table (self-reinforcement control, the LM
+    analog of the band-index evolution test above)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.lm import dsir_gate, dsir_lr_frames
+    from hfcommunity_spark.operators.sampling import SALT, TRAIN_UPPER
+
+    sf = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _toks, lr, tot = dsir_lr_frames(corpus)
+    best_word = (
+        lr.toPandas().sort_values("lr_micro", ascending=False)
+        .iloc[0]["w"]
+    )
+    text = " ".join([best_word] * 30)
+
+    # synthetic ingest ids that land in the 'train' hash split, so the
+    # rebuilt LM counts them in the raw pool
+    def in_train(d: int) -> bool:
+        h = hashlib.sha256(f"{SALT}{d}".encode()).hexdigest()[:2]
+        return h < TRAIN_UPPER
+
+    ids = [d for d in range(400000, 401000) if in_train(d)][:20]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    probe = spark.createDataFrame([(ids[0], text)], schema)
+
+    d1 = dsir_gate(probe, lr, tot).collect()[0]
+    assert d1.admitted  # the most target-like word must pass
+
+    ingested = spark.createDataFrame([(d, text) for d in ids], schema)
+    _t2, lr2, tot2 = dsir_lr_frames(corpus.unionByName(ingested))
+    d2 = dsir_gate(probe, lr2, tot2).collect()[0]
+    assert d2.weight_micro < d1.weight_micro
