@@ -98,53 +98,42 @@ except ImportError:  # pragma: no cover
 # parity suite (``tests/test_oracle_parity.py``).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- r4-stamped coverage representatives -----------------------
-    # relational / TPC-H composite shapes
-    "q10_returned_revenue_topk",  # A4, J3, J4, O1
-    "q14_promo_revenue_ratio",  # A6, F11, J3
+    # (Second round-5 rotation: q10, q14, dd_cosine_threshold_pairs,
+    # samp_pack_token_budget, x8_hourly_gap_fill, dd_minhash_lsh_pairs,
+    # samp_decontaminated_train, ri_orphan_audit and
+    # skew_salted_agg_parity rotate out with their r1-r4 stamps intact
+    # — exactly the maximal jointly-removable stamped set (every other
+    # stamped member is the sole window carrier of some SURVEY id) —
+    # making room for the nine never-stamped late round-5 queries
+    # below.  emb_centroid_outlier_prune stays outside the window: its
+    # ids (W1/A7/J9/X-UD5) are each covered several times over, and it
+    # keeps the local DuckDB parity + invariant tests.)
     "w5_funnel_conversion",  # A5, P9, W4
-    # (t_repetition_filter rotates out with its r4 stamp; A4/F11/X-UD5
-    # keep other oracle-equipped window members)
     "sim_ivf_topk",  # A12, J9, X-UD5 — hash-green for the first time:
     # round-5 oracle derives the label-centroid quantizer in SQL
-    "dd_cosine_threshold_pairs",  # J6, P12, X-UD5
     "mm_byte_features_full",  # UD2, UD4, X-UD5
-    # (mm_resize_thumbnail rotates out with its r4 stamp; P1/UD2 keep
-    # ud2_chunk_udtf and mm_byte_features_full)
     "pipe_curation_end_to_end",  # X-UD5, J2, J5, U3, A9, F1, W4 —
     # round-5 flagship: the four-stage curation pipeline as ONE
     # hash-checked composition (quality -> exact dedup -> near-dup
     # canonicalization -> decontamination)
     "ud2_chunk_udtf",  # P1, UD2 (real Python UDTF under LATERAL)
     "samp_hash_split_counts",  # A5, P8, X-UD5
-    "samp_pack_token_budget",  # A10, W3, X-UD5
-    "x8_hourly_gap_fill",  # F6, J8, X3
-    "dd_minhash_lsh_pairs",  # J9 + hash-family value check
-    "samp_decontaminated_train",  # A9, J2, U3, X-UD5
-    # (x10_stream_neardup_gate rotates out with its r4 stamp; the
-    # round-5 streaming curation gate below covers X7/J9/X-UD5 + J2
-    # and drives the same neardup_gate member plus three more probes)
     "x11_streaming_curation_gate",  # X7, J2, J9, X-UD5
     # --- round-5 addition #1: production SemDeDup composite --------
     "dd_semantic_dup_clusters_lsh",  # X-UD5, J5, J6, J9
     "d3_partial_update_stale",  # D3, P2
     "d5_scd2_user_state",  # D2, D4, W2
     "u1_priority_union_sources",  # U1, U2
-    "ri_orphan_audit",  # S13, J2, U3
     "p10_oversize_text_guard",  # F5, P10
     "f2_prefixed_ids",  # F2
     "f3_clean_text",  # F3, UD1
     "f4_json_projection",  # F4, F12
     "t_clean_corpus_stats",  # A8, P12, W4, X-UD5
     "ud3_grouped_agg_cents",  # A7, UD3
-    "skew_salted_agg_parity",  # A10, J9
-    # (sim_label_centroid_topk rotates out with its r4 stamp; its ids
-    # map exactly onto the round-5 mixture ACTION below)
     "samp_temperature_resample",  # A7, W1, J9, X-UD5 — materializes
     # the mT5-rule resampled corpus the weights query only reports
     "a4_topk_customers_by_orders",  # A4, J3, O2
     "a11_rollup_customers",  # A11, J4
-    # (a12_sketch_tolerance rotates out with its r4 stamp; A12 stays
-    # covered by the newly oracle-equipped ANN probe below)
     "sim_lsh_bucketed_topk",  # A12, J9, X-UD5 — hash-green for the
     # first time: round-5 oracle inlines the hyperplane constants
     "j7_composite_key_first_line",  # J7, W4
@@ -153,6 +142,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x4_session_windows",  # X4
     "x5_streaming_dedup",  # D1, X5, X6
     "x9_stream_stream_interval_join",  # J10, X2, X6
+    # --- late round-5 additions, never stamped ---------------------
+    "sim_bm25_topk",  # A4, O2, J9, X-UD5 — lexical retrieval
+    "w_event_anomaly_zscore",  # W3, F11, X-UD5 — keyed-window z-score
+    "dd_dup_span_ratio",  # J2, A7, X-UD5 — exact-substring dup audit
+    "samp_dsir_select",  # A10, O2, J9, F11, X-UD5 — DSIR importance
+    "t_unigram_ppl_buckets",  # A7, F11, W1, X-UD5 — CCNet terciles
+    "sim_matryoshka_rerank",  # O1, O2, J9, X-UD5 — MRL funnel
+    "dd_lsh_recall_audit",  # J8, A6, J9, X-UD5 — LSH confusion audit
+    "x12_stream_dsir_gate",  # X7, J8, J9, A10, X-UD5 — LM admission
+    "layout_zorder_pruning_audit",  # F11, A5, A10, X-UD5 — Z-order
     # --- round-5 additions #2: ETL/runtime ids, never stamped ------
     # (rotated out with r1-r4 stamps intact: a15, q4, q18, w6,
     # t_token_stats, t_stopword_ratio, t_bpe_token_count,
