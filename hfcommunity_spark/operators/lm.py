@@ -50,8 +50,10 @@ MICROS = 1_000_000  # per-token log scores as integer micro-nats
 DSIR_KEEP = 200     # documents selected from the raw pool
 
 
-_DSIR_ORACLE = f"""
-    WITH sp AS (
+# The split→tokens→counts→log-ratio→per-doc-weight CTE chain, shared
+# by the top-K selection and the Gumbel resample oracles so the weight
+# model cannot drift between them (the MINHASH_CAPPED_CTES rule).
+_DSIR_DOCW_CTES = f"""sp AS (
       SELECT doc_id, text, {hash_split_sql()} AS split FROM documents
     ),
     toks AS (
@@ -86,7 +88,10 @@ _DSIR_ORACLE = f"""
       FROM toks t JOIN lr USING (w)
       WHERE t.split = 'train'
       GROUP BY t.doc_id
-    ),
+    )"""
+
+_DSIR_ORACLE = f"""
+    WITH {_DSIR_DOCW_CTES},
     top AS (SELECT * FROM docw
             ORDER BY weight_micro DESC, doc_id LIMIT {DSIR_KEEP})
     SELECT doc_id, n_tokens, weight_micro,
@@ -391,3 +396,88 @@ def x12_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.expr(_X12_INC)).select("doc_id", "text")
     _toks, lr, tot = dsir_lr_frames(corpus)
     return dsir_gate(incoming, lr, tot)
+
+
+# --- DSIR Gumbel-top-k resample (round 5) --------------------------
+#
+# The paper's actual selection rule is importance RESAMPLING, not
+# arg-top-K: draw docs with probability proportional to exp(weight)
+# via the Gumbel-top-k trick (key = weight + Gumbel noise, keep the
+# k largest keys — a distributed one-pass weighted sample without
+# replacement).  Reproducibility demands the noise be derived, not
+# drawn: u comes from the seeded cross-engine sha60 hash of doc_id
+# ((h >> 8) + 0.5) / 2^52, exact in a double), and
+# g = -ln(-ln(u)) is micro-rounded so the sort key
+# weight_micro + gumbel_micro is again an exact BIGINT.
+
+DSIR_SAMPLE = 200
+GUMBEL_SEED = 97
+_TWO_52 = float(1 << 52)
+
+
+def _dsir_resample_oracle() -> str:
+    from hfcommunity_spark.operators.dedup import _sha60_sql
+
+    h = _sha60_sql("CAST(doc_id AS VARCHAR)", GUMBEL_SEED)
+    u = f"((({h} >> 8) + 0.5) / {_TWO_52!r})"
+    return f"""
+    WITH {_DSIR_DOCW_CTES},
+    keyed AS (
+      SELECT doc_id, n_tokens, weight_micro,
+             weight_micro
+             + CAST(ROUND(-LN(-LN({u})) * {MICROS}) AS BIGINT)
+               AS key_micro
+      FROM docw
+    ),
+    top AS (SELECT * FROM keyed
+            ORDER BY key_micro DESC, doc_id LIMIT {DSIR_SAMPLE})
+    SELECT doc_id, n_tokens, weight_micro, key_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM top
+    """
+
+
+@query("samp_dsir_resample", _dsir_resample_oracle(),
+       survey="X-UD5,A10,O2,J9,F1")
+def samp_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling via Gumbel-top-k: every 'train' doc
+    gets key = weight_micro + round(-ln(-ln(u))·1e6) with u derived
+    from the seeded sha60 hash of its doc_id, and the {DSIR_SAMPLE}
+    largest keys win — a weighted sample without replacement drawn in
+    one distributed pass (no sequential sampling state), re-drawable
+    bit-for-bit on any cluster layout and re-seeded by changing
+    GUMBEL_SEED.
+
+    Plan: identical to ``samp_dsir_select`` through the per-doc
+    weight rollup, plus one narrow projection for the key;
+    TakeOrderedAndProject keeps the heap top-k property."""
+    from hfcommunity_spark.operators.dedup import sha60
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks, lr, _tot = dsir_lr_frames(docs)
+    docw = (
+        toks.filter(F.col("split") == "train")
+        .join(F.broadcast(lr), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_micro").cast("long").alias("weight_micro"),
+        )
+    )
+    u = (
+        F.shiftright(sha60(F.col("doc_id"), GUMBEL_SEED), 8)
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(_TWO_52)
+    gumbel_micro = F.round(-F.log(-F.log(u)) * MICROS, 0).cast("long")
+    keyed = docw.select(
+        "doc_id", "n_tokens", "weight_micro",
+        (F.col("weight_micro") + gumbel_micro).alias("key_micro"),
+    )
+    top = keyed.orderBy(
+        F.desc("key_micro"), F.asc("doc_id")
+    ).limit(DSIR_SAMPLE)
+    w = Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("doc_id", "n_tokens", "weight_micro", "key_micro", "rank")

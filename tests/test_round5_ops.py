@@ -223,3 +223,43 @@ def test_zorder_buckets_narrow_both_dims(spark):
     assert z.n_rows == ins.n_rows  # both layouts cover every row
     assert z.avg_span_date < ins.avg_span_date / 4
     assert z.avg_span_cust < ins.avg_span_cust / 4
+
+
+def test_dsir_resample_gumbel_keys_reproducible(spark):
+    """The resample's Gumbel part must equal an independent Python
+    recomputation from the seeded sha60 hash (bit-for-bit), ranks must
+    follow the integer keys, and the noise must actually reorder the
+    tail relative to the deterministic top-K."""
+    import hashlib
+    import math
+
+    from hfcommunity_spark.operators.lm import (
+        GUMBEL_SEED,
+        samp_dsir_resample,
+        samp_dsir_select,
+    )
+
+    out = samp_dsir_resample(spark, SF_ORACLE).toPandas()
+    ordered = out.sort_values(["key_micro", "doc_id"],
+                              ascending=[False, True])
+    assert ordered["rank"].tolist() == list(range(1, len(out) + 1))
+
+    def gumbel_micro(doc_id: int) -> int:
+        hx = hashlib.sha256(f"{GUMBEL_SEED}:{doc_id}".encode()).hexdigest()
+        h = int(hx[:15], 16)
+        u = ((h >> 8) + 0.5) / float(1 << 52)
+        g = -math.log(-math.log(u))
+        return int(math.copysign(math.floor(abs(g * 1e6) + 0.5), g))
+
+    for _, r in out.head(20).iterrows():
+        assert int(r.key_micro) - int(r.weight_micro) == gumbel_micro(
+            int(r.doc_id)
+        ), int(r.doc_id)
+
+    select_ids = set(
+        samp_dsir_select(spark, SF_ORACLE).toPandas()["doc_id"]
+    )
+    resample_ids = set(out["doc_id"])
+    # same weight model -> heavy overlap; Gumbel noise -> not identical
+    assert len(select_ids & resample_ids) >= len(select_ids) // 2
+    assert select_ids != resample_ids
