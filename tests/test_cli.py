@@ -1,0 +1,103 @@
+"""The reference-parity CLI end-to-end: JSONL feeds -> 17 release
+snapshots, type selection, schema-create mode, idempotent re-run, and
+the watermark-incremental repository load."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hfcommunity_spark import cli
+from hfcommunity_spark.schema import SCHEMAS
+from tests.test_hub_feeds import COMMITS, DATASETS, DISCUSSIONS, MODELS, SPACES
+
+
+@pytest.fixture(scope="module")
+def feed_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_feeds")
+    for kind, rows in [("models", MODELS), ("datasets", DATASETS),
+                       ("spaces", SPACES), ("commits", COMMITS),
+                       ("discussions", DISCUSSIONS)]:
+        with open(d / f"{kind}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_cli_full_load_and_rerun(spark, feed_dir, tmp_path, capsys):
+    base = str(tmp_path / "snap")
+    argv = ["--feeds", feed_dir, "--base", base, "--release", "r1"]
+    assert cli.main(argv) == 0
+    out = capsys.readouterr().out
+    assert "populated 17 tables" in out
+
+    for name in SCHEMAS:
+        df = spark.read.parquet(f"{base}/{name}/release=r1")
+        assert df.columns  # snapshot written with a schema
+
+    assert spark.read.parquet(
+        f"{base}/repository/release=r1").count() == 3
+
+    # idempotent re-run: directory-commit overwrite, same result
+    assert cli.main(argv) == 0
+    assert spark.read.parquet(
+        f"{base}/repository/release=r1").count() == 3
+
+
+def test_cli_type_selection(spark, feed_dir, tmp_path):
+    base = str(tmp_path / "snap_t")
+    assert cli.main(["--feeds", feed_dir, "--base", base,
+                     "--release", "r1", "-t", "model"]) == 0
+    repo = spark.read.parquet(f"{base}/repository/release=r1")
+    assert [r.type for r in repo.collect()] == ["model"]
+    assert spark.read.parquet(f"{base}/dataset/release=r1").count() == 0
+
+
+def test_cli_schema_create(spark, tmp_path, capsys):
+    base = str(tmp_path / "ddl")
+    assert cli.main(["--base", base, "-c"]) == 0
+    assert "created 17 tables" in capsys.readouterr().out
+    assert spark.catalog.tableExists("repository")
+    from hfcommunity_spark.catalog import drop_schema
+
+    drop_schema(spark)
+
+
+def test_cli_requires_feeds_for_load(tmp_path, capsys):
+    assert cli.main(["--base", str(tmp_path)]) == 2
+    assert "required" in capsys.readouterr().err
+
+
+def test_cli_incremental_stale_updates_likes_only(
+    spark, feed_dir, tmp_path
+):
+    base = str(tmp_path / "snap_inc")
+    assert cli.main(["--feeds", feed_dir, "--base", base,
+                     "--release", "r1"]) == 0
+
+    # second run: same repos arrive with bumped likes + changed sha;
+    # every last_modified (2024) is older than the -i 1 watermark, so
+    # the incremental path must take D3 (likes only), not the upsert
+    d2 = tmp_path / "feeds2"
+    d2.mkdir()
+    bump = lambda r: {**r, "likes": r["likes"] + 100, "sha": "f" * 40}
+    for kind, rows in [("models", [bump(r) for r in MODELS]),
+                       ("datasets", [bump(r) for r in DATASETS]),
+                       ("spaces", [bump(r) for r in SPACES]),
+                       ("commits", COMMITS), ("discussions", DISCUSSIONS)]:
+        with open(d2 / f"{kind}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    assert cli.main(["--feeds", str(d2), "--base", base,
+                     "--release", "r2", "--prev-release", "r1",
+                     "-i", "1"]) == 0
+    r2 = {
+        r.id: r
+        for r in spark.read.parquet(
+            f"{base}/repository/release=r2").collect()
+    }
+    m = r2["models/org/m1"]
+    assert m.likes == 103      # stale row: likes updated (D3)
+    assert m.sha == "a" * 40   # ...but nothing else touched
