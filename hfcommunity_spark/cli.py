@@ -70,7 +70,30 @@ def _parser() -> argparse.ArgumentParser:
                    help="previous release to load incrementally against")
     p.add_argument("--skiplist", default="",
                    help="comma-separated repo ids to exclude (P3)")
+    p.add_argument("--sql", default=None, metavar="QUERY",
+                   help="analysis mode: run SQL over the release's 17 "
+                        "tables (registered as views) and print rows")
+    p.add_argument("--metric", default=None,
+                   help="analysis mode: run a published metric by name "
+                        "(metrics.ALL_METRICS) over the release")
+    p.add_argument("--limit", type=int, default=50,
+                   help="max rows printed in analysis mode")
     return p
+
+
+def _register_release(spark: SparkSession, base: str,
+                      release: str) -> dict[str, "object"]:
+    """Register the 17 snapshot tables of one release as temp views —
+    the analysis entry point the reference delegates to the MariaDB
+    client (SURVEY §3.3): user SQL goes straight to Catalyst."""
+    tables = {}
+    for name in SCHEMAS:
+        df = spark.read.schema(SCHEMAS[name]).parquet(
+            f"{base}/{name}/release={release}"
+        )
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables
 
 
 def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
@@ -124,6 +147,24 @@ def main(argv: list[str] | None = None) -> int:
 
         created = create_schema(spark, args.base)
         print(f"schema: created {len(created)} tables at {args.base}")
+        return 0
+    if args.sql or args.metric:
+        if not args.release:
+            print("error: --release is required for analysis mode",
+                  file=sys.stderr)
+            return 2
+        tables = _register_release(spark, args.base, args.release)
+        if args.sql:
+            df = spark.sql(args.sql)
+        else:
+            from hfcommunity_spark.metrics import ALL_METRICS
+
+            if args.metric not in ALL_METRICS:
+                print(f"error: unknown metric {args.metric!r}; one of "
+                      f"{sorted(ALL_METRICS)}", file=sys.stderr)
+                return 2
+            df = ALL_METRICS[args.metric](tables)
+        df.show(args.limit, truncate=False)
         return 0
     if not args.feeds or not args.release:
         print("error: --feeds and --release are required for a load",

@@ -101,3 +101,29 @@ def test_cli_incremental_stale_updates_likes_only(
     m = r2["models/org/m1"]
     assert m.likes == 103      # stale row: likes updated (D3)
     assert m.sha == "a" * 40   # ...but nothing else touched
+
+
+def test_cli_analysis_sql_and_metric(spark, feed_dir, tmp_path, capsys):
+    """SURVEY 3.3: the analysis entry point — user SQL and the
+    published metrics run directly over a loaded release."""
+    base = str(tmp_path / "snap_sql")
+    assert cli.main(["--feeds", feed_dir, "--base", base,
+                     "--release", "r1"]) == 0
+    capsys.readouterr()
+
+    assert cli.main([
+        "--base", base, "--release", "r1",
+        "--sql",
+        "SELECT type, COUNT(*) AS n FROM repository GROUP BY type "
+        "ORDER BY type",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "dataset" in out and "model" in out and "space" in out
+
+    assert cli.main(["--base", base, "--release", "r1",
+                     "--metric", "m1_top_orgs"]) == 0
+    assert "org" in capsys.readouterr().out
+
+    assert cli.main(["--base", base, "--release", "r1",
+                     "--metric", "nope"]) == 2
+    assert "unknown metric" in capsys.readouterr().err
