@@ -263,3 +263,36 @@ def test_dsir_resample_gumbel_keys_reproducible(spark):
     # same weight model -> heavy overlap; Gumbel noise -> not identical
     assert len(select_ids & resample_ids) >= len(select_ids) // 2
     assert select_ids != resample_ids
+
+
+def test_zorder_key_roundtrip_property(spark):
+    """Morton interleave must be a bijection on the masked domain:
+    decoding the Spark-computed key recovers (a, b) exactly for a
+    hypothesis-driven sample of the 16-bit key space."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.layout import ZBITS, zorder_key
+
+    def decode(z: int) -> tuple[int, int]:
+        a = b = 0
+        for i in range(ZBITS):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, (1 << ZBITS) - 1),
+                  st.integers(0, (1 << ZBITS) - 1)),
+        min_size=1, max_size=50))
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "a int, b int").select(
+            "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+        )
+        for r in df.collect():
+            assert decode(r.z) == (r.a, r.b)
+
+    check()
