@@ -101,12 +101,26 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
     counts (the :946-951 report data)."""
     feeds = hub_feeds.read_all_feeds(spark, args.feeds)
     # -t: unselected repo types flow as empty frames — the pipeline
-    # plan is identical, the scans are zero-row
+    # plan is identical, the scans are zero-row.  The commits and
+    # discussions feeds carry the repo type in their id prefix
+    # ("models/org/x"), so they are pruned by the SAME selection —
+    # otherwise an unselected type's commits would land as orphan
+    # rows against an empty repository set (round-5 review finding)
     selected = REPO_TYPES if args.type == "all" else (args.type,)
+    prefixes = tuple(f"{t}s/" for t in selected)
     for kind, t in (("models", "model"), ("datasets", "dataset"),
                     ("spaces", "space")):
         if t not in selected:
             feeds[kind] = feeds[kind].limit(0)
+    if args.type != "all":
+        from pyspark.sql import functions as F
+
+        for kind in ("commits", "discussions"):
+            keep = None
+            for p in prefixes:
+                cond = F.col("repo_id").startswith(p)
+                keep = cond if keep is None else (keep | cond)
+            feeds[kind] = feeds[kind].filter(keep)
 
     skiplist = tuple(s for s in args.skiplist.split(",") if s)
     tables = pipeline.run_offline(
@@ -118,15 +132,52 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
     )
 
     if args.prev_release is not None:
-        # D2/D3 incremental: fresh rows full-upsert onto the previous
-        # release, stale rows (older than the -i watermark) update
-        # likes only — databaseImport.py:608-619 as one set operation
-        prev = spark.read.schema(SCHEMAS["repository"]).parquet(
-            f"{args.base}/repository/release={args.prev_release}"
+        # Incremental release: EVERY table carries the previous
+        # release forward (a repo absent from today's feed keeps its
+        # subtype/commit/tag/file rows — round-5 review finding), with
+        # the reference's per-table merge semantics on top:
+        # - repository: fresh rows full-upsert, stale rows (older than
+        #   the -i watermark) update likes only (D3, :608-619)
+        # - model/dataset: stale repos update downloads only
+        #   (:697-706, :777-781); fresh repos upsert whole
+        # - everything else: keyed upsert (reference PKs, :184-251)
+        from hfcommunity_spark.etl.incremental import split_by_watermark
+        from hfcommunity_spark.operators.mergeops import (
+            partial_update,
+            upsert,
         )
-        tables["repository"] = incremental_repository_load(
-            prev, tables["repository"], limit_date(args.months)
-        )
+        from hfcommunity_spark.schema import PRIMARY_KEYS
+
+        wm = limit_date(args.months)
+        _fresh, stale = split_by_watermark(tables["repository"], wm)
+        stale_ids = stale.select("id")
+
+        def _prev(name: str):
+            return spark.read.schema(SCHEMAS[name]).parquet(
+                f"{args.base}/{name}/release={args.prev_release}"
+            )
+
+        for name in SCHEMAS:
+            if name == "repository":
+                tables[name] = incremental_repository_load(
+                    _prev(name), tables[name], wm
+                )
+            elif name in ("model", "dataset"):
+                idcol = f"{name}_id"
+                sid = stale_ids.withColumnRenamed("id", idcol)
+                cur = tables[name]
+                fresh_rows = cur.join(sid, idcol, "left_anti")
+                stale_rows = cur.join(sid, idcol, "left_semi")
+                merged = upsert(_prev(name), fresh_rows, pk=[idcol])
+                tables[name] = partial_update(
+                    merged, stale_rows, pk=[idcol],
+                    update_cols=["downloads"],
+                )
+            else:
+                tables[name] = upsert(
+                    _prev(name), tables[name],
+                    pk=list(PRIMARY_KEYS[name]),
+                )
 
     counts: dict[str, int] = {}
     for name, df in tables.items():
@@ -168,6 +219,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.feeds or not args.release:
         print("error: --feeds and --release are required for a load",
+              file=sys.stderr)
+        return 2
+    if args.months is not None and args.prev_release is None:
+        # the reference applies -i against the existing database; our
+        # "existing database" is the previous release — a bare -i
+        # would silently do nothing (round-5 review finding)
+        print("error: -i/--months requires --prev-release (the "
+              "watermark splits against the previous release)",
               file=sys.stderr)
         return 2
 

@@ -150,6 +150,23 @@ def dsir_lr_frames(docs: DataFrame):
     return toks, lr, tot
 
 
+def _dsir_docw(toks: DataFrame, lr: DataFrame) -> DataFrame:
+    """Per-train-doc weight rollup (doc_id, n_tokens, weight_micro) —
+    the ONE Spark twin of the ``docw`` CTE, shared by the top-K
+    selection and the Gumbel resample exactly like their oracles share
+    ``_DSIR_DOCW_CTES`` (round-5 review finding: a duplicated build
+    could silently desynchronize the two weight models)."""
+    return (
+        toks.filter(F.col("split") == "train")
+        .join(F.broadcast(lr), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_micro").cast("long").alias("weight_micro"),
+        )
+    )
+
+
 @query("samp_dsir_select", _DSIR_ORACLE, survey="X-UD5,A10,O2,J9,F11")
 def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection: rank the 'train' hash-split pool by
@@ -164,15 +181,7 @@ def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer sums (order-independent; see module docstring)."""
     docs = read_table(spark, sf_dir, "documents")
     toks, lr, _tot = dsir_lr_frames(docs)
-    docw = (
-        toks.filter(F.col("split") == "train")
-        .join(F.broadcast(lr), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("lr_micro").cast("long").alias("weight_micro"),
-        )
-    )
+    docw = _dsir_docw(toks, lr)
     top = docw.orderBy(
         F.desc("weight_micro"), F.asc("doc_id")
     ).limit(DSIR_KEEP)
@@ -456,15 +465,7 @@ def samp_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     toks, lr, _tot = dsir_lr_frames(docs)
-    docw = (
-        toks.filter(F.col("split") == "train")
-        .join(F.broadcast(lr), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("lr_micro").cast("long").alias("weight_micro"),
-        )
-    )
+    docw = _dsir_docw(toks, lr)
     u = (
         F.shiftright(sha60(F.col("doc_id"), GUMBEL_SEED), 8)
         .cast("double") + F.lit(0.5)

@@ -516,6 +516,10 @@ _ANOMALY_ORACLE = f"""
       SELECT event_id, event_type, ts,
              CAST(FLOOR(value * 1000000) AS BIGINT) AS micro
       FROM events
+      -- NULL values carry no measurement: excluded from scoring AND
+      -- from the trailing frame (otherwise cnt counts them while the
+      -- sums skip them, silently corrupting the statistics)
+      WHERE value IS NOT NULL
     ),
     framed AS (
       SELECT event_id, event_type, ts, micro,
@@ -566,7 +570,7 @@ def w_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt (correctly rounded), and one division — bit-identical
     cross-engine; the hash-checked value is rounded to 4 decimals."""
     events = read_table(spark, sf_dir, "events")
-    m = events.select(
+    m = events.filter(F.col("value").isNotNull()).select(
         "event_id", "event_type", "ts",
         F.floor(F.col("value") * 1000000).cast("long").alias("micro"),
     )

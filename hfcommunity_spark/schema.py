@@ -171,6 +171,31 @@ class ForeignKey:
 
 
 # FK declarations from the DDL (:184-251)
+# Primary keys as declared in the reference DDL
+# (reference/extractor/databaseImport.py:184-251).  The two surrogate
+# ids (conflicting_files_discussion, discussion_event) are
+# AUTO_INCREMENT there; here they are deterministic sha2 keys (F1), so
+# they remain valid merge keys.
+PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
+    "tag": ("name",),
+    "author": ("username",),
+    "repository": ("id",),
+    "repo_file": ("id",),
+    "tags_in_repo": ("tag_name", "repo_id"),
+    "model": ("model_id",),
+    "dataset": ("dataset_id",),
+    "space": ("space_id",),
+    "models_in_space": ("model_id", "space_id"),
+    "datasets_in_space": ("dataset_id", "space_id"),
+    "commits": ("sha",),
+    "discussion": ("num", "repo_id"),
+    "conflicting_files_discussion": ("id",),
+    "commit_parents": ("commit_sha", "parent_sha"),
+    "modified_file": ("modified_file_id",),
+    "files_in_commit": ("sha", "modified_file_id"),
+    "discussion_event": ("id",),
+}
+
 FOREIGN_KEYS: tuple[ForeignKey, ...] = (
     ForeignKey("repository", ("author",), "author", ("username",)),
     ForeignKey("repo_file", ("repo_id",), "repository", ("id",)),

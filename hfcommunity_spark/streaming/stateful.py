@@ -87,13 +87,21 @@ ANOMALY_STATE_SCHEMA = "micros array<long>"
 
 
 def _round_half_away(x: float, digits: int = 4) -> float:
-    """Spark/DuckDB ROUND semantics (HALF_UP, away from zero for
-    negatives) — Python's built-in round() is banker's and would
-    disagree on exact .00005 boundaries."""
-    import math
+    """Spark ROUND semantics, bit-for-bit: Scala's BigDecimal(double)
+    goes through the shortest round-trip decimal string
+    (Double.toString) and setScale(4, HALF_UP); Python's repr() is the
+    same shortest-decimal algorithm, so Decimal(repr(x)).quantize
+    reproduces it exactly.  A float multiply-add-floor would compound
+    a second rounding step and can flip the 4th decimal at
+    representation boundaries (round-5 review finding); Python's
+    built-in round() is banker's and disagrees on exact .00005
+    boundaries."""
+    import decimal
 
-    scale = 10**digits
-    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
 
 
 def _update_anomaly(key, pdfs, state) -> "Iterator[pd.DataFrame]":
@@ -107,6 +115,11 @@ def _update_anomaly(key, pdfs, state) -> "Iterator[pd.DataFrame]":
     (event_type,) = key
     buf: list[int] = list(state.get[0]) if state.exists else []
     batch = pd.concat(list(pdfs), ignore_index=True)
+    # NULL-valued events carry no measurement: excluded from scoring
+    # AND from the frame, exactly like the batch twin's IS NOT NULL
+    # filter (a NaN here would otherwise kill the whole query where
+    # the batch path keeps running — round-5 review finding)
+    batch = batch[batch["value"].notna()]
     batch = batch.sort_values(["ts", "event_id"], kind="stable")
     out_ids, out_z = [], []
     for eid, micro in zip(

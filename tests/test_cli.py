@@ -102,6 +102,81 @@ def test_cli_incremental_stale_updates_likes_only(
     assert m.likes == 103      # stale row: likes updated (D3)
     assert m.sha == "a" * 40   # ...but nothing else touched
 
+    # subtype stale path: downloads-only (reference :697-706)
+    d = {r.dataset_id: r for r in spark.read.parquet(
+        f"{base}/dataset/release=r2").collect()}["datasets/org/d1"]
+    assert d.downloads == 2    # unchanged (feed value identical)
+    # every child table carried forward -- no vanishing rows
+    for name in ("commits", "repo_file", "tags_in_repo", "tag"):
+        n1 = spark.read.parquet(f"{base}/{name}/release=r1").count()
+        n2 = spark.read.parquet(f"{base}/{name}/release=r2").count()
+        assert n2 >= n1, name
+
+
+def test_cli_incremental_carries_absent_repos_forward(
+    spark, feed_dir, tmp_path
+):
+    """A repo absent from today's feed must keep its repository row
+    AND its subtype/child rows in the new release (round-5 review
+    finding: rebuilding children from the current feed alone made
+    carried-forward repos internally inconsistent)."""
+    base = str(tmp_path / "snap_cf")
+    assert cli.main(["--feeds", feed_dir, "--base", base,
+                     "--release", "r1"]) == 0
+
+    d2 = tmp_path / "feeds_cf"
+    d2.mkdir()
+    # r2 feed: models only -- datasets/spaces/commits/discussions empty
+    for kind, rows in [("models", MODELS), ("datasets", []),
+                       ("spaces", []), ("commits", []),
+                       ("discussions", [])]:
+        with open(d2 / f"{kind}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    assert cli.main(["--feeds", str(d2), "--base", base,
+                     "--release", "r2", "--prev-release", "r1"]) == 0
+    repo2 = {r.id for r in spark.read.parquet(
+        f"{base}/repository/release=r2").collect()}
+    assert "datasets/org/d1" in repo2 and "spaces/org/s1" in repo2
+    assert spark.read.parquet(
+        f"{base}/dataset/release=r2").count() == 1   # subtype kept
+    assert spark.read.parquet(
+        f"{base}/commits/release=r2").count() == spark.read.parquet(
+        f"{base}/commits/release=r1").count()        # children kept
+
+
+def test_cli_type_selection_prunes_other_types_children(
+    spark, tmp_path
+):
+    """-t model must also prune commits/discussions of OTHER repo
+    types -- otherwise they land as orphans against an empty
+    repository set (round-5 review finding)."""
+    d = tmp_path / "feeds_orphan"
+    d.mkdir()
+    ds_commit = {**COMMITS[0], "repo_id": "datasets/org/d1",
+                 "sha": "9" * 40}
+    for kind, rows in [("models", MODELS), ("datasets", DATASETS),
+                       ("spaces", SPACES),
+                       ("commits", COMMITS + [ds_commit]),
+                       ("discussions", DISCUSSIONS)]:
+        with open(d / f"{kind}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    base = str(tmp_path / "snap_orphan")
+    assert cli.main(["--feeds", str(d), "--base", base,
+                     "--release", "r1", "-t", "model"]) == 0
+    shas = {r.sha for r in spark.read.parquet(
+        f"{base}/commits/release=r1").collect()}
+    assert "9" * 40 not in shas          # dataset commit pruned
+    assert "e" * 40 in shas              # model commit kept
+
+
+def test_cli_months_requires_prev_release(feed_dir, tmp_path, capsys):
+    assert cli.main(["--feeds", feed_dir, "--base", str(tmp_path),
+                     "--release", "r1", "-i", "6"]) == 2
+    assert "--prev-release" in capsys.readouterr().err
+
 
 def test_cli_analysis_sql_and_metric(spark, feed_dir, tmp_path, capsys):
     """SURVEY 3.3: the analysis entry point — user SQL and the

@@ -577,6 +577,11 @@ def test_streaming_anomaly_matches_batch_twin(spark, tmp_path):
         if i in (24, 28):
             val = 55.0
         rows.append((i, T0 + dt.timedelta(seconds=i), 1, "m", val, None))
+    # a NULL-valued event mid-stream: both modes must exclude it from
+    # scoring AND from the frame (round-5 review finding: a NaN killed
+    # the streaming query while the batch path kept running)
+    rows.append((50, T0 + dt.timedelta(seconds=25, milliseconds=500),
+                 1, "m", None, None))
     for i in range(ANOM_LOOKBACK + 5):
         rows.append(
             (100 + i, T0 + dt.timedelta(seconds=i), 2, "q",
@@ -773,3 +778,24 @@ def test_stream_dsir_gate_lm_evolution(spark):
     _t2, lr2, tot2 = dsir_lr_frames(corpus.unionByName(ingested))
     d2 = dsir_gate(probe, lr2, tot2).collect()[0]
     assert d2.weight_micro < d1.weight_micro
+
+
+def test_round_half_away_matches_spark_round(spark):
+    """The streaming monitor's rounding must be bit-identical to
+    Spark's ROUND(x, 4) (Scala BigDecimal over the shortest-decimal
+    repr) — including exact .00005 boundaries and values whose
+    float×10⁴ product crosses a representation boundary."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.streaming.stateful import _round_half_away
+
+    vals = [
+        0.00005, -0.00005, 2.49995, -2.49995, 2.500049999,
+        0.1 + 0.2, 1.0005, -1.0005, 3.00015, 0.12345,
+        2.5, -2.5, 36.70005, 1e-9, -1e-9,
+    ] + [i * 0.00005 for i in range(1, 50)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        "x", F.round("x", 4).alias("r")
+    )
+    for row in df.collect():
+        assert _round_half_away(row.x) == row.r, row.x
