@@ -7,9 +7,10 @@ set-at-a-time architecture:
   -c              create the 17-table schema and exit (:885-890)
   -t TYPE         model | dataset | space | all (:840)
   -i N            month window: watermark = month-floor(now − N months)
-                  (:858-868); with --prev-release, stale repository
-                  rows take the partial-update path (likes only, D3
-                  :609-618) instead of the full upsert
+                  (:858-868); with --prev-release, stale repos take the
+                  reference's UPDATE-then-CONTINUE path (:608-619):
+                  repository likes and model/dataset downloads refresh,
+                  and the repo contributes nothing else this run
   -s MAX_COMMITS  commit-count threshold skip (:374-382)
   --skiplist      comma-separated repo ids to exclude (P3, :624)
 
@@ -37,10 +38,7 @@ import time
 from pyspark.sql import SparkSession
 
 from hfcommunity_spark.etl import pipeline
-from hfcommunity_spark.etl.incremental import (
-    incremental_repository_load,
-    limit_date,
-)
+from hfcommunity_spark.etl.incremental import limit_date
 from hfcommunity_spark.io import write_snapshot
 from hfcommunity_spark.schema import SCHEMAS
 from hfcommunity_spark.sources import hub_feeds
@@ -96,6 +94,97 @@ def _register_release(spark: SparkSession, base: str,
     return tables
 
 
+# Per-table merge strategy for incremental releases, mirroring the
+# reference's write statements (reference/extractor/databaseImport.py):
+# INSERT IGNORE tables keep the first-ever row (:277 tags, :392-396
+# author stubs, :401 commits); upsert tables take the newest row
+# (:285-317 repo_file, :640 repository); discussion updates only its
+# status (:490-492); author merges by SOURCE PRIORITY so a commit stub
+# can never downgrade a row fetched from the Hub (:513-518).
+_INSERT_IGNORE_TABLES = frozenset({
+    "tag", "commits", "tags_in_repo", "models_in_space",
+    "datasets_in_space", "commit_parents", "files_in_commit",
+    "conflicting_files_discussion", "discussion_event", "modified_file",
+})
+
+
+def _author_priority_merge(prev, cur):
+    """Highest source priority wins per username ("hf" > "hf_owner" >
+    "commit", the ladder pipeline.run_offline builds with); on equal
+    priority the current run's row wins (fresh data, same tier)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    prio = (
+        F.when(F.col("source") == "hf", 3)
+        .when(F.col("source") == "hf_owner", 2)
+        .otherwise(1)
+    )
+    u = (
+        prev.withColumn("__cur", F.lit(0))
+        .unionByName(cur.withColumn("__cur", F.lit(1)))
+        .withColumn("__prio", prio)
+    )
+    w = Window.partitionBy("username").orderBy(
+        F.desc("__prio"), F.desc("__cur")
+    )
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio", "__cur")
+    )
+
+
+def _merge_with_previous(spark, args, tables, stale_updates):
+    """Carry the previous release forward under each table's own merge
+    semantics; then apply the stale repos' likes/downloads refresh
+    (the reference's UPDATE-then-CONTINUE path as set operations)."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.mergeops import (
+        insert_ignore,
+        partial_update,
+        upsert,
+    )
+    from hfcommunity_spark.schema import PRIMARY_KEYS
+
+    def _prev(name: str):
+        return spark.read.schema(SCHEMAS[name]).parquet(
+            f"{args.base}/{name}/release={args.prev_release}"
+        )
+
+    out = {}
+    for name in SCHEMAS:
+        pk = list(PRIMARY_KEYS[name])
+        if name == "author":
+            out[name] = _author_priority_merge(_prev(name), tables[name])
+        elif name in _INSERT_IGNORE_TABLES:
+            out[name] = insert_ignore(_prev(name), tables[name], pk=pk)
+        elif name == "discussion":
+            out[name] = upsert(
+                _prev(name), tables[name], pk=pk, update_cols=["status"]
+            )
+        else:
+            out[name] = upsert(_prev(name), tables[name], pk=pk)
+
+    likes = stale_updates["model"].select("id", "likes")
+    for t in ("dataset", "space"):
+        likes = likes.unionByName(stale_updates[t].select("id", "likes"))
+    out["repository"] = partial_update(
+        out["repository"], likes, pk=["id"], update_cols=["likes"]
+    )
+    for t in ("model", "dataset"):
+        idcol = f"{t}_id"
+        out[t] = partial_update(
+            out[t],
+            stale_updates[t].select(
+                F.col("id").alias(idcol), "downloads"
+            ),
+            pk=[idcol], update_cols=["downloads"],
+        )
+    return out
+
+
 def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
     """The populate lifecycle (:828 main body).  Returns per-table row
     counts (the :946-951 report data)."""
@@ -106,23 +195,66 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
     # ("models/org/x"), so they are pruned by the SAME selection —
     # otherwise an unselected type's commits would land as orphan
     # rows against an empty repository set (round-5 review finding)
+    from pyspark.sql import functions as F
+
     selected = REPO_TYPES if args.type == "all" else (args.type,)
-    prefixes = tuple(f"{t}s/" for t in selected)
     for kind, t in (("models", "model"), ("datasets", "dataset"),
                     ("spaces", "space")):
         if t not in selected:
             feeds[kind] = feeds[kind].limit(0)
     if args.type != "all":
-        from pyspark.sql import functions as F
-
+        pref = f"{args.type}s/"
         for kind in ("commits", "discussions"):
-            keep = None
-            for p in prefixes:
-                cond = F.col("repo_id").startswith(p)
-                keep = cond if keep is None else (keep | cond)
-            feeds[kind] = feeds[kind].filter(keep)
-
+            feeds[kind] = feeds[kind].filter(
+                F.col("repo_id").startswith(pref)
+            )
     skiplist = tuple(s for s in args.skiplist.split(",") if s)
+    if skiplist:
+        # run_offline applies the P3 skiplist to the repo feeds; the
+        # commits/discussions feeds must honor it too or excluded
+        # repos leave orphan child rows (round-5 review finding)
+        for kind in ("commits", "discussions"):
+            feeds[kind] = feeds[kind].filter(
+                ~F.col("repo_id").isin(*skiplist)
+            )
+
+    stale_updates: dict[str, "object"] = {}
+    if args.prev_release is not None:
+        # The reference's stale path is UPDATE-then-CONTINUE
+        # (:608-619): a stale repo refreshes likes (and model/dataset
+        # downloads) but contributes NOTHING else this run — no
+        # files, tags, commits, discussions.  Set-at-a-time: stale
+        # repos leave every feed BEFORE the pipeline runs, and their
+        # (id, likes, downloads) refresh frames are kept aside for
+        # the partial-update merge below.
+        from hfcommunity_spark.etl.normalize import repo_full_id
+
+        wm = limit_date(args.months)
+        stale_id_frames = []
+        for kind, t in (("models", "model"), ("datasets", "dataset"),
+                        ("spaces", "space")):
+            f_ = feeds[kind]
+            is_stale = (
+                F.col("last_modified").isNotNull()
+                & (F.col("last_modified") < wm)
+            )
+            cols = ["likes"] + (
+                ["downloads"] if t in ("model", "dataset") else []
+            )
+            stale_updates[t] = f_.filter(is_stale).select(
+                repo_full_id(F.lit(t), F.col("name")).alias("id"), *cols
+            )
+            feeds[kind] = f_.filter(~is_stale)
+            stale_id_frames.append(stale_updates[t].select("id"))
+        stale_ids = stale_id_frames[0]
+        for part in stale_id_frames[1:]:
+            stale_ids = stale_ids.unionByName(part)
+        for kind in ("commits", "discussions"):
+            feeds[kind] = feeds[kind].join(
+                stale_ids.withColumnRenamed("id", "repo_id"),
+                "repo_id", "left_anti",
+            )
+
     tables = pipeline.run_offline(
         spark,
         feeds["models"], feeds["datasets"], feeds["spaces"],
@@ -132,52 +264,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
     )
 
     if args.prev_release is not None:
-        # Incremental release: EVERY table carries the previous
-        # release forward (a repo absent from today's feed keeps its
-        # subtype/commit/tag/file rows — round-5 review finding), with
-        # the reference's per-table merge semantics on top:
-        # - repository: fresh rows full-upsert, stale rows (older than
-        #   the -i watermark) update likes only (D3, :608-619)
-        # - model/dataset: stale repos update downloads only
-        #   (:697-706, :777-781); fresh repos upsert whole
-        # - everything else: keyed upsert (reference PKs, :184-251)
-        from hfcommunity_spark.etl.incremental import split_by_watermark
-        from hfcommunity_spark.operators.mergeops import (
-            partial_update,
-            upsert,
-        )
-        from hfcommunity_spark.schema import PRIMARY_KEYS
-
-        wm = limit_date(args.months)
-        _fresh, stale = split_by_watermark(tables["repository"], wm)
-        stale_ids = stale.select("id")
-
-        def _prev(name: str):
-            return spark.read.schema(SCHEMAS[name]).parquet(
-                f"{args.base}/{name}/release={args.prev_release}"
-            )
-
-        for name in SCHEMAS:
-            if name == "repository":
-                tables[name] = incremental_repository_load(
-                    _prev(name), tables[name], wm
-                )
-            elif name in ("model", "dataset"):
-                idcol = f"{name}_id"
-                sid = stale_ids.withColumnRenamed("id", idcol)
-                cur = tables[name]
-                fresh_rows = cur.join(sid, idcol, "left_anti")
-                stale_rows = cur.join(sid, idcol, "left_semi")
-                merged = upsert(_prev(name), fresh_rows, pk=[idcol])
-                tables[name] = partial_update(
-                    merged, stale_rows, pk=[idcol],
-                    update_cols=["downloads"],
-                )
-            else:
-                tables[name] = upsert(
-                    _prev(name), tables[name],
-                    pk=list(PRIMARY_KEYS[name]),
-                )
+        tables = _merge_with_previous(spark, args, tables, stale_updates)
 
     counts: dict[str, int] = {}
     for name, df in tables.items():

@@ -887,22 +887,28 @@ _LSH_AUDIT_ORACLE = f"""
           FROM truth t FULL OUTER JOIN cand c
             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
     SELECT
-      CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-      CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_candidates,
-      CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT)
-        AS tp,
-      CAST(SUM(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
-           AS BIGINT) AS fp,
-      CAST(SUM(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
-           AS BIGINT) AS fn,
-      ROUND(CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
-                 AS DOUBLE)
-            / SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 4) AS recall_rounded,
-      ROUND(CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
-                 AS DOUBLE)
-            / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 4)
-        AS precision_rounded
+      -- COALESCE: SUM over an empty confusion set is NULL in both
+      -- engines, but an empty set means zero pairs, not unknown
+      CAST(COALESCE(SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_true,
+      CAST(COALESCE(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_candidates,
+      CAST(COALESCE(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END),
+                    0) AS BIGINT) AS tp,
+      CAST(COALESCE(SUM(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0
+                        END), 0) AS BIGINT) AS fp,
+      CAST(COALESCE(SUM(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0
+                        END), 0) AS BIGINT) AS fn,
+      CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) > 0 THEN
+        ROUND(CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
+                   AS DOUBLE)
+              / SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 4)
+      END AS recall_rounded,
+      CASE WHEN SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) > 0 THEN
+        ROUND(CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
+                   AS DOUBLE)
+              / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 4)
+      END AS precision_rounded
     FROM m
     """
 
@@ -935,22 +941,29 @@ def dd_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true"),
         F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
     )
+    def _n(cond, name):
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias(name)
+
     agg = m.agg(
-        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
-        .cast("long").alias("n_true"),
-        F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
-        .cast("long").alias("n_candidates"),
-        F.sum(F.when(F.col("is_true") & F.col("is_cand"), 1).otherwise(0))
-        .cast("long").alias("tp"),
-        F.sum(F.when(F.col("is_cand") & ~F.col("is_true"), 1).otherwise(0))
-        .cast("long").alias("fp"),
-        F.sum(F.when(F.col("is_true") & ~F.col("is_cand"), 1).otherwise(0))
-        .cast("long").alias("fn"),
+        _n(F.col("is_true"), "n_true"),
+        _n(F.col("is_cand"), "n_candidates"),
+        _n(F.col("is_true") & F.col("is_cand"), "tp"),
+        _n(F.col("is_cand") & ~F.col("is_true"), "fp"),
+        _n(F.col("is_true") & ~F.col("is_cand"), "fn"),
     )
+    # explicit NULL when a side is empty (a clean sample has no true
+    # pairs): Spark's non-ANSI x/0 NULL and DuckDB's IEEE Inf would
+    # otherwise diverge — round-5 review finding
     return agg.select(
         "n_true", "n_candidates", "tp", "fp", "fn",
-        F.round(F.col("tp").cast("double") / F.col("n_true"), 4)
-        .alias("recall_rounded"),
-        F.round(F.col("tp").cast("double") / F.col("n_candidates"), 4)
-        .alias("precision_rounded"),
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_true"), 4),
+        ).alias("recall_rounded"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_candidates"), 4),
+        ).alias("precision_rounded"),
     )

@@ -202,3 +202,89 @@ def test_cli_analysis_sql_and_metric(spark, feed_dir, tmp_path, capsys):
     assert cli.main(["--base", base, "--release", "r1",
                      "--metric", "nope"]) == 2
     assert "unknown metric" in capsys.readouterr().err
+
+
+def test_cli_skiplist_prunes_children_too(spark, tmp_path):
+    """--skiplist must exclude the repo's commits/discussions as well
+    as its feed row — no orphan child rows (round-5 review #2)."""
+    d = tmp_path / "feeds_skip"
+    d.mkdir()
+    for kind, rows in [("models", MODELS), ("datasets", DATASETS),
+                       ("spaces", SPACES), ("commits", COMMITS),
+                       ("discussions", DISCUSSIONS)]:
+        with open(d / f"{kind}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    base = str(tmp_path / "snap_skip")
+    assert cli.main(["--feeds", str(d), "--base", base,
+                     "--release", "r1",
+                     "--skiplist", "models/org/m1"]) == 0
+    assert spark.read.parquet(
+        f"{base}/commits/release=r1").count() == 0
+    assert spark.read.parquet(
+        f"{base}/discussion/release=r1").count() == 0
+    repo_ids = {r.id for r in spark.read.parquet(
+        f"{base}/repository/release=r1").collect()}
+    assert "models/org/m1" not in repo_ids
+
+
+def test_cli_stale_repo_contributes_no_children(spark, feed_dir, tmp_path):
+    """The reference's stale path is UPDATE-then-CONTINUE: a stale
+    repo's likes refresh but a commit arriving for it in the same feed
+    must NOT be ingested (round-5 review #2)."""
+    base = str(tmp_path / "snap_stale")
+    assert cli.main(["--feeds", feed_dir, "--base", base,
+                     "--release", "r1"]) == 0
+
+    d2 = tmp_path / "feeds_stale"
+    d2.mkdir()
+    new_commit = {**COMMITS[0], "sha": "7" * 40, "message": "late"}
+    for kind, rows in [
+        ("models", [{**MODELS[0], "likes": 55}]),  # stale (2024 ts)
+        ("datasets", []), ("spaces", []),
+        ("commits", [new_commit]), ("discussions", []),
+    ]:
+        with open(d2 / f"{kind}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    assert cli.main(["--feeds", str(d2), "--base", base,
+                     "--release", "r2", "--prev-release", "r1",
+                     "-i", "1"]) == 0
+    m = {r.id: r for r in spark.read.parquet(
+        f"{base}/repository/release=r2").collect()}["models/org/m1"]
+    assert m.likes == 55  # stale refresh applied
+    shas = {r.sha for r in spark.read.parquet(
+        f"{base}/commits/release=r2").collect()}
+    assert "7" * 40 not in shas  # ...but its new commit was NOT taken
+    assert "e" * 40 in shas      # prior commits carried forward
+
+
+def test_cli_incremental_author_priority_not_downgraded(
+    spark, feed_dir, tmp_path
+):
+    """An author known at 'hf' tier in the previous release must not
+    be downgraded by a commit-stub arrival (reference :513-518;
+    round-5 review #3)."""
+    base = str(tmp_path / "snap_auth")
+    assert cli.main(["--feeds", feed_dir, "--base", base,
+                     "--release", "r1"]) == 0
+    a1 = {r.username: r.source for r in spark.read.parquet(
+        f"{base}/author/release=r1").collect()}
+    assert a1["fan"] == "hf"  # discussion author lands at hf tier
+
+    d2 = tmp_path / "feeds_auth"
+    d2.mkdir()
+    stub_commit = {**COMMITS[0], "sha": "8" * 40,
+                   "author_name": "fan", "committer_name": "fan"}
+    for kind, rows in [("models", MODELS), ("datasets", []),
+                       ("spaces", []), ("commits", [stub_commit]),
+                       ("discussions", [])]:
+        with open(d2 / f"{kind}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    assert cli.main(["--feeds", str(d2), "--base", base,
+                     "--release", "r2", "--prev-release", "r1"]) == 0
+    a2 = {r.username: r.source for r in spark.read.parquet(
+        f"{base}/author/release=r2").collect()}
+    assert a2["fan"] == "hf"  # still hf tier, not 'commit'

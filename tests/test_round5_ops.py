@@ -296,3 +296,29 @@ def test_zorder_key_roundtrip_property(spark):
             assert decode(r.z) == (r.a, r.b)
 
     check()
+
+
+def test_lsh_recall_audit_null_metrics_on_clean_sample(spark, tmp_path):
+    """A clean sample (no true near-dup pairs) must report explicit
+    NULL recall — not a divide-by-zero NaN/Inf that diverges between
+    engines (round-5 review finding)."""
+    import pandas as pd
+
+    from hfcommunity_spark.operators.dedup import dd_lsh_recall_audit
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [" ".join(f"w{d}_{i}" for i in range(40))
+                 for d in range(6)],
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+        "n_chars": [100] * 6,
+    })
+    spark.createDataFrame(docs).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    row = dd_lsh_recall_audit(spark, str(tmp_path)).collect()[0]
+    assert row.n_true == 0 and row.fn == 0
+    assert row.recall_rounded is None
+    if row.n_candidates == 0:
+        assert row.precision_rounded is None
