@@ -444,3 +444,58 @@ def samp_temperature_resample(spark: SparkSession,
     return ranked.join(F.broadcast(quotas), "source").filter(
         F.col("pos") <= F.col("quota")
     ).select("doc_id", "source", "pos")
+
+
+# --- deterministic epoch shuffle + shard plan (round 5) ------------
+
+EPOCH_SEED = 1        # re-deal the whole epoch by bumping this
+N_SHARDS = 8          # training data files per epoch
+
+
+def _epoch_shard_oracle() -> str:
+    from hfcommunity_spark.operators.dedup import _sha60_sql
+
+    h = _sha60_sql("CAST(doc_id AS VARCHAR)", EPOCH_SEED)
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {h} AS ord_hash FROM documents
+    )
+    SELECT doc_id,
+           CAST(ord_hash % {N_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ord_hash % {N_SHARDS}
+             ORDER BY ord_hash, doc_id
+           ) AS INTEGER) AS pos
+    FROM keyed
+    """
+
+
+@query("samp_epoch_shard_plan", _epoch_shard_oracle(),
+       survey="X-UD5,W1,F1,A5")
+def samp_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-order plan: a reproducible global shuffle of the
+    corpus into {N_SHARDS} epoch shards — every doc gets a seeded
+    cross-engine hash, its shard is hash mod {N_SHARDS}, and its
+    position within the shard is the hash order.  A rerun on any
+    cluster layout deals the identical epoch; bumping EPOCH_SEED
+    re-deals it.  This replaces the global ORDER BY rand() shuffle a
+    naive pipeline would pay: shard assignment is a narrow codegen
+    projection and the ordering window is PARTITIONED per shard
+    (each ~corpus/{N_SHARDS}), so no single-partition sort exists at
+    any scale — the shard writer just sortWithinPartitions on the
+    same key."""
+    from hfcommunity_spark.operators.dedup import sha60
+
+    docs = read_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", sha60(F.col("doc_id"), EPOCH_SEED).alias("ord_hash")
+    )
+    shard = (F.col("ord_hash") % N_SHARDS).cast("int")
+    w = Window.partitionBy(shard).orderBy(
+        F.asc("ord_hash"), F.asc("doc_id")
+    )
+    return keyed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"),
+    )

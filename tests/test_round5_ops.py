@@ -322,3 +322,30 @@ def test_lsh_recall_audit_null_metrics_on_clean_sample(spark, tmp_path):
     assert row.recall_rounded is None
     if row.n_candidates == 0:
         assert row.precision_rounded is None
+
+
+def test_epoch_shard_plan_deterministic_and_balanced(spark):
+    """The epoch plan must re-deal identically on rerun, cover every
+    doc exactly once, keep shards statistically balanced, and number
+    positions densely from 1 within each shard."""
+    from hfcommunity_spark.operators.sampling import (
+        N_SHARDS,
+        samp_epoch_shard_plan,
+    )
+
+    a = samp_epoch_shard_plan(spark, SF_ORACLE).toPandas()
+    b = samp_epoch_shard_plan(spark, SF_ORACLE).toPandas()
+    key = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    assert len(a) == docs.count()
+    assert a["doc_id"].is_unique
+    sizes = a.groupby("shard").size()
+    assert set(sizes.index) == set(range(N_SHARDS))
+    assert sizes.max() < 2 * sizes.min()  # hash balance, no hot shard
+    for _, grp in a.groupby("shard"):
+        pos = sorted(grp["pos"])
+        assert pos == list(range(1, len(grp) + 1))

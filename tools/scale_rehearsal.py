@@ -64,6 +64,8 @@ QUERIES = [
     ("sim_matryoshka_rerank", "coarse-prune-rerank", 1.0),
     ("dd_lsh_recall_audit", "bucketed-postings", 1.0),
     ("x12_stream_dsir_gate", "bucketed-postings", 1.0),
+    ("samp_dsir_resample", "bucketed-postings", 1.0),
+    ("layout_zorder_pruning_audit", "keyed-agg", 1.0),
     ("t_unigram_ppl_buckets", "bucketed-postings", 1.0),
     ("dd_dup_span_ratio", "bucketed-postings", 1.0),
     ("emb_centroid_outlier_prune", "centroid-window", 1.0),
