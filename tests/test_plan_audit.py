@@ -207,3 +207,20 @@ def test_round5_lm_and_mrl_plan_shapes(spark):
     # SinglePartition exchange feeding the Window would be the global
     # sort the design forbids
     assert "SinglePartition" not in plan
+
+    # BM25: posting-slice filter + heap top-k, stat sides broadcast
+    plan = _formatted_plan(spark, "sim_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+    # epoch shard plan: the ordering window is partitioned per shard —
+    # a SinglePartition exchange would be the ORDER BY rand() global
+    # shuffle the operator exists to avoid
+    plan = _formatted_plan(spark, "samp_epoch_shard_plan")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+    # Z-order audit: two keyed partial-agg rollups, no cartesian wider
+    # than the 1-row chunk-size broadcast
+    plan = _formatted_plan(spark, "layout_zorder_pruning_audit")
+    assert "CartesianProduct" not in plan
