@@ -154,6 +154,29 @@ def m7_owner_discussion_share(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def m8_file_modification_counts(
+    tables: dict[str, DataFrame], repo_id: str | None = None
+) -> DataFrame:
+    """'How often a file is modified in a repository?' — the heatmap's
+    data (docs/metrics.html, resources/figs/heatmap.png): per file,
+    how many commits touched it, optionally scoped to one repository
+    like the published example.  modified_file → files_in_commit →
+    commits chain; at scale two equi-joins on surrogate/sha keys with
+    a (repo, file) partial-agg rollup."""
+    mf = tables["modified_file"].select("modified_file_id", "rfilename")
+    fic = tables["files_in_commit"]
+    commits = tables["commits"].select("sha", "repo_id")
+    j = (
+        mf.join(fic, "modified_file_id")
+        .join(commits, "sha")
+    )
+    if repo_id is not None:
+        j = j.filter(F.col("repo_id") == repo_id)
+    return j.groupBy("repo_id", "rfilename").agg(
+        F.count(F.lit(1)).alias("n_modifications")
+    )
+
+
 ALL_METRICS = {
     "m1_top_orgs": m1_top_orgs,
     "m2_files_per_repo_hist": m2_files_per_repo_hist,
@@ -162,4 +185,5 @@ ALL_METRICS = {
     "m5_discussions_per_repo_hist": m5_discussions_per_repo_hist,
     "m6_avg_comments_per_discussion": m6_avg_comments_per_discussion,
     "m7_owner_discussion_share": m7_owner_discussion_share,
+    "m8_file_modification_counts": m8_file_modification_counts,
 }

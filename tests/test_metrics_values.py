@@ -213,3 +213,33 @@ def test_m7_owner_share_buckets(tables):
            for r in ALL_METRICS["m7_owner_discussion_share"](tables).collect()}
     assert got == {"0%": M7_ZERO, "<100%": M7_HALF,
                    "100%": N_FLAGGED - M7_ZERO - M7_HALF}
+
+
+def test_m8_file_modification_counts(spark):
+    """The heatmap metric: per-file commit-touch counts through the
+    modified_file -> files_in_commit -> commits chain, scopable to one
+    repository like the published example."""
+    mf = spark.createDataFrame(
+        [("f1", "README.md"), ("f2", "model.bin")],
+        ["modified_file_id", "rfilename"],
+    )
+    fic = spark.createDataFrame(
+        [("s1", "f1"), ("s2", "f1"), ("s2", "f2")],
+        ["sha", "modified_file_id"],
+    )
+    commits = spark.createDataFrame(
+        [("s1", "models/org/m1"), ("s2", "models/org/m1")],
+        ["sha", "repo_id"],
+    )
+    tables = {"modified_file": mf, "files_in_commit": fic,
+              "commits": commits}
+    out = {
+        r.rfilename: r.n_modifications
+        for r in ALL_METRICS["m8_file_modification_counts"](
+            tables, "models/org/m1"
+        ).collect()
+    }
+    assert out == {"README.md": 2, "model.bin": 1}
+    assert ALL_METRICS["m8_file_modification_counts"](
+        tables, "other/repo"
+    ).count() == 0
