@@ -38,7 +38,6 @@ import time
 from pyspark.sql import SparkSession
 
 from hfcommunity_spark.etl import pipeline
-from hfcommunity_spark.etl.incremental import limit_date
 from hfcommunity_spark.io import write_snapshot
 from hfcommunity_spark.schema import SCHEMAS
 from hfcommunity_spark.sources import hub_feeds
@@ -94,97 +93,6 @@ def _register_release(spark: SparkSession, base: str,
     return tables
 
 
-# Per-table merge strategy for incremental releases, mirroring the
-# reference's write statements (reference/extractor/databaseImport.py):
-# INSERT IGNORE tables keep the first-ever row (:277 tags, :392-396
-# author stubs, :401 commits); upsert tables take the newest row
-# (:285-317 repo_file, :640 repository); discussion updates only its
-# status (:490-492); author merges by SOURCE PRIORITY so a commit stub
-# can never downgrade a row fetched from the Hub (:513-518).
-_INSERT_IGNORE_TABLES = frozenset({
-    "tag", "commits", "tags_in_repo", "models_in_space",
-    "datasets_in_space", "commit_parents", "files_in_commit",
-    "conflicting_files_discussion", "discussion_event", "modified_file",
-})
-
-
-def _author_priority_merge(prev, cur):
-    """Highest source priority wins per username ("hf" > "hf_owner" >
-    "commit", the ladder pipeline.run_offline builds with); on equal
-    priority the current run's row wins (fresh data, same tier)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    prio = (
-        F.when(F.col("source") == "hf", 3)
-        .when(F.col("source") == "hf_owner", 2)
-        .otherwise(1)
-    )
-    u = (
-        prev.withColumn("__cur", F.lit(0))
-        .unionByName(cur.withColumn("__cur", F.lit(1)))
-        .withColumn("__prio", prio)
-    )
-    w = Window.partitionBy("username").orderBy(
-        F.desc("__prio"), F.desc("__cur")
-    )
-    return (
-        u.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__prio", "__cur")
-    )
-
-
-def _merge_with_previous(spark, args, tables, stale_updates):
-    """Carry the previous release forward under each table's own merge
-    semantics; then apply the stale repos' likes/downloads refresh
-    (the reference's UPDATE-then-CONTINUE path as set operations)."""
-    from pyspark.sql import functions as F
-
-    from hfcommunity_spark.operators.mergeops import (
-        insert_ignore,
-        partial_update,
-        upsert,
-    )
-    from hfcommunity_spark.schema import PRIMARY_KEYS
-
-    def _prev(name: str):
-        return spark.read.schema(SCHEMAS[name]).parquet(
-            f"{args.base}/{name}/release={args.prev_release}"
-        )
-
-    out = {}
-    for name in SCHEMAS:
-        pk = list(PRIMARY_KEYS[name])
-        if name == "author":
-            out[name] = _author_priority_merge(_prev(name), tables[name])
-        elif name in _INSERT_IGNORE_TABLES:
-            out[name] = insert_ignore(_prev(name), tables[name], pk=pk)
-        elif name == "discussion":
-            out[name] = upsert(
-                _prev(name), tables[name], pk=pk, update_cols=["status"]
-            )
-        else:
-            out[name] = upsert(_prev(name), tables[name], pk=pk)
-
-    likes = stale_updates["model"].select("id", "likes")
-    for t in ("dataset", "space"):
-        likes = likes.unionByName(stale_updates[t].select("id", "likes"))
-    out["repository"] = partial_update(
-        out["repository"], likes, pk=["id"], update_cols=["likes"]
-    )
-    for t in ("model", "dataset"):
-        idcol = f"{t}_id"
-        out[t] = partial_update(
-            out[t],
-            stale_updates[t].select(
-                F.col("id").alias(idcol), "downloads"
-            ),
-            pk=[idcol], update_cols=["downloads"],
-        )
-    return out
-
-
 def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
     """The populate lifecycle (:828 main body).  Returns per-table row
     counts (the :946-951 report data)."""
@@ -219,32 +127,33 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
             )
 
     stale_updates: dict[str, "object"] = {}
-    if args.prev_release is not None:
+    if args.prev_release is not None and args.months is not None:
         # The reference's stale path is UPDATE-then-CONTINUE
         # (:608-619): a stale repo refreshes likes (and model/dataset
         # downloads) but contributes NOTHING else this run — no
         # files, tags, commits, discussions.  Set-at-a-time: stale
         # repos leave every feed BEFORE the pipeline runs, and their
         # (id, likes, downloads) refresh frames are kept aside for
-        # the partial-update merge below.
+        # the partial-update merge below.  The watermark is ONE
+        # driver-resolved literal, not current_timestamp() in the
+        # plan, so all 17 table writes split identically.
+        from hfcommunity_spark.etl.incremental import (
+            limit_date_value,
+            split_by_watermark,
+        )
         from hfcommunity_spark.etl.normalize import repo_full_id
 
-        wm = limit_date(args.months)
+        wm = F.lit(limit_date_value(args.months))
         stale_id_frames = []
         for kind, t in (("models", "model"), ("datasets", "dataset"),
                         ("spaces", "space")):
-            f_ = feeds[kind]
-            is_stale = (
-                F.col("last_modified").isNotNull()
-                & (F.col("last_modified") < wm)
-            )
+            feeds[kind], stale_feed = split_by_watermark(feeds[kind], wm)
             cols = ["likes"] + (
                 ["downloads"] if t in ("model", "dataset") else []
             )
-            stale_updates[t] = f_.filter(is_stale).select(
+            stale_updates[t] = stale_feed.select(
                 repo_full_id(F.lit(t), F.col("name")).alias("id"), *cols
             )
-            feeds[kind] = f_.filter(~is_stale)
             stale_id_frames.append(stale_updates[t].select("id"))
         stale_ids = stale_id_frames[0]
         for part in stale_id_frames[1:]:
@@ -264,7 +173,19 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
     )
 
     if args.prev_release is not None:
-        tables = _merge_with_previous(spark, args, tables, stale_updates)
+        from hfcommunity_spark.etl.incremental import (
+            incremental_release_merge,
+        )
+
+        prev_tables = {
+            name: spark.read.schema(SCHEMAS[name]).parquet(
+                f"{args.base}/{name}/release={args.prev_release}"
+            )
+            for name in SCHEMAS
+        }
+        tables = incremental_release_merge(
+            prev_tables, tables, stale_updates
+        )
 
     counts: dict[str, int] = {}
     for name, df in tables.items():

@@ -47,9 +47,112 @@ def incremental_repository_load(
 ) -> DataFrame:
     """One-pass incremental load of a repository-shaped table:
     fresh rows take the full upsert path (D2, databaseImport.py:641),
-    stale rows update only ``stale_update_cols`` (D3, :609-618)."""
+    stale rows update only ``stale_update_cols`` (D3, :609-618).
+
+    This is the MIXED-incoming variant (one frame holding fresh and
+    stale rows together).  The release CLI instead splits stale repos
+    out of the feeds before the pipeline runs and merges with
+    :func:`incremental_release_merge` — use this form when incoming
+    rows arrive pre-built (e.g. a notebook upsert against one
+    table)."""
     fresh, stale = split_by_watermark(incoming, wm)
     out = upsert(existing, fresh, pk=list(pk))
     return partial_update(
         out, stale, pk=list(pk), update_cols=list(stale_update_cols)
     )
+
+
+def limit_date_value(last_n_months: int | None):
+    """Driver-side twin of :func:`limit_date`: ONE resolved datetime
+    per run, like the reference pinning limit_date at startup
+    (:858-868).  Embedding ``current_timestamp()`` in the plan instead
+    would re-evaluate per Spark ACTION — a 17-table snapshot written
+    across a month boundary would then split stale/fresh differently
+    per table (round-5 review finding)."""
+    from datetime import datetime, timezone
+
+    if last_n_months is None:
+        return datetime(1970, 1, 1)
+    now = datetime.now(timezone.utc)
+    months = now.year * 12 + now.month - 1 - last_n_months
+    return datetime(months // 12, months % 12 + 1, 1)
+
+
+# Per-table merge strategy for incremental releases, mirroring the
+# reference's write statements: INSERT IGNORE tables keep the
+# first-ever row (:277 tags, :392-396 author stubs, :401 commits);
+# upsert tables take the newest row (:285-317 repo_file, :640
+# repository); discussion updates only its status (:490-492); author
+# merges by source priority (mergeops.author_priority_merge).
+INSERT_IGNORE_TABLES = frozenset({
+    "tag", "commits", "tags_in_repo", "models_in_space",
+    "datasets_in_space", "commit_parents", "files_in_commit",
+    "conflicting_files_discussion", "discussion_event", "modified_file",
+})
+
+
+def incremental_release_merge(
+    prev_tables: dict[str, DataFrame],
+    cur_tables: dict[str, DataFrame],
+    stale_updates: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Carry a previous release forward under each table's own merge
+    semantics, then apply the stale repos' likes/downloads refresh
+    (the reference's UPDATE-then-CONTINUE path, :608-619, as set
+    operations).  ``cur_tables`` must already exclude stale repos'
+    contributions (the CLI splits them out of the feeds);
+    ``stale_updates`` maps repo type → (id, likes[, downloads]).
+
+    Every merge carries an explicit deterministic ``order_by`` (the
+    sorted non-PK columns): Spark has no insertion order, so without
+    one a duplicate-PK row in the current run would be resolved by an
+    arbitrary pick and two identical runs could publish different
+    releases (round-5 review finding)."""
+    from hfcommunity_spark.operators.mergeops import (
+        author_priority_merge,
+        insert_ignore,
+    )
+    from hfcommunity_spark.schema import PRIMARY_KEYS, SCHEMAS
+
+    def det_order(df: DataFrame, pk: list[str]) -> list[str] | None:
+        # None for pk-only link tables: the row IS its key, so the
+        # dropDuplicates fallback is already deterministic there
+        return [c for c in sorted(df.columns) if c not in pk] or None
+
+    out: dict[str, DataFrame] = {}
+    for name in SCHEMAS:
+        prev, cur = prev_tables[name], cur_tables[name]
+        pk = list(PRIMARY_KEYS[name])
+        order = det_order(cur, pk)
+        if name == "author":
+            out[name] = author_priority_merge(prev, cur)
+        elif name in INSERT_IGNORE_TABLES:
+            out[name] = insert_ignore(prev, cur, pk=pk, order_by=order)
+        elif name == "discussion":
+            out[name] = upsert(
+                prev, cur, pk=pk, update_cols=["status"], order_by=order
+            )
+        else:
+            out[name] = upsert(prev, cur, pk=pk, order_by=order)
+
+    if stale_updates:
+        likes = stale_updates["model"].select("id", "likes")
+        for t in ("dataset", "space"):
+            likes = likes.unionByName(
+                stale_updates[t].select("id", "likes")
+            )
+        out["repository"] = partial_update(
+            out["repository"], likes, pk=["id"], update_cols=["likes"],
+            order_by=["likes"],
+        )
+        for t in ("model", "dataset"):
+            idcol = f"{t}_id"
+            out[t] = partial_update(
+                out[t],
+                stale_updates[t].select(
+                    F.col("id").alias(idcol), "downloads"
+                ),
+                pk=[idcol], update_cols=["downloads"],
+                order_by=["downloads"],
+            )
+    return out

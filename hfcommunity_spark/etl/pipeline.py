@@ -437,11 +437,15 @@ def run_offline(
     hf_authors = _stub(discussion, "author", "hf").unionByName(
         _stub(discussion_event, "author", "hf")  # event authors, :513-518
     ).dropDuplicates(["username"])
+    from hfcommunity_spark.operators.mergeops import AUTHOR_SOURCE_PRIORITY
+
     author = priority_union(
         [
-            (_stub(commits, "author_name", "commit"), 1),       # :392-396
-            (_stub(repository, "author", "hf_owner"), 2),       # :629
-            (hf_authors, 3),                                    # :474
+            (_stub(commits, "author_name", "commit"),
+             AUTHOR_SOURCE_PRIORITY["commit"]),                 # :392-396
+            (_stub(repository, "author", "hf_owner"),
+             AUTHOR_SOURCE_PRIORITY["hf_owner"]),               # :629
+            (hf_authors, AUTHOR_SOURCE_PRIORITY["hf"]),         # :474
         ],
         pk=["username"],
         order_by=["source"],

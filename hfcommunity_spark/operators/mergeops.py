@@ -153,6 +153,46 @@ def priority_union(sources: Sequence[tuple[DataFrame, int]],
     )
 
 
+# The reference's author-source ladder: commit stubs (:392-396) <
+# repository owners (:629) < rows fetched from the Hub (:474,
+# :513-518).  ONE definition — etl.pipeline ranks its priority_union
+# with it and the incremental release merge re-derives per-row
+# priority from the stored source column with it.
+AUTHOR_SOURCE_PRIORITY: dict[str, int] = {
+    "commit": 1,
+    "hf_owner": 2,
+    "hf": 3,
+}
+
+
+def author_priority_merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Merge two author frames by per-row SOURCE priority: the highest
+    ``AUTHOR_SOURCE_PRIORITY`` tier wins per username, so a commit
+    stub arriving later can never downgrade a Hub-fetched row
+    (:513-518); on equal tier the current frame wins (fresh data,
+    same richness), with the remaining columns as a deterministic
+    tie-break."""
+    prio = None
+    for src, p in AUTHOR_SOURCE_PRIORITY.items():
+        cond = F.col("source") == src
+        prio = F.when(cond, p) if prio is None else prio.when(cond, p)
+    prio = prio.otherwise(AUTHOR_SOURCE_PRIORITY["commit"])
+    u = (
+        prev.withColumn("__cur", F.lit(0))
+        .unionByName(cur.withColumn("__cur", F.lit(1)))
+        .withColumn("__prio", prio)
+    )
+    rest = [c for c in sorted(prev.columns) if c != "username"]
+    w = Window.partitionBy("username").orderBy(
+        F.desc("__prio"), F.desc("__cur"), *[F.col(c) for c in rest]
+    )
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio", "__cur")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Declared, oracle-checked demonstrations on the driver tables
 # ---------------------------------------------------------------------------

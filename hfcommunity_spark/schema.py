@@ -170,7 +170,6 @@ class ForeignKey:
     ref_columns: tuple[str, ...]
 
 
-# FK declarations from the DDL (:184-251)
 # Primary keys as declared in the reference DDL
 # (reference/extractor/databaseImport.py:184-251).  The two surrogate
 # ids (conflicting_files_discussion, discussion_event) are
@@ -196,6 +195,7 @@ PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
     "discussion_event": ("id",),
 }
 
+# FK declarations from the DDL (:184-251)
 FOREIGN_KEYS: tuple[ForeignKey, ...] = (
     ForeignKey("repository", ("author",), "author", ("username",)),
     ForeignKey("repo_file", ("repo_id",), "repository", ("id",)),
