@@ -59,3 +59,108 @@ def _check(spark, tmp_root, texts):
 
 def test_dsir_select_cross_engine_property(spark, tmp_path):
     _check(spark, tmp_path)
+
+
+BM25_VOCAB = VOCAB + ["spark", "table", "join"]  # must include the
+# fixed query terms so scored docs exist
+
+bm25_doc = st.lists(
+    st.sampled_from(BM25_VOCAB), min_size=1, max_size=25
+).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(bm25_doc, min_size=6, max_size=30))
+def _check_bm25(spark, tmp_root, texts):
+    from hfcommunity_spark.operators.retrieval import sim_bm25_topk
+    from hfcommunity_spark.registry import REGISTRY
+
+    n = len(texts)
+    pdf = pd.DataFrame({
+        "doc_id": range(n), "text": texts, "lang": ["en"] * n,
+        "source": ["s"] * n, "n_chars": [len(t) for t in texts],
+    })
+    case_dir = tmp_root / f"bm25_{abs(hash(tuple(texts))) % 10**12}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{case_dir}/documents.parquet"
+    )
+    got = (
+        sim_bm25_topk(spark, str(case_dir)).toPandas()
+        .sort_values("rank").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{case_dir}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(
+        REGISTRY["sim_bm25_topk"].oracle
+    ).fetchdf().sort_values("rank").reset_index(drop=True)
+    con.close()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score_rounded"].tolist() == want["score_rounded"].tolist()
+
+
+def test_bm25_cross_engine_property(spark, tmp_path):
+    """BM25's fixed-literal-order float sums and rounded-score ranking
+    must agree with DuckDB on generated corpora, not just the fixed
+    testdata — the discipline the retrieval module claims."""
+    _check_bm25(spark, tmp_path)
+
+
+val_strategy = st.one_of(
+    st.none(),                                # NULL events
+    st.just(7.0),                             # constant runs
+    st.floats(min_value=-50, max_value=50,
+              allow_nan=False, allow_infinity=False),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(val_strategy, min_size=25, max_size=60))
+def _check_anomaly(spark, tmp_root, values):
+    import datetime as dt
+
+    from hfcommunity_spark.registry import REGISTRY
+    from hfcommunity_spark.streaming import jobs
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, "k", v, None)
+        for i, v in enumerate(values)
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ])
+    case_dir = tmp_root / f"anom_{abs(hash(tuple(values))) % 10**12}"
+    spark.createDataFrame(pdf, schema=jobs.EVENT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{case_dir}/events.parquet")
+
+    from hfcommunity_spark.operators.relational_ext2 import (
+        w_event_anomaly_zscore,
+    )
+
+    got = (
+        w_event_anomaly_zscore(spark, str(case_dir)).toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{case_dir}/events.parquet/*.parquet')"
+    )
+    want = con.execute(
+        REGISTRY["w_event_anomaly_zscore"].oracle
+    ).fetchdf().sort_values("event_id").reset_index(drop=True)
+    con.close()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["z_rounded"].tolist() == want["z_rounded"].tolist()
+
+
+def test_anomaly_zscore_cross_engine_property(spark, tmp_path):
+    """The trailing-frame z-score must agree with DuckDB bit-for-bit
+    on generated streams including NULL events and constant runs —
+    the exact-integer frame algebra, the zero-variance guard, and the
+    NULL exclusion all exercised under random data."""
+    _check_anomaly(spark, tmp_path)
