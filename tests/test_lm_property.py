@@ -1,10 +1,15 @@
-"""Generative cross-engine property test for the unigram-LM micro-nat
-discipline (operators/lm.py): on HYPOTHESIS-DRAWN corpora — not just
-the fixed testdata — the Spark DSIR selection must match the DuckDB
-oracle value-for-value.  This is the same cross-engine property lock
-the sha60 hash carries (tests/test_sha60_property.py), extended to
-the whole weight model: splits, add-1 smoothing, single-ln
-micro-rounding, exact BIGINT sums, and the top-K tie-break."""
+"""Generative cross-engine property tests for the round-5 numeric
+disciplines: on HYPOTHESIS-DRAWN inputs — not just the fixed testdata
+— the Spark queries must match their DuckDB oracles value-for-value.
+The same property-lock idea as tests/test_sha60_property.py, extended
+to whole query disciplines:
+
+- DSIR weight model (operators/lm.py): hash splits, add-1 smoothing,
+  single-ln micro-rounding, exact BIGINT sums, top-K tie-break.
+- BM25 (operators/retrieval.py): fixed-literal-order float sums and
+  rounded-score ranking.
+- z-score anomaly (operators/relational_ext2.py): exact-integer frame
+  algebra, zero-variance guard, NULL-event exclusion."""
 
 from __future__ import annotations
 
