@@ -19,12 +19,11 @@ from hfcommunity_spark.operators.mergeops import partial_update, upsert
 
 def limit_date(last_n_months: int | None) -> Column:
     """Month-floor of now − n months, UTC; epoch when no window is set
-    (databaseImport.py:858-868)."""
-    if last_n_months is None:
-        return F.to_timestamp(F.lit("1970-01-01 00:00:00"))
-    return F.date_trunc(
-        "month", F.add_months(F.current_timestamp(), -last_n_months)
-    )
+    (databaseImport.py:858-868).  Resolved ONCE on the driver
+    (:func:`limit_date_value`) — embedding ``current_timestamp()``
+    would re-evaluate per Spark action, splitting stale/fresh
+    differently across a multi-action run (round-5 review finding)."""
+    return F.lit(limit_date_value(last_n_months))
 
 
 def split_by_watermark(
@@ -71,11 +70,15 @@ def limit_date_value(last_n_months: int | None):
     per table (round-5 review finding)."""
     from datetime import datetime, timezone
 
+    # tz-AWARE values: PySpark converts a naive datetime literal via
+    # the driver's OS timezone (time.mktime), which would shift the
+    # watermark by the host's UTC offset (round-5 review finding)
     if last_n_months is None:
-        return datetime(1970, 1, 1)
+        return datetime(1970, 1, 1, tzinfo=timezone.utc)
     now = datetime.now(timezone.utc)
     months = now.year * 12 + now.month - 1 - last_n_months
-    return datetime(months // 12, months % 12 + 1, 1)
+    return datetime(months // 12, months % 12 + 1, 1,
+                    tzinfo=timezone.utc)
 
 
 # Per-table merge strategy for incremental releases, mirroring the
@@ -114,10 +117,21 @@ def incremental_release_merge(
     )
     from hfcommunity_spark.schema import PRIMARY_KEYS, SCHEMAS
 
-    def det_order(df: DataFrame, pk: list[str]) -> list[str] | None:
+    # Recency columns sort DESCENDING and first: upsert's contract is
+    # last-writer-wins ("order_by descending-first should be arranged
+    # by the caller" — mergeops.upsert), so a duplicate-PK feed row
+    # must resolve to the NEWEST version, not the lexicographically
+    # smallest (round-5 review finding).
+    recency = ("last_modified", "created_at", "author_date",
+               "committer_date")
+
+    def det_order(df: DataFrame, pk: list[str]):
+        cols = [c for c in df.columns if c not in pk]
+        rec = [F.desc(c) for c in recency if c in cols]
+        rest = [F.col(c) for c in sorted(cols) if c not in recency]
         # None for pk-only link tables: the row IS its key, so the
         # dropDuplicates fallback is already deterministic there
-        return [c for c in sorted(df.columns) if c not in pk] or None
+        return (rec + rest) or None
 
     out: dict[str, DataFrame] = {}
     for name in SCHEMAS:
@@ -143,7 +157,8 @@ def incremental_release_merge(
             )
         out["repository"] = partial_update(
             out["repository"], likes, pk=["id"], update_cols=["likes"],
-            order_by=["likes"],
+            order_by=[F.desc("likes")],  # duplicate stale rows: counters
+            # only grow, so the max is the latest observation
         )
         for t in ("model", "dataset"):
             idcol = f"{t}_id"
@@ -153,6 +168,6 @@ def incremental_release_merge(
                     F.col("id").alias(idcol), "downloads"
                 ),
                 pk=[idcol], update_cols=["downloads"],
-                order_by=["downloads"],
+                order_by=[F.desc("downloads")],
             )
     return out

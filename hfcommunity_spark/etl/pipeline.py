@@ -53,7 +53,10 @@ from hfcommunity_spark.etl.normalize import (
     surrogate_key,
     validate_merge_commits,
 )
-from hfcommunity_spark.operators.mergeops import priority_union
+from hfcommunity_spark.operators.mergeops import (
+    AUTHOR_SOURCE_PRIORITY,
+    priority_union,
+)
 
 REPO_COMMON = [
     "name", "author", "sha", "last_modified", "private", "card_data",
@@ -437,8 +440,6 @@ def run_offline(
     hf_authors = _stub(discussion, "author", "hf").unionByName(
         _stub(discussion_event, "author", "hf")  # event authors, :513-518
     ).dropDuplicates(["username"])
-    from hfcommunity_spark.operators.mergeops import AUTHOR_SOURCE_PRIORITY
-
     author = priority_union(
         [
             (_stub(commits, "author_name", "commit"),
