@@ -23,7 +23,7 @@ transit, no per-row Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
@@ -49,8 +49,12 @@ MIN_TOKENS = 30  # quality gate: drop the 'short' length bucket
 # (at sf0.01 the four stages keep 302 of 500 docs — every stage prunes)
 
 
-_CURATION_ORACLE = f"""
-    WITH RECURSIVE
+# The five-stage survivor chain (quality -> exact dedup -> component
+# canonicalization -> decontamination -> train split), ending at the
+# ``final`` CTE of surviving doc_ids — shared by the corpus-stats
+# composite and the DSIR-selection composite so the curation policy
+# cannot drift between them (the MINHASH_CAPPED_CTES rule).
+CURATION_FINAL_CTES = f"""
     -- stage 1: quality gate (token count >= {MIN_TOKENS})
     q AS (SELECT doc_id, lang, source, text,
                  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS ntok
@@ -105,7 +109,11 @@ _CURATION_ORACLE = f"""
     final AS (SELECT k.doc_id FROM keep k
               JOIN spl USING (doc_id)
               WHERE split = 'train'
-                AND k.doc_id NOT IN (SELECT doc_id FROM leaking))
+                AND k.doc_id NOT IN (SELECT doc_id FROM leaking))"""
+
+
+_CURATION_ORACLE = f"""
+    WITH RECURSIVE {CURATION_FINAL_CTES}
     SELECT q.lang, q.source,
            COUNT(*) AS n_docs,
            CAST(SUM(q.ntok) AS BIGINT) AS total_tokens
@@ -367,3 +375,59 @@ def curation_admission(incoming: DataFrame, corp_fp: DataFrame,
     return decided.select(
         "doc_id", F.col("reason").isNull().alias("admitted"), "reason"
     )
+
+
+# ---------------------------------------------------------------------------
+# curation -> selection: the full "curate then select" path
+# ---------------------------------------------------------------------------
+
+CURATION_DSIR_KEEP = 100
+
+
+def _curation_dsir_oracle() -> str:
+    from hfcommunity_spark.operators.lm import dsir_docw_ctes
+
+    return f"""
+    WITH RECURSIVE {CURATION_FINAL_CTES},
+    {dsir_docw_ctes("d_")},
+    top AS (
+      SELECT d.doc_id, d.n_tokens, d.weight_micro
+      FROM d_docw d JOIN final USING (doc_id)
+      ORDER BY d.weight_micro DESC, d.doc_id LIMIT {CURATION_DSIR_KEEP}
+    )
+    SELECT doc_id, n_tokens, weight_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM top
+    """
+
+
+@query("pipe_curation_dsir_topk", _curation_dsir_oracle(),
+       survey="X-UD5,J2,A10,O2,J9")
+def pipe_curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pipeline a 100 TB training-data run actually
+    ends with: the five-stage curation survivor set
+    (:func:`curated_docs`) ranked by DSIR importance toward the 'val'
+    target and cut to the top {CURATION_DSIR_KEEP} — curate first so
+    duplicates can't vote themselves into the selection, then select.
+
+    Both stages reuse their green building blocks (the curation CTE
+    chain and the DSIR weight model are each ONE shared definition
+    with their standalone composites), and the join between them is a
+    semi-join on doc_id — the selection adds one broadcast probe and
+    a heap top-k on top of the curation plan."""
+    from hfcommunity_spark.operators.lm import _dsir_docw, dsir_lr_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks, lr, _tot = dsir_lr_frames(docs)
+    docw = _dsir_docw(toks, lr)
+    final = curated_docs(spark, sf_dir).select("doc_id")
+    top = (
+        docw.join(final, "doc_id", "left_semi")
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+        .limit(CURATION_DSIR_KEEP)
+    )
+    w = Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("doc_id", "n_tokens", "weight_micro", "rank")

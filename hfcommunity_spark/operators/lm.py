@@ -50,45 +50,52 @@ MICROS = 1_000_000  # per-token log scores as integer micro-nats
 DSIR_KEEP = 200     # documents selected from the raw pool
 
 
-# The split→tokens→counts→log-ratio→per-doc-weight CTE chain, shared
-# by the top-K selection and the Gumbel resample oracles so the weight
-# model cannot drift between them (the MINHASH_CAPPED_CTES rule).
-_DSIR_DOCW_CTES = f"""sp AS (
+def dsir_docw_ctes(p: str = "") -> str:
+    """The split→tokens→counts→log-ratio→per-doc-weight CTE chain,
+    shared by the top-K selection, the Gumbel resample, and the
+    curation composite's oracles so the weight model cannot drift
+    between them (the MINHASH_CAPPED_CTES rule).  Every CTE name takes
+    the ``p`` prefix so composers can splice the chain next to chains
+    that already bind toks/sp (``operators/curation.py``)."""
+    return f"""{p}sp AS (
       SELECT doc_id, text, {hash_split_sql()} AS split FROM documents
     ),
-    toks AS (
+    {p}toks AS (
       SELECT doc_id, split, unnest(string_split(text, ' ')) AS w
-      FROM sp WHERE split IN ('train', 'val')
+      FROM {p}sp WHERE split IN ('train', 'val')
     ),
-    cnt AS (
+    {p}cnt AS (
       SELECT w,
              CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
                   AS BIGINT) AS ct,
              CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
                   AS BIGINT) AS cr
-      FROM toks GROUP BY w
+      FROM {p}toks GROUP BY w
     ),
-    tot AS (
+    {p}tot AS (
       SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
              CAST(COUNT(*) AS BIGINT) AS v
-      FROM cnt
+      FROM {p}cnt
     ),
-    lr AS (
+    {p}lr AS (
       SELECT w,
              CAST(ROUND(LN(
                ((CAST(ct AS DOUBLE) + 1.0) * CAST(nr + v AS DOUBLE))
                / ((CAST(cr AS DOUBLE) + 1.0) * CAST(nt + v AS DOUBLE))
              ) * {MICROS}) AS BIGINT) AS lr_micro
-      FROM cnt, tot
+      FROM {p}cnt, {p}tot
     ),
-    docw AS (
+    {p}docw AS (
       SELECT t.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_tokens,
              CAST(SUM(lr_micro) AS BIGINT) AS weight_micro
-      FROM toks t JOIN lr USING (w)
+      FROM {p}toks t JOIN {p}lr USING (w)
       WHERE t.split = 'train'
       GROUP BY t.doc_id
     )"""
+
+
+_DSIR_DOCW_CTES = dsir_docw_ctes()
 
 _DSIR_ORACLE = f"""
     WITH {_DSIR_DOCW_CTES},

@@ -99,3 +99,36 @@ def test_x11_gate_reasons_at_sf01(spark):
     assert_frames_match(sdf, ddf, "x11@sf0.1")
     reasons = set(sdf.reason.dropna())
     assert {"too_short", "near_dup", "contaminated"} <= reasons
+
+
+def test_curation_dsir_topk_composition(spark):
+    """The curate-then-select composite must pick exactly the
+    DSIR-heaviest curated survivors: every selected doc is a curation
+    survivor, its weight equals the standalone DSIR weight model's,
+    and no unselected survivor outweighs a selected one."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.curation import (
+        curated_docs,
+        pipe_curation_dsir_topk,
+    )
+    from hfcommunity_spark.operators.lm import _dsir_docw, dsir_lr_frames
+
+    sf = "/root/testdata/sf0.01"
+    out = pipe_curation_dsir_topk(spark, sf).toPandas()
+    survivors = {
+        r.doc_id for r in curated_docs(spark, sf).select("doc_id").collect()
+    }
+    assert set(out["doc_id"]) <= survivors
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks, lr, _tot = dsir_lr_frames(docs)
+    weights = {
+        r.doc_id: r.weight_micro for r in _dsir_docw(toks, lr).collect()
+    }
+    for _, r in out.iterrows():
+        assert weights[r.doc_id] == r.weight_micro
+    if len(out) and len(survivors) > len(out):
+        floor = out["weight_micro"].min()
+        unselected = survivors - set(out["doc_id"])
+        assert all(weights[d] <= floor for d in unselected if d in weights)

@@ -66,6 +66,7 @@ QUERIES = [
     ("x12_stream_dsir_gate", "bucketed-postings", 1.0),
     ("samp_dsir_resample", "bucketed-postings", 1.0),
     ("layout_zorder_pruning_audit", "keyed-agg", 1.0),
+    ("pipe_curation_dsir_topk", "bucketed-postings+cc", 1.0),
     ("t_unigram_ppl_buckets", "bucketed-postings", 1.0),
     ("dd_dup_span_ratio", "bucketed-postings", 1.0),
     ("emb_centroid_outlier_prune", "centroid-window", 1.0),
