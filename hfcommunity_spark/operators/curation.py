@@ -416,18 +416,17 @@ def pipe_curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their standalone composites), and the join between them is a
     semi-join on doc_id — the selection adds one broadcast probe and
     a heap top-k on top of the curation plan."""
-    from hfcommunity_spark.operators.lm import _dsir_docw, dsir_lr_frames
+    from hfcommunity_spark.operators.lm import (
+        _dsir_docw,
+        dsir_lr_frames,
+        ranked_topk,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     toks, lr, _tot = dsir_lr_frames(docs)
     docw = _dsir_docw(toks, lr)
     final = curated_docs(spark, sf_dir).select("doc_id")
-    top = (
-        docw.join(final, "doc_id", "left_semi")
-        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
-        .limit(CURATION_DSIR_KEEP)
-    )
-    w = Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
-    return top.withColumn(
-        "rank", F.row_number().over(w).cast("int")
+    return ranked_topk(
+        docw.join(final, "doc_id", "left_semi"),
+        "weight_micro", CURATION_DSIR_KEEP,
     ).select("doc_id", "n_tokens", "weight_micro", "rank")

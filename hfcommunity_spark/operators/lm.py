@@ -157,6 +157,17 @@ def dsir_lr_frames(docs: DataFrame):
     return toks, lr, tot
 
 
+def ranked_topk(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """``orderBy(key DESC, doc_id ASC).limit(k)`` + an INT rank over
+    the ≤k surviving rows — TakeOrderedAndProject then a k-row window,
+    never a global rank (the ``similarity._rank_topk`` discipline).
+    ONE definition for the DSIR-family top-k faces (select, resample,
+    and the curation composite) so the tie-break cannot drift."""
+    top = df.orderBy(F.desc(key_col), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc(key_col), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def _dsir_docw(toks: DataFrame, lr: DataFrame) -> DataFrame:
     """Per-train-doc weight rollup (doc_id, n_tokens, weight_micro) —
     the ONE Spark twin of the ``docw`` CTE, shared by the top-K
@@ -189,13 +200,9 @@ def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks, lr, _tot = dsir_lr_frames(docs)
     docw = _dsir_docw(toks, lr)
-    top = docw.orderBy(
-        F.desc("weight_micro"), F.asc("doc_id")
-    ).limit(DSIR_KEEP)
-    w = Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
-    return top.withColumn(
-        "rank", F.row_number().over(w).cast("int")
-    ).select("doc_id", "n_tokens", "weight_micro", "rank")
+    return ranked_topk(docw, "weight_micro", DSIR_KEEP).select(
+        "doc_id", "n_tokens", "weight_micro", "rank"
+    )
 
 
 _PPL_ORACLE = f"""
@@ -482,10 +489,6 @@ def samp_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "weight_micro",
         (F.col("weight_micro") + gumbel_micro).alias("key_micro"),
     )
-    top = keyed.orderBy(
-        F.desc("key_micro"), F.asc("doc_id")
-    ).limit(DSIR_SAMPLE)
-    w = Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))
-    return top.withColumn(
-        "rank", F.row_number().over(w).cast("int")
-    ).select("doc_id", "n_tokens", "weight_micro", "key_micro", "rank")
+    return ranked_topk(keyed, "key_micro", DSIR_SAMPLE).select(
+        "doc_id", "n_tokens", "weight_micro", "key_micro", "rank"
+    )

@@ -103,32 +103,35 @@ def test_x11_gate_reasons_at_sf01(spark):
 
 def test_curation_dsir_topk_composition(spark):
     """The curate-then-select composite must pick exactly the
-    DSIR-heaviest curated survivors: every selected doc is a curation
-    survivor, its weight equals the standalone DSIR weight model's,
-    and no unselected survivor outweighs a selected one."""
-    from pyspark.sql import functions as F
-
+    arg-top-K of the curated survivor set under (weight DESC, doc_id
+    ASC): full quota, weights identical to the standalone DSIR weight
+    model, tie-break included."""
     from hfcommunity_spark.operators.curation import (
-        curated_docs,
+        CURATION_DSIR_KEEP,
         pipe_curation_dsir_topk,
     )
     from hfcommunity_spark.operators.lm import _dsir_docw, dsir_lr_frames
 
-    sf = "/root/testdata/sf0.01"
-    out = pipe_curation_dsir_topk(spark, sf).toPandas()
+    out = pipe_curation_dsir_topk(spark, SF_ORACLE).toPandas()
     survivors = {
-        r.doc_id for r in curated_docs(spark, sf).select("doc_id").collect()
+        r.doc_id
+        for r in curated_docs(spark, SF_ORACLE).select("doc_id").collect()
     }
+    assert len(out) == min(CURATION_DSIR_KEEP, len(survivors))
     assert set(out["doc_id"]) <= survivors
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = read_table(spark, SF_ORACLE, "documents")
     toks, lr, _tot = dsir_lr_frames(docs)
     weights = {
         r.doc_id: r.weight_micro for r in _dsir_docw(toks, lr).collect()
     }
     for _, r in out.iterrows():
         assert weights[r.doc_id] == r.weight_micro
-    if len(out) and len(survivors) > len(out):
-        floor = out["weight_micro"].min()
-        unselected = survivors - set(out["doc_id"])
-        assert all(weights[d] <= floor for d in unselected if d in weights)
+    # exact arg-top-K with the declared tie-break, recomputed in Python
+    expected = sorted(
+        ((d, weights[d]) for d in survivors if d in weights),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: len(out)]
+    got = list(zip(out["doc_id"].astype(int), out["weight_micro"]))
+    got.sort(key=lambda kv: (-kv[1], kv[0]))
+    assert got == [(int(d), w) for d, w in expected]
