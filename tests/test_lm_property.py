@@ -169,3 +169,74 @@ def test_anomaly_zscore_cross_engine_property(spark, tmp_path):
     the exact-integer frame algebra, the zero-variance guard, and the
     NULL exclusion all exercised under random data."""
     _check_anomaly(spark, tmp_path)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),   # o_custkey
+        st.integers(min_value=0, max_value=2500),   # day offset
+        ),
+    min_size=5, max_size=120, unique=True))
+def _check_zorder(spark, tmp_root, rows):
+    import datetime as dt
+
+    from hfcommunity_spark.operators.layout import (
+        layout_zorder_pruning_audit,
+    )
+    from hfcommunity_spark.registry import REGISTRY
+
+    base = dt.date(1992, 1, 1)
+    pdf = pd.DataFrame({
+        "o_orderkey": range(len(rows)),
+        "o_custkey": [c for c, _ in rows],
+        "o_orderstatus": ["O"] * len(rows),
+        "o_totalprice": [1.0] * len(rows),
+        "o_orderdate": [base + dt.timedelta(days=d) for _, d in rows],
+        "o_orderpriority": ["1-URGENT"] * len(rows),
+    })
+    case_dir = tmp_root / f"z_{abs(hash(tuple(rows))) % 10**12}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{case_dir}/orders.parquet"
+    )
+    got = (
+        layout_zorder_pruning_audit(spark, str(case_dir)).toPandas()
+        .sort_values("layout").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{case_dir}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(
+        REGISTRY["layout_zorder_pruning_audit"].oracle
+    ).fetchdf().sort_values("layout").reset_index(drop=True)
+    con.close()
+    for col in ("layout", "n_buckets", "n_rows",
+                "avg_span_date", "avg_span_cust"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_zorder_audit_cross_engine_property(spark, tmp_path):
+    """The Z-order pruning audit is pure integer arithmetic plus two
+    exact casts — it must agree with DuckDB on arbitrary generated
+    orders tables, not just TPC-H-shaped data."""
+    _check_zorder(spark, tmp_path)
+
+
+def test_epoch_shard_seed_redeal(spark, monkeypatch):
+    """Bumping EPOCH_SEED must re-deal the epoch: shard assignments
+    and within-shard orders change, while the coverage invariants
+    (every doc exactly once, dense positions) hold for every seed."""
+    from hfcommunity_spark.operators import sampling as S
+
+    a = S.samp_epoch_shard_plan(spark, "/root/testdata/sf0.001").toPandas()
+    monkeypatch.setattr(S, "EPOCH_SEED", S.EPOCH_SEED + 1)
+    b = S.samp_epoch_shard_plan(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    # a re-deal must actually move documents
+    assert (merged["shard_a"] != merged["shard_b"]).any()
+    for pdf in (a, b):
+        for _, grp in pdf.groupby("shard"):
+            assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
