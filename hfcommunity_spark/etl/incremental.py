@@ -117,17 +117,20 @@ def incremental_release_merge(
     )
     from hfcommunity_spark.schema import PRIMARY_KEYS, SCHEMAS
 
-    # Recency columns sort DESCENDING and first: upsert's contract is
-    # last-writer-wins ("order_by descending-first should be arranged
-    # by the caller" — mergeops.upsert), so a duplicate-PK feed row
-    # must resolve to the NEWEST version, not the lexicographically
-    # smallest (round-5 review finding).
+    # Recency columns sort first, direction per merge contract: upsert
+    # tables are last-writer-wins ("order_by descending-first should be
+    # arranged by the caller" — mergeops.upsert), so a duplicate-PK feed
+    # row resolves to the NEWEST version; INSERT IGNORE tables are
+    # first-writer-wins (MariaDB keeps the first arrival), so there a
+    # within-batch duplicate resolves to the OLDEST version — ascending
+    # recency (round-5 review finding; round-5 ADVICE divergence fix).
     recency = ("last_modified", "created_at", "author_date",
                "committer_date")
 
-    def det_order(df: DataFrame, pk: list[str]):
+    def det_order(df: DataFrame, pk: list[str], newest_first: bool):
         cols = [c for c in df.columns if c not in pk]
-        rec = [F.desc(c) for c in recency if c in cols]
+        direction = F.desc if newest_first else F.asc
+        rec = [direction(c) for c in recency if c in cols]
         rest = [F.col(c) for c in sorted(cols) if c not in recency]
         # None for pk-only link tables: the row IS its key, so the
         # dropDuplicates fallback is already deterministic there
@@ -137,7 +140,8 @@ def incremental_release_merge(
     for name in SCHEMAS:
         prev, cur = prev_tables[name], cur_tables[name]
         pk = list(PRIMARY_KEYS[name])
-        order = det_order(cur, pk)
+        order = det_order(cur, pk,
+                          newest_first=name not in INSERT_IGNORE_TABLES)
         if name == "author":
             out[name] = author_priority_merge(prev, cur)
         elif name in INSERT_IGNORE_TABLES:

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
 from hfcommunity_spark.registry import query
+from hfcommunity_spark.session_cache import SessionCache
 from hfcommunity_spark.operators.dedup import (
     JACCARD_CLUSTER_THRESHOLD,
     MINHASH_K,
@@ -149,11 +150,26 @@ def pipe_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The curation survivor set is what every downstream stage (selection,
+# export, stats) consumes — at 100 TB it's the materialized corpus
+# manifest a curation run publishes; in-session it's a persisted frame
+# like the index artifacts (round 6: the three composites each rebuilt
+# the full five-stage chain per call).
+_CURATED_CACHE = SessionCache(persist=True)
+
+
 def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document survivor frame (doc_id, lang, source, ntok)
     the composite aggregates — exposed so tests can assert the
     invariants (min length, hash-distinct, near-dup-canonical,
-    decontaminated, train-only) on the id set directly."""
+    decontaminated, train-only) on the id set directly.
+    Session-persisted per corpus."""
+    return _CURATED_CACHE.get_or_build(
+        spark, (sf_dir,), lambda: _build_curated_docs(spark, sf_dir)
+    )
+
+
+def _build_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfcommunity_spark.operators.graph import connected_components
 
     docs = read_table(spark, sf_dir, "documents")
@@ -408,8 +424,12 @@ def pipe_curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete pipeline a 100 TB training-data run actually
     ends with: the five-stage curation survivor set
     (:func:`curated_docs`) ranked by DSIR importance toward the 'val'
-    target and cut to the top {CURATION_DSIR_KEEP} — curate first so
-    duplicates can't vote themselves into the selection, then select.
+    target and cut to the top {CURATION_DSIR_KEEP}.  Curation
+    restricts the SELECTION pool (a duplicate can't be selected); the
+    DSIR unigram statistics are deliberately built over the FULL raw
+    pool in both engines, as in the DSIR formulation — raw-distribution
+    estimates come from the raw pool, so a re-curation never silently
+    re-weights previously selected documents.
 
     Both stages reuse their green building blocks (the curation CTE
     chain and the DSIR weight model are each ONE shared definition
@@ -417,16 +437,126 @@ def pipe_curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join on doc_id — the selection adds one broadcast probe and
     a heap top-k on top of the curation plan."""
     from hfcommunity_spark.operators.lm import (
-        _dsir_docw,
-        dsir_lr_frames,
+        dsir_docw_index,
         ranked_topk,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
-    toks, lr, _tot = dsir_lr_frames(docs)
-    docw = _dsir_docw(toks, lr)
+    docw = dsir_docw_index(spark, sf_dir)
     final = curated_docs(spark, sf_dir).select("doc_id")
     return ranked_topk(
         docw.join(final, "doc_id", "left_semi"),
         "weight_micro", CURATION_DSIR_KEEP,
     ).select("doc_id", "n_tokens", "weight_micro", "rank")
+
+
+# ---------------------------------------------------------------------------
+# the final mile: curate -> select -> shard -> pack
+# ---------------------------------------------------------------------------
+
+
+def _final_export_oracle() -> str:
+    from hfcommunity_spark.operators.dedup import _sha60_sql
+    from hfcommunity_spark.operators.lm import dsir_docw_ctes
+    from hfcommunity_spark.operators.sampling import (
+        EPOCH_SEED,
+        N_SHARDS,
+        PACK_BUDGET,
+    )
+
+    h = _sha60_sql("CAST(doc_id AS VARCHAR)", EPOCH_SEED)
+    return f"""
+    WITH RECURSIVE {CURATION_FINAL_CTES},
+    {dsir_docw_ctes("d_")},
+    top AS (
+      SELECT d.doc_id, d.n_tokens, d.weight_micro
+      FROM d_docw d JOIN final USING (doc_id)
+      ORDER BY d.weight_micro DESC, d.doc_id LIMIT {CURATION_DSIR_KEEP}
+    ),
+    sel AS (
+      SELECT doc_id, n_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id)
+                  AS INTEGER) AS rank
+      FROM top
+    ),
+    keyed AS (SELECT doc_id, n_tokens, rank, {h} AS ord_hash FROM sel),
+    dealt AS (
+      SELECT doc_id, n_tokens, rank,
+             CAST(ord_hash % {N_SHARDS} AS INTEGER) AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY ord_hash % {N_SHARDS}
+               ORDER BY ord_hash, doc_id) AS INTEGER) AS pos,
+             SUM(n_tokens) OVER (
+               PARTITION BY ord_hash % {N_SHARDS}
+               ORDER BY ord_hash, doc_id) AS cum
+      FROM keyed
+    )
+    SELECT doc_id, rank, shard, pos,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_start,
+           CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS bin_end,
+           CAST((cum - n_tokens)
+                - ((cum - n_tokens) // {PACK_BUDGET}) * {PACK_BUDGET}
+                AS BIGINT) AS bin_offset
+    FROM dealt
+    """
+
+
+@query("pipe_curate_select_pack_shard", _final_export_oracle(),
+       survey="X-UD5,J2,O2,W1,W3,F1,A10")
+def pipe_curate_select_pack_shard(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The last unit a pretraining run exports (round-6 flagship): the
+    curated, DSIR-selected corpus dealt into reproducible epoch shards
+    and packed into {PACK_BUDGET}-token context windows PER SHARD —
+    every selected document learns (shard, pos, bin_start, bin_end,
+    bin_offset), exactly the manifest a shard writer materializes.
+
+    Composition, each stage its green building block: the
+    curation+selection half IS :func:`pipe_curation_dsir_topk` (one
+    shared definition); the epoch deal is the ``samp_epoch_shard_plan``
+    recipe (seeded cross-engine sha60, shard = hash mod
+    ``N_SHARDS``); the packing is the ``samp_pack_token_budget`` bin
+    math, with the running token sum per shard.
+
+    Scale shape: one shard-keyed shuffle beyond the selection plan —
+    shard assignment is a narrow codegen projection; pos and the
+    packing prefix-sum share ONE window PARTITIONED by shard (no
+    global sort: at 100 TB the shard count is the parallelism knob —
+    thousands of shards, each writer-task-sized — so the per-shard
+    sort is the shard writer's own sortWithinPartitions).  Integer
+    arithmetic end to end (DIV, not ``/``: exactness past 2^53)."""
+    from hfcommunity_spark.operators.dedup import sha60
+    from hfcommunity_spark.operators.sampling import (
+        EPOCH_SEED,
+        N_SHARDS,
+        PACK_BUDGET,
+    )
+
+    sel = pipe_curation_dsir_topk(spark, sf_dir)
+    keyed = sel.select(
+        "doc_id", "n_tokens", "rank",
+        sha60(F.col("doc_id"), EPOCH_SEED).alias("ord_hash"),
+    ).withColumn("shard", (F.col("ord_hash") % N_SHARDS).cast("int"))
+    w = Window.partitionBy("shard").orderBy(
+        F.asc("ord_hash"), F.asc("doc_id")
+    )
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.select(
+            "doc_id", "rank", "shard",
+            F.row_number().over(w).cast("int").alias("pos"),
+            "n_tokens",
+            (cum - F.col("n_tokens")).alias("_start"),
+            cum.alias("_cum"),
+        )
+        .select(
+            "doc_id", "rank", "shard", "pos", "n_tokens",
+            F.expr(f"_start DIV {PACK_BUDGET}").alias("bin_start"),
+            F.expr(f"(_cum - 1) DIV {PACK_BUDGET}").alias("bin_end"),
+            F.expr(
+                f"_start - (_start DIV {PACK_BUDGET}) * {PACK_BUDGET}"
+            ).alias("bin_offset"),
+        )
+    )

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from hfcommunity_spark.io import read_table
 from hfcommunity_spark.operators.sampling import hash_split, hash_split_sql
 from hfcommunity_spark.registry import query
+from hfcommunity_spark.session_cache import SessionCache
 
 MICROS = 1_000_000  # per-token log scores as integer micro-nats
 DSIR_KEEP = 200     # documents selected from the raw pool
@@ -185,6 +186,27 @@ def _dsir_docw(toks: DataFrame, lr: DataFrame) -> DataFrame:
     )
 
 
+# The per-doc DSIR weight frame over the standard documents pool — the
+# selection, the Gumbel resample, and both curation composites all
+# rank against the SAME weight model, so it's a build-once/probe-many
+# artifact like the posting and pair indexes (at 100 TB: a scored
+# manifest the selection pipeline maintains beside the corpus).
+_DSIR_DOCW_CACHE = SessionCache(persist=True)
+
+
+def dsir_docw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted (doc_id, n_tokens, weight_micro) DSIR weight
+    frame over ``sf_dir``'s documents table (target = 'val' split,
+    pool = 'train' split — the ``_DSIR_DOCW_CTES`` model)."""
+
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        toks, lr, _tot = dsir_lr_frames(docs)
+        return _dsir_docw(toks, lr)
+
+    return _DSIR_DOCW_CACHE.get_or_build(spark, (sf_dir,), build)
+
+
 @query("samp_dsir_select", _DSIR_ORACLE, survey="X-UD5,A10,O2,J9,F11")
 def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection: rank the 'train' hash-split pool by
@@ -196,10 +218,11 @@ def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ratio table broadcast back onto the occurrence stream, one
     doc_id rollup shuffle, TakeOrderedAndProject top-k.  Per-token
     log ratios are micro-rounded BIGINTs so document weights are
-    exact integer sums (order-independent; see module docstring)."""
-    docs = read_table(spark, sf_dir, "documents")
-    toks, lr, _tot = dsir_lr_frames(docs)
-    docw = _dsir_docw(toks, lr)
+    exact integer sums (order-independent; see module docstring).
+    The weight frame is session-persisted (:func:`dsir_docw_index`) —
+    the resample and the curation composites rank against the same
+    persisted model."""
+    docw = dsir_docw_index(spark, sf_dir)
     return ranked_topk(docw, "weight_micro", DSIR_KEEP).select(
         "doc_id", "n_tokens", "weight_micro", "rank"
     )
@@ -473,13 +496,12 @@ def samp_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     GUMBEL_SEED.
 
     Plan: identical to ``samp_dsir_select`` through the per-doc
-    weight rollup, plus one narrow projection for the key;
+    weight rollup (the shared session-persisted
+    :func:`dsir_docw_index`), plus one narrow projection for the key;
     TakeOrderedAndProject keeps the heap top-k property."""
     from hfcommunity_spark.operators.dedup import sha60
 
-    docs = read_table(spark, sf_dir, "documents")
-    toks, lr, _tot = dsir_lr_frames(docs)
-    docw = _dsir_docw(toks, lr)
+    docw = dsir_docw_index(spark, sf_dir)
     u = (
         F.shiftright(sha60(F.col("doc_id"), GUMBEL_SEED), 8)
         .cast("double") + F.lit(0.5)

@@ -165,18 +165,37 @@ AUTHOR_SOURCE_PRIORITY: dict[str, int] = {
 }
 
 
+def author_source_audit(df: DataFrame) -> DataFrame:
+    """(source, n_rows) for every source value NOT in
+    ``AUTHOR_SOURCE_PRIORITY`` (NULL included).  A malformed source is
+    demoted below every known tier by :func:`author_priority_merge` —
+    this audit makes that demotion observable instead of silent
+    (round-5 ADVICE finding)."""
+    return (
+        df.filter(
+            ~F.col("source").isin(*AUTHOR_SOURCE_PRIORITY)
+            | F.col("source").isNull()
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def author_priority_merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
     """Merge two author frames by per-row SOURCE priority: the highest
     ``AUTHOR_SOURCE_PRIORITY`` tier wins per username, so a commit
     stub arriving later can never downgrade a Hub-fetched row
     (:513-518); on equal tier the current frame wins (fresh data,
     same richness), with the remaining columns as a deterministic
-    tie-break."""
+    tie-break.  An unknown or NULL source lands at tier 0 — explicitly
+    BELOW every known tier, never equal to 'commit' — and shows up in
+    :func:`author_source_audit`, so a malformed feed can neither win a
+    merge nor pass unnoticed."""
     prio = None
     for src, p in AUTHOR_SOURCE_PRIORITY.items():
         cond = F.col("source") == src
         prio = F.when(cond, p) if prio is None else prio.when(cond, p)
-    prio = prio.otherwise(AUTHOR_SOURCE_PRIORITY["commit"])
+    prio = prio.otherwise(0)
     u = (
         prev.withColumn("__cur", F.lit(0))
         .unionByName(cur.withColumn("__cur", F.lit(1)))

@@ -84,18 +84,21 @@ except ImportError:  # pragma: no cover
 
 # The first 50 registry entries — the driver's correctness window.
 #
-# Round-5 rotation: rounds 1-4 cumulatively stamped every previously
-# declared query (109/112 hash-green, 3 ANN rows-only by
-# construction).  This round converts the ETL/runtime operator ids the
-# judge graded "local-only" (S1-S8, S11, S14, P3-P7, P11, J1, J11,
-# A1-A3, F7/F8) into oracle-equipped declared queries
-# (``operators/etlops.py``) — all 14 enter the window never-stamped,
-# alongside the round-5 production SemDeDup composite.  Rotating out:
-# 14 r4-stamped queries whose SURVEY ids remain covered by other
-# oracle-equipped window members (set cover recomputed;
-# ``tests/test_registry_window.py`` asserts the invariant).  Rotated
-# queries keep their prior-round driver rows plus the local DuckDB
-# parity suite (``tests/test_oracle_parity.py``).
+# Round-6 rotation (VERDICT r5 ask #1): the five never-stamped queries
+# enter — the four late round-5 landings (``pipe_curation_dsir_topk``,
+# ``samp_dsir_resample``, ``samp_epoch_shard_plan``,
+# ``emb_centroid_outlier_prune``) plus the new round-6 final-mile
+# composite ``pipe_curate_select_pack_shard``.  Rotating out five
+# r5-stamped members whose SURVEY ids every one remain covered by
+# other oracle-equipped window members (set cover recomputed;
+# ``tests/test_registry_window.py`` asserts the invariant, and its
+# round-6 no-orphan test asserts every declared query is either
+# cumulatively driver-stamped or inside the current window — "stamped
+# within one rotation of landing"): sim_ivf_topk,
+# x11_streaming_curation_gate, samp_temperature_resample,
+# sim_bm25_topk, sim_matryoshka_rerank.  Rotated queries keep their
+# prior-round driver rows plus the local DuckDB parity suite
+# (``tests/test_oracle_parity.py``).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- r4-stamped coverage representatives -----------------------
     # (Second round-5 rotation: q10, q14, dd_cosine_threshold_pairs,
@@ -105,12 +108,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # — exactly the maximal jointly-removable stamped set (every other
     # stamped member is the sole window carrier of some SURVEY id) —
     # making room for the nine never-stamped late round-5 queries
-    # below.  emb_centroid_outlier_prune stays outside the window: its
-    # ids (W1/A7/J9/X-UD5) are each covered several times over, and it
-    # keeps the local DuckDB parity + invariant tests.)
+    # below.)
     "w5_funnel_conversion",  # A5, P9, W4
-    "sim_ivf_topk",  # A12, J9, X-UD5 — hash-green for the first time:
-    # round-5 oracle derives the label-centroid quantizer in SQL
     "mm_byte_features_full",  # UD2, UD4, X-UD5
     "pipe_curation_end_to_end",  # X-UD5, J2, J5, U3, A9, F1, W4 —
     # round-5 flagship: the four-stage curation pipeline as ONE
@@ -118,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # canonicalization -> decontamination)
     "ud2_chunk_udtf",  # P1, UD2 (real Python UDTF under LATERAL)
     "samp_hash_split_counts",  # A5, P8, X-UD5
-    "x11_streaming_curation_gate",  # X7, J2, J9, X-UD5
     # --- round-5 addition #1: production SemDeDup composite --------
     "dd_semantic_dup_clusters_lsh",  # X-UD5, J5, J6, J9
     "d3_partial_update_stale",  # D3, P2
@@ -130,8 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "f4_json_projection",  # F4, F12
     "t_clean_corpus_stats",  # A8, P12, W4, X-UD5
     "ud3_grouped_agg_cents",  # A7, UD3
-    "samp_temperature_resample",  # A7, W1, J9, X-UD5 — materializes
-    # the mT5-rule resampled corpus the weights query only reports
     "a4_topk_customers_by_orders",  # A4, J3, O2
     "a11_rollup_customers",  # A11, J4
     "sim_lsh_bucketed_topk",  # A12, J9, X-UD5 — hash-green for the
@@ -143,12 +139,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x5_streaming_dedup",  # D1, X5, X6
     "x9_stream_stream_interval_join",  # J10, X2, X6
     # --- late round-5 additions, never stamped ---------------------
-    "sim_bm25_topk",  # A4, O2, J9, X-UD5 — lexical retrieval
     "w_event_anomaly_zscore",  # W3, F11, X-UD5 — keyed-window z-score
     "dd_dup_span_ratio",  # J2, A7, X-UD5 — exact-substring dup audit
     "samp_dsir_select",  # A10, O2, J9, F11, X-UD5 — DSIR importance
     "t_unigram_ppl_buckets",  # A7, F11, W1, X-UD5 — CCNet terciles
-    "sim_matryoshka_rerank",  # O1, O2, J9, X-UD5 — MRL funnel
     "dd_lsh_recall_audit",  # J8, A6, J9, X-UD5 — LSH confusion audit
     "x12_stream_dsir_gate",  # X7, J8, J9, A10, X-UD5 — LM admission
     "layout_zorder_pruning_audit",  # F11, A5, A10, X-UD5 — Z-order
@@ -173,6 +167,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s11_catalog_columns",  # S11, S13
     "s14_snapshot_roundtrip",  # S14, D4, S15
     "s1_hub_listing_scan",  # S1, S2, S3, O1, S15
+    # --- round-6 entrants: the never-stamped five -------------------
+    "pipe_curation_dsir_topk",  # X-UD5, J2, A10, O2, J9 — the
+    # curate-then-select composite (round-5 flagship, landed after the
+    # r5 window was spent)
+    "samp_dsir_resample",  # X-UD5, A10, O2, J9, F1 — Gumbel-top-k
+    "samp_epoch_shard_plan",  # X-UD5, W1, F1, A5 — epoch deal
+    "emb_centroid_outlier_prune",  # X-UD5, W1, J9, A7
+    "pipe_curate_select_pack_shard",  # X-UD5, J2, O2, W1, W3, F1,
+    # A10 — round-6 final mile: curate -> select -> shard -> pack
 )
 
 

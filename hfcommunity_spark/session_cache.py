@@ -2,7 +2,8 @@
 
 Every index-shaped artifact in this engine (shingle posting list,
 MinHash bands, SimHash chunks, hyperplane buckets, k-means codebook,
-exact cosine pair set, query vectors) is built once per Spark
+exact cosine pair set, exact-NN frame, query vectors, dup-span stats,
+curation survivor set, DSIR weight frame) is built once per Spark
 application and probed many times — at 100 TB each would be a
 materialized table/file maintained beside the corpus; in one
 application the equivalent seam is a persisted DataFrame (or a small

@@ -204,7 +204,91 @@ def test_cli_analysis_sql_and_metric(spark, feed_dir, tmp_path, capsys):
     assert "unknown metric" in capsys.readouterr().err
 
 
-def test_cli_skiplist_prunes_children_too(spark, tmp_path):
+def test_cli_incremental_insert_ignore_keeps_first_arrival(
+    spark, feed_dir, tmp_path
+):
+    """Round-5 ADVICE: a within-batch duplicate PK on an INSERT IGNORE
+    table (commits) must resolve FIRST-writer-wins — ascending recency,
+    MariaDB INSERT IGNORE's contract — not to the newest row like the
+    upsert tables."""
+    base = str(tmp_path / "snap_fww")
+    assert cli.main(["--feeds", feed_dir, "--base", base,
+                     "--release", "r1"]) == 0
+
+    from tests.test_hub_feeds import COMMITS
+
+    dup_sha = "9" * 40
+    old = {**COMMITS[0], "sha": dup_sha, "message": "first arrival",
+           "author_date": "2024-02-01T00:00:00",
+           "committer_date": "2024-02-01T00:00:00"}
+    new = {**old, "message": "late duplicate",
+           "author_date": "2024-06-01T00:00:00",
+           "committer_date": "2024-06-01T00:00:00"}
+    d2 = tmp_path / "feeds_fww"
+    d2.mkdir()
+    for kind, rows in [("models", MODELS), ("datasets", []),
+                       ("spaces", []), ("commits", [new, old]),
+                       ("discussions", [])]:
+        with open(d2 / f"{kind}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    assert cli.main(["--feeds", str(d2), "--base", base,
+                     "--release", "r2", "--prev-release", "r1"]) == 0
+    rows = [r for r in spark.read.parquet(
+        f"{base}/commits/release=r2").collect() if r.sha == dup_sha]
+    assert len(rows) == 1
+    assert rows[0].message == "first arrival"
+
+
+def test_author_source_audit_flags_unknown_sources(spark):
+    """Round-5 ADVICE: a malformed/NULL author source is demoted below
+    every known tier AND surfaced by the audit, never silently mapped
+    onto the 'commit' tier."""
+    from hfcommunity_spark.operators.mergeops import (
+        author_priority_merge,
+        author_source_audit,
+    )
+
+    prev = spark.createDataFrame(
+        [("alice", "hf", "Alice")], "username string, source string, "
+        "fullname string")
+    cur = spark.createDataFrame(
+        [("alice", "hf_typo", "Mallory"), ("bob", None, "Bob")],
+        "username string, source string, fullname string")
+    merged = {r.username: r for r in
+              author_priority_merge(prev, cur).collect()}
+    # unknown tier (0) loses to the known 'hf' row — no downgrade
+    assert merged["alice"].fullname == "Alice"
+    audit = {r.source: r.n_rows for r in
+             author_source_audit(cur).collect()}
+    assert audit == {"hf_typo": 1, None: 1}
+
+
+def test_cli_metric_mode_matches_library_for_all_published(
+    spark, feed_dir, tmp_path, capsys
+):
+    """Round-6 VERDICT ask: drive ``--metric`` THROUGH the CLI for all
+    eight published metrics (docs/metrics.html catalog) and assert the
+    rendered chart rows equal the direct library call over the same
+    release — invocation parity, not just function parity (the
+    function values themselves are locked by test_metrics_values)."""
+    from hfcommunity_spark.cli import _register_release
+    from hfcommunity_spark.metrics import ALL_METRICS
+
+    base = str(tmp_path / "snap_metrics")
+    assert cli.main(["--feeds", feed_dir, "--base", base,
+                     "--release", "r1"]) == 0
+    capsys.readouterr()
+
+    tables = _register_release(spark, base, "r1")
+    for name, fn in ALL_METRICS.items():
+        assert cli.main(["--base", base, "--release", "r1",
+                         "--metric", name, "--limit", "100"]) == 0
+        via_cli = capsys.readouterr().out
+        fn(tables).show(100, truncate=False)  # same rendering path
+        via_lib = capsys.readouterr().out
+        assert via_lib.strip() and via_lib.strip() in via_cli, name
     """--skiplist must exclude the repo's commits/discussions as well
     as its feed row — no orphan child rows (round-5 review #2)."""
     d = tmp_path / "feeds_skip"

@@ -52,6 +52,32 @@ def test_every_declared_survey_id_covered_inside_window():
     )
 
 
+def test_no_declared_query_escapes_driver_evidence():
+    """Round-6 invariant (VERDICT r5 ask #1): every declared query is
+    either cumulatively driver-stamped (a row in some committed
+    CORRECTNESS_r*.json) or inside the CURRENT window — i.e. stamped
+    within one rotation of landing.  This is what let four round-5
+    queries (including the flagship composite) sit unstamped for a
+    whole round."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stamped: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+        with open(path) as fh:
+            stamped.update(json.load(fh))
+    window = set(DRIVER_WINDOW)
+    orphans = [
+        n for n in all_queries() if n not in stamped and n not in window
+    ]
+    assert not orphans, (
+        f"declared queries with no driver evidence and no window slot: "
+        f"{orphans}"
+    )
+
+
 def test_north_star_families_inside_window():
     window = set(DRIVER_WINDOW)
     # d3/d5 carry the merge-family evidence (d1/d2 keep their r1-r3

@@ -71,6 +71,10 @@ QUERIES = [
     ("dd_dup_span_ratio", "bucketed-postings", 1.0),
     ("emb_centroid_outlier_prune", "centroid-window", 1.0),
     ("w_event_anomaly_zscore", "keyed-window", 1.0),
+    # round 6: the final-mile export composite (curate -> select ->
+    # shard -> pack); everything beyond the selection is a shard-keyed
+    # window over the top-K frame.
+    ("pipe_curate_select_pack_shard", "bucketed-postings+cc", 1.0),
 ]
 
 
