@@ -81,6 +81,33 @@ def write_snapshot(df: DataFrame, base_dir: str, table: str, release: str,
     return path
 
 
+def write_epoch_shards(export: DataFrame, docs: DataFrame,
+                       out_dir: str) -> str:
+    """Materialize the final training export: join the shard/pack
+    manifest (``pipe_curate_select_pack_shard``'s output: doc_id,
+    shard, pos, bin_*) back to the document text and write ONE parquet
+    directory partitioned by shard, each shard's rows sorted by pos —
+    the files a data loader streams in training order.
+
+    Scale shape: the manifest side is the selection (small relative to
+    the corpus), so the text join is a semi-bounded broadcast/hash
+    join; ``repartition(shard)`` gives each shard exactly one writer
+    lineage and ``sortWithinPartitions(shard, pos)`` is the per-shard
+    sort the epoch plan deliberately deferred to the writer
+    (``samp_epoch_shard_plan`` docstring) — no global sort at any
+    scale.  The directory-level commit protocol makes the export
+    all-or-nothing like :func:`write_snapshot`."""
+    joined = export.join(docs.select("doc_id", "text"), "doc_id")
+    (
+        joined.repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
                **options) -> None:
     """MariaDB-parity sink (reference sink: databaseImport.py:130,:312).

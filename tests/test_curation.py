@@ -135,3 +135,36 @@ def test_curation_dsir_topk_composition(spark):
     got = list(zip(out["doc_id"].astype(int), out["weight_micro"]))
     got.sort(key=lambda kv: (-kv[1], kv[0]))
     assert got == [(int(d), w) for d, w in expected]
+
+
+def test_final_export_shard_and_pack_invariants(spark):
+    """The final-mile composite (curate -> select -> shard -> pack)
+    must deal EXACTLY the selection into shards (a permutation: every
+    selected doc appears once), keep pos contiguous from 1 per shard
+    in seeded-hash order, and pack each shard's token stream without
+    gaps: offsets in [0, PACK_BUDGET), bins non-decreasing doc to doc,
+    each doc's start equal to the previous doc's end position."""
+    from hfcommunity_spark.operators.curation import (
+        pipe_curate_select_pack_shard,
+        pipe_curation_dsir_topk,
+    )
+    from hfcommunity_spark.operators.sampling import N_SHARDS, PACK_BUDGET
+
+    out = pipe_curate_select_pack_shard(spark, SF_ORACLE).toPandas()
+    sel = pipe_curation_dsir_topk(spark, SF_ORACLE).toPandas()
+    assert sorted(out["doc_id"]) == sorted(sel["doc_id"])
+    assert set(out["shard"]) <= set(range(N_SHARDS))
+
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("pos")
+        assert list(grp["pos"]) == list(range(1, len(grp) + 1))
+        running = 0
+        for _, r in grp.iterrows():
+            assert 0 <= r.bin_offset < PACK_BUDGET
+            assert r.bin_start <= r.bin_end
+            # head-to-tail packing: this doc starts where the shard's
+            # token stream left off
+            assert r.bin_start * PACK_BUDGET + r.bin_offset == running
+            end = running + r.n_tokens
+            assert r.bin_end == (end - 1) // PACK_BUDGET
+            running = end

@@ -224,3 +224,18 @@ def test_round5_lm_and_mrl_plan_shapes(spark):
     # than the 1-row chunk-size broadcast
     plan = _formatted_plan(spark, "layout_zorder_pruning_audit")
     assert "CartesianProduct" not in plan
+
+
+def test_final_export_plan_shape(spark):
+    """Round-6 composite discipline: the selection still ends in the
+    heap top-k, the shard/pack stage adds exactly ONE window and it is
+    PARTITIONED by shard (its windowspecdefinition leads with the
+    shard key; no Exchange appears only because the heap's k-row
+    output already satisfies any clustering), and nothing in the added
+    stage introduces a cartesian product.  The only unpartitioned
+    window is the k-row rank over the heap output — bounded by
+    construction, the ranked_topk discipline."""
+    plan = _formatted_plan(spark, "pipe_curate_select_pack_shard")
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition(shard" in plan
+    assert "CartesianProduct" not in plan
