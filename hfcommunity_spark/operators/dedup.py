@@ -895,6 +895,73 @@ def dd_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- source/domain hygiene gate (round 6) ---------------------------
+
+# A doc is "duplicative" when MORE THAN HALF its spans are shared with
+# another doc (2*n_dup_spans > n_spans — integer compare, no float
+# boundary); a source is dropped when more than 10% of its docs are
+# duplicative (n_dupy*10 > n_docs, same discipline).
+HYGIENE_MAX_SHARE_PCT = 10
+
+_SOURCE_HYGIENE_ORACLE = f"""
+    WITH stats AS ({_DUP_SPAN_ORACLE}),
+    per_doc AS (
+      SELECT d.source, s.n_spans, s.n_dup_spans
+      FROM stats s JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN 2 * n_dup_spans > n_spans THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_duplicative,
+           ROUND(CAST(SUM(CASE WHEN 2 * n_dup_spans > n_spans THEN 1
+                           ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+             AS dup_share_rounded,
+           SUM(CASE WHEN 2 * n_dup_spans > n_spans THEN 1 ELSE 0 END)
+             * {100 // HYGIENE_MAX_SHARE_PCT} <= COUNT(*) AS keep
+    FROM per_doc GROUP BY source
+    """
+
+
+@query("dd_source_hygiene_audit", _SOURCE_HYGIENE_ORACLE,
+       survey="X-UD5,A6,A7,J2,F11")
+def dd_source_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation gate (the C4/RefinedWeb practice of
+    dropping whole hosts, at source granularity): per source, the
+    count and share of documents that are mostly-duplicated spans
+    (strictly more than half their {NGRAM}-gram positions shared with
+    another doc), and a keep/drop verdict at the
+    {HYGIENE_MAX_SHARE_PCT}% policy line.  Pipeline owners drop or
+    down-weight flagged sources BEFORE paying for per-doc dedup of
+    their long tail.
+
+    Scale shape: probes the session-persisted per-doc span stats
+    (:func:`dup_span_stats_index`) — no new span work; one broadcast
+    join onto (doc_id, source) and a source-keyed partial agg.  Both
+    thresholds compare integers (2*dup > spans; dupy*10 <= docs), so
+    no float boundary can flip a verdict between engines."""
+    stats = dup_span_stats_index(spark, sf_dir)
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    dupy = (2 * F.col("n_dup_spans") > F.col("n_spans")).cast("int")
+    per_doc = stats.join(src, "doc_id").select("source", dupy.alias("dupy"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dupy").cast("long").alias("n_duplicative"),
+        )
+        .select(
+            "source", "n_docs", "n_duplicative",
+            F.round(
+                F.col("n_duplicative").cast("double") / F.col("n_docs"), 4
+            ).alias("dup_share_rounded"),
+            (
+                F.col("n_duplicative") * (100 // HYGIENE_MAX_SHARE_PCT)
+                <= F.col("n_docs")
+            ).alias("keep"),
+        )
+    )
+
+
 # --- LSH approximation-quality audit (round 5) ---------------------
 
 LSH_AUDIT_TAU = JACCARD_CLUSTER_THRESHOLD

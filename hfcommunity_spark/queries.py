@@ -139,13 +139,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x5_streaming_dedup",  # D1, X5, X6
     "x9_stream_stream_interval_join",  # J10, X2, X6
     # --- late round-5 additions, never stamped ---------------------
+    # (Second round-6 rotation: samp_dsir_select and
+    # layout_zorder_pruning_audit rotate out with their r5 stamps
+    # intact — every id they carry keeps another oracle-equipped
+    # window member — making room for the two round-6 operators.)
     "w_event_anomaly_zscore",  # W3, F11, X-UD5 — keyed-window z-score
     "dd_dup_span_ratio",  # J2, A7, X-UD5 — exact-substring dup audit
-    "samp_dsir_select",  # A10, O2, J9, F11, X-UD5 — DSIR importance
     "t_unigram_ppl_buckets",  # A7, F11, W1, X-UD5 — CCNet terciles
     "dd_lsh_recall_audit",  # J8, A6, J9, X-UD5 — LSH confusion audit
     "x12_stream_dsir_gate",  # X7, J8, J9, A10, X-UD5 — LM admission
-    "layout_zorder_pruning_audit",  # F11, A5, A10, X-UD5 — Z-order
     # --- round-5 additions #2: ETL/runtime ids, never stamped ------
     # (rotated out with r1-r4 stamps intact: a15, q4, q18, w6,
     # t_token_stats, t_stopword_ratio, t_bpe_token_count,
@@ -176,6 +178,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "emb_centroid_outlier_prune",  # X-UD5, W1, J9, A7
     "pipe_curate_select_pack_shard",  # X-UD5, J2, O2, W1, W3, F1,
     # A10 — round-6 final mile: curate -> select -> shard -> pack
+    # --- round-6 operators #2: source hygiene + repeat schedule -----
+    "dd_source_hygiene_audit",  # X-UD5, A6, A7, J2, F11 — domain gate
+    "samp_repeat_schedule",  # X-UD5, W1, A10, F11, J9 —
+    # data-constrained epoch repetition manifest
 )
 
 

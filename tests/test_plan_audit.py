@@ -239,3 +239,23 @@ def test_final_export_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "windowspecdefinition(shard" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round6_operator_plan_shapes(spark):
+    """The two round-6 operators keep the module disciplines: the
+    repeat schedule's NTILE window is PARTITIONED per source (a
+    SinglePartition exchange would be the global sort the
+    t_unigram_ppl_buckets discipline forbids), and the source hygiene
+    gate is one keyed partial agg over the persisted span stats — no
+    cartesian, no single-partition stage anywhere."""
+    plan = _formatted_plan(spark, "samp_repeat_schedule")
+    assert "windowspecdefinition(source" in plan
+    assert "hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
+    # (one SinglePartition exchange IS expected: the 1-row DSIR corpus
+    # totals aggregate inside the persisted weight-frame build —
+    # bounded by construction, the same shape as samp_dsir_select.)
+
+    plan = _formatted_plan(spark, "dd_source_hygiene_audit")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

@@ -83,10 +83,11 @@ def test_north_star_families_inside_window():
     # d3/d5 carry the merge-family evidence (d1/d2 keep their r1-r3
     # stamps; skew_salted_agg_parity keeps its r4 stamp after the
     # second round-5 rotation); "x1" pins the stream-static gate slot
-    # (x10 in round 4, the x11 curation gate since round 5); "pipe_"
-    # pins the end-to-end curation composite; "layout_" pins the
-    # round-5 physical-layout audit.
+    # (x10 in round 4, the x12 DSIR gate since round 6); "pipe_"
+    # pins the curation composites.  ("layout_" rotated out in round 6
+    # with its r5 stamp intact; the no-orphan test above guards every
+    # rotated query's cumulative evidence.)
     for prefix in ("dd_", "sim_", "t_", "mm_", "ud", "d3", "d5",
-                   "u1", "samp_", "pipe_", "layout_",
+                   "u1", "samp_", "pipe_",
                    "x3", "x4", "x5", "x9", "x1"):
         assert any(n.startswith(prefix) for n in window), prefix
