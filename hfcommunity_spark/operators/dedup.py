@@ -895,6 +895,129 @@ def dd_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact-substring strip transform (round 6) ----------------------
+
+def _strip_oracle() -> str:
+    n = NGRAM
+    shingle = " || ' ' || ".join(f"w[p+{j}]" if j else "w[p]"
+                                 for j in range(n))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    spanp AS (
+      SELECT doc_id, unnest(range(1, len(w) - {n} + 2)) AS p, w
+      FROM toks WHERE len(w) >= {n}
+    ),
+    spans AS (SELECT doc_id, p, {shingle} AS shingle FROM spanp),
+    occ2 AS (SELECT shingle FROM
+               (SELECT shingle, COUNT(DISTINCT doc_id) AS nd
+                FROM spans GROUP BY shingle)
+             WHERE nd >= 2),
+    cov AS (SELECT DISTINCT s.doc_id, s.p + k.k AS i
+            FROM spans s JOIN occ2 USING (shingle),
+                 (SELECT unnest(range(0, {n})) AS k) k),
+    tokpos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w
+               FROM toks),
+    tok AS (SELECT doc_id, i, w[i] AS word FROM tokpos),
+    kept AS (SELECT t.doc_id, t.i, t.word
+             FROM tok t LEFT JOIN cov c
+               ON t.doc_id = c.doc_id AND t.i = c.i
+             WHERE c.i IS NULL),
+    ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  string_agg(word, ' ' ORDER BY i) AS cleaned
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(ka.cleaned, '') AS cleaned_text
+    FROM toks t LEFT JOIN ka USING (doc_id)
+    """
+
+
+@query("dd_strip_dup_spans", _strip_oracle(), survey="X-UD5,J2,F12,A7")
+def dd_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb/Gopher exact-substring dedup TRANSFORM (the
+    audit's acting sibling, ``dd_dup_span_ratio``): remove from every
+    document each token covered by a {NGRAM}-gram span that also
+    occurs in another document, and emit the cleaned text plus
+    kept/total token counts.  This is the variant real pipelines run
+    when dropping whole documents would lose too much unique tail
+    (boilerplate headers, license blocks, templated prefixes strip
+    away; the rest of the doc survives).
+
+    Scale shape: one positional explode for spans and one for tokens
+    (both linear in corpus tokens); the cross-doc span set is a
+    map-side-combined distinct at 8-byte ``xxhash64`` keys (the
+    :func:`doc_shingle_hashes` trade — the string-keyed oracle and
+    the hash-keyed plan agree up to ~1e-9 collision odds); covered
+    token indexes fan out exactly {NGRAM} per dup span start then
+    deduplicate; removal is one anti-join on (doc_id, i); the rebuild
+    is a per-doc sort of kept (i, word) structs — partitioned by
+    doc_id, never global.  Output strings are value-hashed, so the
+    transform itself (not a proxy statistic) is what the oracle
+    checks."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    spans = (
+        docs.filter(F.size("w") >= NGRAM)
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_shingle_expr(NGRAM))).alias(
+                "p0", "shingle"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("p"),
+            F.xxhash64("shingle").alias("h"),
+        )
+    )
+    dup_h = (
+        spans.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        spans.join(dup_h, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (NGRAM - 1))
+            ).alias("i"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("w").alias("i0", "word")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "word")
+    kept = toks.join(cov, ["doc_id", "i"], "left_anti")
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        docs.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 # --- source/domain hygiene gate (round 6) ---------------------------
 
 # A doc is "duplicative" when MORE THAN HALF its spans are shared with

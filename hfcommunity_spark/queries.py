@@ -143,10 +143,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # layout_zorder_pruning_audit rotate out with their r5 stamps
     # intact — every id they carry keeps another oracle-equipped
     # window member — making room for the two round-6 operators.)
+    # (dd_lsh_recall_audit also rotates out with its r5 stamp — A6 is
+    # now carried by dd_source_hygiene_audit, J8 by j1/x12 — making
+    # room for the round-6 strip transform.)
     "w_event_anomaly_zscore",  # W3, F11, X-UD5 — keyed-window z-score
     "dd_dup_span_ratio",  # J2, A7, X-UD5 — exact-substring dup audit
     "t_unigram_ppl_buckets",  # A7, F11, W1, X-UD5 — CCNet terciles
-    "dd_lsh_recall_audit",  # J8, A6, J9, X-UD5 — LSH confusion audit
     "x12_stream_dsir_gate",  # X7, J8, J9, A10, X-UD5 — LM admission
     # --- round-5 additions #2: ETL/runtime ids, never stamped ------
     # (rotated out with r1-r4 stamps intact: a15, q4, q18, w6,
@@ -182,6 +184,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dd_source_hygiene_audit",  # X-UD5, A6, A7, J2, F11 — domain gate
     "samp_repeat_schedule",  # X-UD5, W1, A10, F11, J9 —
     # data-constrained epoch repetition manifest
+    "dd_strip_dup_spans",  # X-UD5, J2, F12, A7 — the exact-substring
+    # dedup TRANSFORM (cleaned text value-hashed, not a proxy stat)
 )
 
 

@@ -75,6 +75,9 @@ QUERIES = [
     # shard -> pack); everything beyond the selection is a shard-keyed
     # window over the top-K frame.
     ("pipe_curate_select_pack_shard", "bucketed-postings+cc", 1.0),
+    # round 6: the exact-substring strip transform — two positional
+    # explodes + keyed joins, linear in corpus tokens by design.
+    ("dd_strip_dup_spans", "bucketed-postings", 1.0),
 ]
 
 
