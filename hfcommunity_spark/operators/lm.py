@@ -514,3 +514,72 @@ def samp_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_topk(keyed, "key_micro", DSIR_SAMPLE).select(
         "doc_id", "n_tokens", "weight_micro", "key_micro", "rank"
     )
+
+
+# --- data-constrained epoch repetition schedule (round 6) ----------
+
+# Repeats per quality tercile (best -> worst): the data-constrained
+# scaling result that repeating high-value data up to ~4 epochs is
+# near-free while low-value data stops paying after one pass.
+EPOCH_REPEATS = (4, 2, 1)
+
+
+def _repeat_schedule_oracle() -> str:
+    r1, r2, r3 = EPOCH_REPEATS
+    return f"""
+    WITH {dsir_docw_ctes()},
+    src AS (
+      SELECT w.doc_id, d.source, w.n_tokens, w.weight_micro,
+             CAST(NTILE(3) OVER (PARTITION BY d.source
+                                 ORDER BY w.weight_micro DESC, w.doc_id)
+                  AS INTEGER) AS tercile
+      FROM docw w JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, source, n_tokens, weight_micro, tercile,
+           CAST(CASE tercile WHEN 1 THEN {r1} WHEN 2 THEN {r2}
+                ELSE {r3} END AS INTEGER) AS repeats,
+           CAST(n_tokens * CASE tercile WHEN 1 THEN {r1} WHEN 2 THEN {r2}
+                ELSE {r3} END AS BIGINT) AS effective_tokens
+    FROM src
+    """
+
+
+@query("samp_repeat_schedule", _repeat_schedule_oracle(),
+       survey="X-UD5,W1,A10,F11,J9")
+def samp_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch plan: when the corpus is smaller than
+    the token budget, schedule REPEATS per document instead of
+    scaling the corpus — top DSIR-weight tercile per source trains
+    {EPOCH_REPEATS[0]} epochs, middle {EPOCH_REPEATS[1]}, bottom
+    {EPOCH_REPEATS[2]} (the multi-epoch regime where repeating
+    high-value data stays near-free).  Output is the per-doc repeat
+    manifest with effective token counts — the input a loader's
+    sampler consumes alongside the shard plan.
+
+    Plan: probes the session-persisted DSIR weight frame
+    (``lm.dsir_docw_index``), one broadcast join for the source
+    column, and an NTILE window PARTITIONED per source (the
+    ``t_unigram_ppl_buckets`` discipline — no global sort; a source's
+    docs rank within its partition).  Repeats and effective tokens
+    are integer CASE arithmetic."""
+    docw = dsir_docw_index(spark, sf_dir)
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("weight_micro"), F.asc("doc_id")
+    )
+    r1, r2, r3 = EPOCH_REPEATS
+    joined = docw.join(src, "doc_id").withColumn(
+        "tercile", F.ntile(3).over(w).cast("int")
+    )
+    repeats = (
+        F.when(F.col("tercile") == 1, r1)
+        .when(F.col("tercile") == 2, r2)
+        .otherwise(r3)
+        .cast("int")
+    )
+    return joined.select(
+        "doc_id", "source", "n_tokens", "weight_micro", "tercile",
+        repeats.alias("repeats"),
+        (F.col("n_tokens") * repeats).cast("long")
+        .alias("effective_tokens"),
+    )

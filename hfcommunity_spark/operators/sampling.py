@@ -501,74 +501,90 @@ def samp_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- data-constrained epoch repetition schedule (round 6) ----------
+# --- length-bucketed batch plan (round 6) ---------------------------
 
-# Repeats per quality tercile (best -> worst): the data-constrained
-# scaling result that repeating high-value data up to ~4 epochs is
-# near-free while low-value data stops paying after one pass.
-EPOCH_REPEATS = (4, 2, 1)
+BATCH_DOCS = 8  # documents per training batch within a length bucket
 
 
-def _repeat_schedule_oracle() -> str:
-    from hfcommunity_spark.operators.lm import dsir_docw_ctes
-
-    r1, r2, r3 = EPOCH_REPEATS
-    return f"""
-    WITH {dsir_docw_ctes()},
-    src AS (
-      SELECT w.doc_id, d.source, w.n_tokens, w.weight_micro,
-             CAST(NTILE(3) OVER (PARTITION BY d.source
-                                 ORDER BY w.weight_micro DESC, w.doc_id)
-                  AS INTEGER) AS tercile
-      FROM docw w JOIN documents d USING (doc_id)
+@query(
+    "samp_length_batch_plan",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(LENGTH(bin(n_tokens)) AS INTEGER) AS bucket
+      FROM t
+    ),
+    p AS (
+      SELECT bucket, n_tokens,
+             CAST((ROW_NUMBER() OVER (
+               PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+             ) - 1) // {BATCH_DOCS} AS INTEGER) AS batch_id
+      FROM b
     )
-    SELECT doc_id, source, n_tokens, weight_micro, tercile,
-           CAST(CASE tercile WHEN 1 THEN {r1} WHEN 2 THEN {r2}
-                ELSE {r3} END AS INTEGER) AS repeats,
-           CAST(n_tokens * CASE tercile WHEN 1 THEN {r1} WHEN 2 THEN {r2}
-                ELSE {r3} END AS BIGINT) AS effective_tokens
-    FROM src
-    """
+    SELECT bucket, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+             AS padding_tokens,
+           ROUND(CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
+                 / (COUNT(*) * MAX(n_tokens)), 4) AS waste_rounded
+    FROM p GROUP BY bucket, batch_id
+    """,
+    survey="X-UD5,W1,A5,F11,A10",
+)
+def samp_length_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching: group documents into
+    power-of-two length buckets, fill {BATCH_DOCS}-doc batches
+    longest-first inside each bucket, and report per batch the padding
+    a loader would pay to the batch max — the plan that decides
+    whether bucketing is worth it before anyone pads a single tensor.
 
+    Plan: one scan for token counts; the bucket key is
+    ``length(bin(n_tokens))`` — exact integer log2 via binary-string
+    length, bit-identical in both engines where float ``log2`` could
+    disagree at exact powers of two; batch assembly is a row_number
+    window PARTITIONED per bucket (longest-first so batch members are
+    length-homogeneous — minimum padding under a fixed batch size);
+    the output is one keyed partial agg, #buckets x #batches rows.
+    Padding counts are exact integers; only the final waste share is
+    a rounded double."""
+    docs = read_table(spark, sf_dir, "documents")
+    from hfcommunity_spark.operators.textops import token_count
 
-@query("samp_repeat_schedule", _repeat_schedule_oracle(),
-       survey="X-UD5,W1,A10,F11,J9")
-def samp_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-constrained epoch plan: when the corpus is smaller than
-    the token budget, schedule REPEATS per document instead of
-    scaling the corpus — top DSIR-weight tercile per source trains
-    {EPOCH_REPEATS[0]} epochs, middle {EPOCH_REPEATS[1]}, bottom
-    {EPOCH_REPEATS[2]} (the multi-epoch regime where repeating
-    high-value data stays near-free).  Output is the per-doc repeat
-    manifest with effective token counts — the input a loader's
-    sampler consumes alongside the shard plan.
-
-    Plan: probes the session-persisted DSIR weight frame
-    (``lm.dsir_docw_index``), one broadcast join for the source
-    column, and an NTILE window PARTITIONED per source (the
-    ``t_unigram_ppl_buckets`` discipline — no global sort; a source's
-    docs rank within its partition).  Repeats and effective tokens
-    are integer CASE arithmetic."""
-    from hfcommunity_spark.operators.lm import dsir_docw_index
-
-    docw = dsir_docw_index(spark, sf_dir)
-    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    w = Window.partitionBy("source").orderBy(
-        F.desc("weight_micro"), F.asc("doc_id")
+    b = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket", F.length(F.expr("bin(n_tokens)")).cast("int")
     )
-    r1, r2, r3 = EPOCH_REPEATS
-    joined = docw.join(src, "doc_id").withColumn(
-        "tercile", F.ntile(3).over(w).cast("int")
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
     )
-    repeats = (
-        F.when(F.col("tercile") == 1, r1)
-        .when(F.col("tercile") == 2, r2)
-        .otherwise(r3)
-        .cast("int")
+    p = b.withColumn(
+        "batch_id",
+        F.expr(f"int((row_number() OVER (PARTITION BY bucket "
+               f"ORDER BY n_tokens DESC, doc_id ASC) - 1) DIV {BATCH_DOCS})"),
     )
-    return joined.select(
-        "doc_id", "source", "n_tokens", "weight_micro", "tercile",
-        repeats.alias("repeats"),
-        (F.col("n_tokens") * repeats).cast("long")
-        .alias("effective_tokens"),
+    padded = F.col("n_docs") * F.col("max_tokens")
+    return (
+        p.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket", "batch_id", "n_docs", "max_tokens", "total_tokens",
+            (padded - F.col("total_tokens")).cast("long")
+            .alias("padding_tokens"),
+            F.round(
+                (padded - F.col("total_tokens")).cast("double") / padded, 4
+            ).alias("waste_rounded"),
+        )
     )

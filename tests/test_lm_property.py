@@ -240,3 +240,77 @@ def test_epoch_shard_seed_redeal(spark, monkeypatch):
     for pdf in (a, b):
         for _, grp in pdf.groupby("shard"):
             assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+
+
+# --- round 6: the exact-substring strip transform -------------------
+
+# A tiny vocab + short docs makes cross-doc 5-gram collisions common,
+# so generated corpora exercise every branch: fully-unique docs
+# (unchanged), partially-covered docs, and docs stripped to ''.
+strip_doc = st.lists(
+    st.sampled_from(VOCAB[:6]), min_size=1, max_size=14
+).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(strip_doc, min_size=4, max_size=24))
+def _check_strip(spark, tmp_root, texts):
+    from hfcommunity_spark.operators.dedup import NGRAM, dd_strip_dup_spans
+    from hfcommunity_spark.registry import REGISTRY
+
+    n = len(texts)
+    pdf = pd.DataFrame({
+        "doc_id": range(n), "text": texts, "lang": ["en"] * n,
+        "source": ["s"] * n, "n_chars": [len(t) for t in texts],
+    })
+    case_dir = tmp_root / f"strip_{abs(hash(tuple(texts))) % 10**12}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{case_dir}/documents.parquet"
+    )
+    got = (
+        dd_strip_dup_spans(spark, str(case_dir)).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{case_dir}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(
+        REGISTRY["dd_strip_dup_spans"].oracle
+    ).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    con.close()
+    # cross-engine: the cleaned STRINGS must match exactly
+    assert got["cleaned_text"].tolist() == want["cleaned_text"].tolist()
+    assert got["n_kept"].tolist() == want["n_kept"].tolist()
+
+    # semantic invariants, recomputed in plain Python
+    toks = [t.split(" ") for t in texts]
+    from collections import defaultdict
+
+    docs_of = defaultdict(set)
+    for d, w in enumerate(toks):
+        for p in range(len(w) - NGRAM + 1):
+            docs_of[" ".join(w[p:p + NGRAM])].add(d)
+    for d, w in enumerate(toks):
+        covered = set()
+        for p in range(len(w) - NGRAM + 1):
+            if len(docs_of[" ".join(w[p:p + NGRAM])]) >= 2:
+                covered.update(range(p, p + NGRAM))
+        expect = " ".join(
+            t for i, t in enumerate(w) if i not in covered
+        )
+        row = got.iloc[d]
+        assert row["cleaned_text"] == expect, d
+        assert row["n_tokens"] == len(w) and row["n_kept"] == len(w) - len(
+            covered
+        )
+
+
+def test_strip_dup_spans_cross_engine_property(spark, tmp_path):
+    """The strip transform's CLEANED STRINGS must match DuckDB exactly
+    on hypothesis-drawn corpora, and both engines must match a plain
+    Python recomputation of the covered-position semantics — unique
+    docs pass through byte-identical, shared spans strip from BOTH
+    sides, a doc can strip to ''."""
+    _check_strip(spark, tmp_path)
