@@ -23,15 +23,17 @@ from hfcommunity_spark.queries import all_queries  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    The flagship is the end-to-end curation composite (quality gate →
-    exact dedup → near-dup canonicalization → decontamination →
-    corpus stats) — the north-star training-data pipeline in one
-    declared, oracle-checked query."""
+    The flagship is the final-mile export composite (round 6): the
+    five-stage curation survivor set, ranked by DSIR importance and
+    cut to the top-K, dealt into seeded epoch shards and packed into
+    token-budget context windows per shard — the complete
+    curate → select → shard → pack chain a pretraining run exports,
+    in one declared, oracle-checked query."""
     from hfcommunity_spark.operators.curation import (
-        pipe_curation_end_to_end,
+        pipe_curate_select_pack_shard,
     )
 
-    return pipe_curation_end_to_end(spark, "/root/testdata/sf0.001")
+    return pipe_curate_select_pack_shard(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -81,6 +81,39 @@ def write_snapshot(df: DataFrame, base_dir: str, table: str, release: str,
     return path
 
 
+SNAPSHOT_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def export_table(df: DataFrame, out_dir: str, fmt: str = "parquet",
+                 **options) -> str:
+    """Utility export in any interchange format a downstream consumer
+    asks for (SURVEY S15: Parquet primary, JSON for API payloads, CSV
+    utility; ORC for engines that prefer it).  Same directory-level
+    atomic commit as :func:`write_snapshot`; columnar formats keep
+    predicate/projection pushdown, row formats are for handoff only.
+    CSV callers should pass header=True and mind that arrays/structs
+    are not CSV-representable (Spark raises — by design, not silently
+    stringified)."""
+    if fmt not in SNAPSHOT_FORMATS:
+        raise ValueError(
+            f"unsupported format {fmt!r}; one of {SNAPSHOT_FORMATS}"
+        )
+    df.write.mode("overwrite").options(**options).format(fmt).save(out_dir)
+    return out_dir
+
+
+def read_export(spark: SparkSession, path: str, fmt: str = "parquet",
+                schema=None, **options) -> DataFrame:
+    """Read back an :func:`export_table` directory.  Pass the schema
+    for row formats (JSON/CSV) — inference re-types columns silently,
+    which the oracle gate would catch but a pipeline should never
+    rely on."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)
+
+
 def write_epoch_shards(export: DataFrame, docs: DataFrame,
                        out_dir: str) -> str:
     """Materialize the final training export: join the shard/pack

@@ -308,3 +308,26 @@ def test_write_epoch_shards_roundtrip(spark, tmp_path):
     shards = {s for _, s, _, _ in got}
     for s in shards:
         assert os.path.isdir(os.path.join(out, f"shard={s}"))
+
+
+def test_export_formats_roundtrip(spark, tmp_path):
+    """S15 closed end to end: the same frame exports to parquet, ORC,
+    JSON, and CSV and reads back value-identical (explicit schema for
+    the row formats — inference is not trusted)."""
+    from hfcommunity_spark.io import export_table, read_export, read_table
+    from tests.conftest import SF_ORACLE
+
+    df = read_table(spark, SF_ORACLE, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    want = sorted(tuple(r) for r in df.collect())
+    for fmt, opts in [("parquet", {}), ("orc", {}),
+                      ("json", {}), ("csv", {"header": "true"})]:
+        out = export_table(df, str(tmp_path / fmt), fmt, **opts)
+        back = read_export(spark, out, fmt, schema=df.schema, **opts)
+        assert sorted(tuple(r) for r in back.collect()) == want, fmt
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        export_table(df, str(tmp_path / "x"), "avro")
