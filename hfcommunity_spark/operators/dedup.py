@@ -786,9 +786,16 @@ def simhash_near_dups(docs: DataFrame,
 
 # --- exact-substring duplication audit (round 5) -------------------
 
-_DUP_SPAN_ORACLE = f"""
+
+def dup_span_stats_sql(where: str = "TRUE") -> str:
+    """DuckDB per-doc span stats (doc_id, n_spans, n_dup_spans,
+    dup_ratio) over the documents rows matching ``where`` — the ONE
+    SQL twin of :func:`span_stats_frame`, parameterized by population
+    so the streaming twin can state before/after verdicts from the
+    same definition."""
+    return f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
-                  FROM documents),
+                  FROM documents WHERE {where}),
     spans AS (SELECT doc_id, {shingle_unnest_sql(NGRAM)} AS shingle
               FROM toks WHERE len(w) >= {NGRAM}),
     occ AS (SELECT shingle FROM
@@ -806,6 +813,9 @@ _DUP_SPAN_ORACLE = f"""
              AS dup_ratio
     FROM tot LEFT JOIN dup USING (doc_id)
     """
+
+
+_DUP_SPAN_ORACLE = dup_span_stats_sql()
 
 
 # The per-doc span-duplication stats are an audit table a curation
@@ -839,37 +849,45 @@ def dup_span_stats_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the scan already has thousands of splits and the
     repartition gate is a no-op)."""
 
-    def build() -> DataFrame:
-        from hfcommunity_spark.session import default_parallelism
+    return _DUP_SPAN_CACHE.get_or_build(
+        spark,
+        (sf_dir,),
+        lambda: span_stats_frame(
+            read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+    )
 
-        docs = read_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        )
-        par = default_parallelism()
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par)
-        with_words = docs.withColumn(
-            "w", F.split(F.col("text"), " ")
-        ).filter(F.size("w") >= NGRAM)
-        spans = with_words.select(
-            "doc_id",
-            F.explode(F.expr(_shingle_expr(NGRAM))).alias("shingle"),
-        ).select("doc_id", F.xxhash64("shingle").alias("h"))
-        grp = spans.groupBy("doc_id", "h").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
-        return (
-            grp.withColumn("nd", nd)
-            .groupBy("doc_id")
-            .agg(
-                F.sum("c").alias("n_spans"),
-                F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
-                .alias("n_dup_spans"),
-            )
-        )
 
-    return _DUP_SPAN_CACHE.get_or_build(spark, (sf_dir,), build)
+def span_stats_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc span stats (doc_id, n_spans, n_dup_spans) for an
+    arbitrary documents population — the ONE Spark twin of
+    :func:`dup_span_stats_sql`, shared by the persisted index and the
+    streaming hygiene twin (before/after populations)."""
+    from hfcommunity_spark.session import default_parallelism
+
+    par = default_parallelism()
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    with_words = docs.withColumn(
+        "w", F.split(F.col("text"), " ")
+    ).filter(F.size("w") >= NGRAM)
+    spans = with_words.select(
+        "doc_id",
+        F.explode(F.expr(_shingle_expr(NGRAM))).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    grp = spans.groupBy("doc_id", "h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        grp.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+            .alias("n_dup_spans"),
+        )
+    )
 
 
 @query("dd_dup_span_ratio", _DUP_SPAN_ORACLE, survey="X-UD5,J2,A7")
@@ -1081,6 +1099,117 @@ def dd_source_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_duplicative") * (100 // HYGIENE_MAX_SHARE_PCT)
                 <= F.col("n_docs")
             ).alias("keep"),
+        )
+    )
+
+
+# --- streaming twin: hygiene verdict under an arriving batch -------
+
+X13_MOD, X13_REM = 10, 4  # docs with doc_id % 10 = 4 play the batch
+
+_X13_CORP = f"doc_id % {X13_MOD} <> {X13_REM}"
+_X13_INC = f"doc_id % {X13_MOD} = {X13_REM}"
+
+_X13_KEEP = "COALESCE({d}, 0) * %d <= COALESCE({n}, 0)" % (
+    100 // HYGIENE_MAX_SHARE_PCT
+)
+
+_X13_ORACLE = f"""
+    WITH old_stats AS ({dup_span_stats_sql(_X13_CORP)}),
+    new_stats AS ({dup_span_stats_sql()}),
+    srcs AS (SELECT doc_id, source FROM documents),
+    inc_src AS (SELECT DISTINCT source FROM documents WHERE {_X13_INC}),
+    old AS (SELECT source, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN 2 * n_dup_spans > n_spans THEN 1
+                       ELSE 0 END) AS dupy
+            FROM old_stats JOIN srcs USING (doc_id) GROUP BY source),
+    new AS (SELECT source, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN 2 * n_dup_spans > n_spans THEN 1
+                       ELSE 0 END) AS dupy
+            FROM new_stats JOIN srcs USING (doc_id) GROUP BY source)
+    SELECT i.source,
+           CAST(COALESCE(o.n_docs, 0) AS BIGINT) AS old_n_docs,
+           CAST(COALESCE(o.dupy, 0) AS BIGINT) AS old_duplicative,
+           {_X13_KEEP.format(d="o.dupy", n="o.n_docs")} AS old_keep,
+           CAST(n.n_docs AS BIGINT) AS new_n_docs,
+           CAST(n.dupy AS BIGINT) AS new_duplicative,
+           {_X13_KEEP.format(d="n.dupy", n="n.n_docs")} AS new_keep,
+           ({_X13_KEEP.format(d="o.dupy", n="o.n_docs")})
+             <> ({_X13_KEEP.format(d="n.dupy", n="n.n_docs")}) AS flipped
+    FROM inc_src i
+    LEFT JOIN old o USING (source)
+    JOIN new n USING (source)
+    """
+
+
+@query("x13_stream_source_hygiene", _X13_ORACLE,
+       survey="X7,J8,A6,A10,X-UD5")
+def x13_stream_source_hygiene(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming source-hygiene monitor (the x10/x11
+    arriving-slice convention, remainder {X13_REM}): when a micro-batch
+    of documents lands, re-evaluate the per-source keep/drop verdict
+    for every source PRESENT IN THE BATCH — before (corpus only) and
+    after (corpus + batch) — and flag sources the batch FLIPS across
+    the {HYGIENE_MAX_SHARE_PCT}% policy line.  This is the alert an
+    ingest pipeline pages on: one crawl delivery turning a previously
+    clean domain duplicative (or curing one).
+
+    Plan: the after-side stats probe the session-persisted
+    :func:`dup_span_stats_index` (corpus + batch IS the full table);
+    the before-side re-derives :func:`span_stats_frame` over the
+    corpus slice — at 100 TB that side is the PREVIOUS snapshot of the
+    same maintained audit table, so neither side is new work.  Both
+    verdicts are integer comparisons; sources whose docs are all in
+    the batch report old counts of 0 (vacuously keep)."""
+    docs = read_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    inc_src = (
+        docs.filter(F.expr(_X13_INC)).select("source").distinct()
+    )
+
+    def agg(stats: DataFrame, prefix: str) -> DataFrame:
+        dupy = (2 * F.col("n_dup_spans") > F.col("n_spans")).cast("int")
+        return (
+            stats.join(src, "doc_id")
+            .select("source", dupy.alias("dupy"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"{prefix}_n_docs"),
+                F.sum("dupy").cast("long").alias(f"{prefix}_duplicative"),
+            )
+        )
+
+    old = agg(
+        span_stats_frame(
+            docs.filter(F.expr(_X13_CORP)).select("doc_id", "text")
+        ),
+        "old",
+    )
+    new = agg(dup_span_stats_index(spark, sf_dir), "new")
+
+    def keep(d: str, n: str):
+        return (
+            F.coalesce(F.col(d), F.lit(0))
+            * (100 // HYGIENE_MAX_SHARE_PCT)
+            <= F.coalesce(F.col(n), F.lit(0))
+        )
+
+    old_keep = keep("old_duplicative", "old_n_docs")
+    new_keep = keep("new_duplicative", "new_n_docs")
+    return (
+        inc_src.join(old, "source", "left")
+        .join(new, "source")
+        .select(
+            "source",
+            F.coalesce(F.col("old_n_docs"), F.lit(0)).alias("old_n_docs"),
+            F.coalesce(F.col("old_duplicative"), F.lit(0))
+            .alias("old_duplicative"),
+            old_keep.alias("old_keep"),
+            "new_n_docs",
+            "new_duplicative",
+            new_keep.alias("new_keep"),
+            (old_keep != new_keep).alias("flipped"),
         )
     )
 

@@ -143,13 +143,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # layout_zorder_pruning_audit rotate out with their r5 stamps
     # intact — every id they carry keeps another oracle-equipped
     # window member — making room for the two round-6 operators.)
-    # (dd_lsh_recall_audit and t_unigram_ppl_buckets also rotate out
-    # with their r5 stamps — A6 is now carried by
-    # dd_source_hygiene_audit, J8 by j1/x12, A7/F11/W1 by several
-    # members each — making room for the round-6 strip transform and
-    # the length-batch plan.)
-    "w_event_anomaly_zscore",  # W3, F11, X-UD5 — keyed-window z-score
+    # (dd_lsh_recall_audit, t_unigram_ppl_buckets, and
+    # w_event_anomaly_zscore also rotate out with their r5 stamps —
+    # A6 is now carried by dd_source_hygiene_audit, J8 by j1/x12,
+    # W3 by the pack composite, A7/F11/W1 by several members each —
+    # making room for the round-6 strip transform, length-batch plan,
+    # and streaming hygiene twin.)
     "dd_dup_span_ratio",  # J2, A7, X-UD5 — exact-substring dup audit
+    # (stays in-window: its implementation was restructured this
+    # round, so it should carry FRESH driver evidence)
     "x12_stream_dsir_gate",  # X7, J8, J9, A10, X-UD5 — LM admission
     # --- round-5 additions #2: ETL/runtime ids, never stamped ------
     # (rotated out with r1-r4 stamps intact: a15, q4, q18, w6,
@@ -189,6 +191,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup TRANSFORM (cleaned text value-hashed, not a proxy stat)
     "samp_length_batch_plan",  # X-UD5, W1, A5, F11, A10 —
     # length-bucketed batching with exact integer log2 buckets
+    "x13_stream_source_hygiene",  # X7, J8, A6, A10, X-UD5 — the
+    # hygiene verdict re-evaluated under an arriving batch
 )
 
 

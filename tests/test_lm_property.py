@@ -314,3 +314,75 @@ def test_strip_dup_spans_cross_engine_property(spark, tmp_path):
     docs pass through byte-identical, shared spans strip from BOTH
     sides, a doc can strip to ''."""
     _check_strip(spark, tmp_path)
+
+
+# --- round 6: repeat schedule (NTILE) + length-batch plan ------------
+
+multi_source_doc = st.tuples(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=18).map(" ".join),
+    st.sampled_from(["sA", "sB", "sC"]),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(multi_source_doc, min_size=6, max_size=30))
+def _check_repeat_and_batch(spark, tmp_root, rows):
+    from hfcommunity_spark.operators.lm import samp_repeat_schedule
+    from hfcommunity_spark.operators.sampling import samp_length_batch_plan
+    from hfcommunity_spark.registry import REGISTRY
+
+    n = len(rows)
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "text": [t for t, _ in rows],
+        "lang": ["en"] * n,
+        "source": [s for _, s in rows],
+        "n_chars": [len(t) for t, _ in rows],
+    })
+    case_dir = tmp_root / f"rb_{abs(hash(tuple(map(tuple, rows)))) % 10**12}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{case_dir}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{case_dir}/documents.parquet/*.parquet')"
+    )
+    # repeat schedule: per-source NTILE terciles + CASE repeats must
+    # agree row-for-row (ties broken by doc_id in both engines)
+    got = (
+        samp_repeat_schedule(spark, str(case_dir)).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    want = con.execute(
+        REGISTRY["samp_repeat_schedule"].oracle
+    ).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    for col in ("doc_id", "tercile", "repeats", "effective_tokens"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+    # length-batch plan: integer log2 buckets, longest-first fill,
+    # exact padding counts
+    gotb = (
+        samp_length_batch_plan(spark, str(case_dir)).toPandas()
+        .sort_values(["bucket", "batch_id"]).reset_index(drop=True)
+    )
+    wantb = con.execute(
+        REGISTRY["samp_length_batch_plan"].oracle
+    ).fetchdf().sort_values(["bucket", "batch_id"]).reset_index(drop=True)
+    con.close()
+    for col in ("bucket", "batch_id", "n_docs", "max_tokens",
+                "total_tokens", "padding_tokens"):
+        assert gotb[col].tolist() == wantb[col].tolist(), col
+    # semantic invariant: padding is exactly batch-max minus each doc
+    lens = pdf["text"].str.split(" ").str.len()
+    assert int(gotb["total_tokens"].sum()) == int(lens.sum())
+    assert (gotb["padding_tokens"] >= 0).all()
+
+
+def test_repeat_schedule_and_length_batches_cross_engine_property(
+    spark, tmp_path
+):
+    """NTILE terciles (per-source, doc_id tie-break), CASE repeat
+    factors, binary-string log2 buckets, and longest-first batch fill
+    must agree with DuckDB row-for-row on hypothesis-drawn corpora."""
+    _check_repeat_and_batch(spark, tmp_path)

@@ -78,6 +78,10 @@ QUERIES = [
     # round 6: the exact-substring strip transform — two positional
     # explodes + keyed joins, linear in corpus tokens by design.
     ("dd_strip_dup_spans", "bucketed-postings", 1.0),
+    # round 6: the streaming hygiene twin — the before-side span
+    # stats rebuild is the only fresh work (linear); the after side
+    # probes the persisted index.
+    ("x13_stream_source_hygiene", "bucketed-postings", 1.0),
 ]
 
 
