@@ -1163,10 +1163,32 @@ def x13_stream_source_hygiene(spark: SparkSession,
     verdicts are integer comparisons; sources whose docs are all in
     the batch report old counts of 0 (vacuously keep)."""
     docs = read_table(spark, sf_dir, "documents")
-    src = docs.select("doc_id", "source")
-    inc_src = (
-        docs.filter(F.expr(_X13_INC)).select("source").distinct()
+    return source_hygiene_before_after(
+        docs.filter(F.expr(_X13_CORP)),
+        docs.filter(F.expr(_X13_INC)),
+        full_stats=dup_span_stats_index(spark, sf_dir),
     )
+
+
+def source_hygiene_before_after(corpus_docs: DataFrame,
+                                incoming_docs: DataFrame,
+                                full_stats: DataFrame | None = None,
+                                ) -> DataFrame:
+    """The x13 monitor body for any (corpus, arriving batch) pair of
+    (doc_id, source, text) frames — the foreachBatch-drivable form.
+    ``full_stats`` injects precomputed corpus+batch span stats (the
+    declared query passes the session-persisted index); when absent
+    they are derived from the union."""
+    src = corpus_docs.select("doc_id", "source").unionByName(
+        incoming_docs.select("doc_id", "source")
+    )
+    inc_src = incoming_docs.select("source").distinct()
+    if full_stats is None:
+        full_stats = span_stats_frame(
+            corpus_docs.select("doc_id", "text").unionByName(
+                incoming_docs.select("doc_id", "text")
+            )
+        )
 
     def agg(stats: DataFrame, prefix: str) -> DataFrame:
         dupy = (2 * F.col("n_dup_spans") > F.col("n_spans")).cast("int")
@@ -1181,12 +1203,9 @@ def x13_stream_source_hygiene(spark: SparkSession,
         )
 
     old = agg(
-        span_stats_frame(
-            docs.filter(F.expr(_X13_CORP)).select("doc_id", "text")
-        ),
-        "old",
+        span_stats_frame(corpus_docs.select("doc_id", "text")), "old"
     )
-    new = agg(dup_span_stats_index(spark, sf_dir), "new")
+    new = agg(full_stats, "new")
 
     def keep(d: str, n: str):
         return (

@@ -799,3 +799,85 @@ def test_round_half_away_matches_spark_round(spark):
     )
     for row in df.collect():
         assert _round_half_away(row.x) == row.r, row.x
+
+
+def test_stream_source_hygiene_micro_batches(spark, tmp_path):
+    """X13: the source-hygiene monitor runs per micro-batch through
+    foreachBatch against a fixed corpus; a crafted delivery of docs
+    duplicated against one corpus source must FLIP that source's
+    verdict, while a unique-text delivery to another source must not.
+    The per-batch decision for the full arriving slice must equal the
+    declared batch twin."""
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.dedup import (
+        source_hygiene_before_after,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    # corpus: srcA has 10 clean docs; srcB has 10 clean docs.  Texts
+    # are ≥5 tokens and globally unique within the corpus.
+    corpus_rows = [
+        (i, "srcA", f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}")
+        for i in range(10)
+    ] + [
+        (100 + i, "srcB",
+         f"kappa{i} lam{i} mu{i} nu{i} xi{i} omi{i}")
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, schema)
+
+    # delivery: 3 docs into srcA that DUPLICATE corpus doc 0's text
+    # (every span becomes cross-doc shared -> doc 0 and the arrivals
+    # all turn duplicative: 4/13 > 10%), plus 1 unique doc into srcB
+    # (11 docs, 0 duplicative).
+    dup_text = corpus_rows[0][2]
+    arrivals = [
+        (200, "srcA", dup_text),
+        (201, "srcA", dup_text),
+        (202, "srcA", dup_text),
+        (300, "srcB", "rho1 sig1 tau1 ups1 phi1 chi1"),
+    ]
+
+    src_dir = str(tmp_path / "x13_in")
+    got = []
+
+    def gate_batch(batch_df, batch_id):
+        got.append({
+            r.source: r
+            for r in source_hygiene_before_after(corpus, batch_df).collect()
+        })
+
+    spark.createDataFrame(arrivals, schema).coalesce(1).write.mode(
+        "append").parquet(src_dir)
+    q = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", f"{tmp_path}/ckpt_x13")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    (batch,) = got
+    a, b = batch["srcA"], batch["srcB"]
+    assert a.old_keep and not a.new_keep and a.flipped
+    assert a.old_n_docs == 10 and a.new_n_docs == 13
+    assert a.old_duplicative == 0 and a.new_duplicative == 4
+    assert b.old_keep and b.new_keep and not b.flipped
+    assert b.new_n_docs == 11 and b.new_duplicative == 0
+
+    # parity with the batch-twin form on the same arrivals
+    twin = {
+        r.source: r
+        for r in source_hygiene_before_after(
+            corpus, spark.createDataFrame(arrivals, schema)
+        ).collect()
+    }
+    assert {s: tuple(r) for s, r in twin.items()} == {
+        s: tuple(r) for s, r in batch.items()
+    }
