@@ -858,11 +858,11 @@ def dup_span_stats_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def span_stats_frame(docs: DataFrame) -> DataFrame:
-    """Per-doc span stats (doc_id, n_spans, n_dup_spans) for an
-    arbitrary documents population — the ONE Spark twin of
-    :func:`dup_span_stats_sql`, shared by the persisted index and the
-    streaming hygiene twin (before/after populations)."""
+def span_postings_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, h, c) span postings — h is the 8-byte ``xxhash64`` of
+    each {NGRAM}-gram, c its within-doc multiplicity.  The maintained
+    base state of the span-audit family: per-doc stats derive from it,
+    and a delivery extends it by union (:func:`span_index_delta`)."""
     from hfcommunity_spark.session import default_parallelism
 
     par = default_parallelism()
@@ -875,12 +875,19 @@ def span_stats_frame(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.expr(_shingle_expr(NGRAM))).alias("shingle"),
     ).select("doc_id", F.xxhash64("shingle").alias("h"))
-    grp = spans.groupBy("doc_id", "h").agg(
+    return spans.groupBy("doc_id", "h").agg(
         F.count(F.lit(1)).alias("c")
     )
+
+
+def span_stats_from_postings(postings: DataFrame) -> DataFrame:
+    """Per-doc stats (doc_id, n_spans, n_dup_spans) from a postings
+    frame: cross-doc occurrence = ``count(*) over (partition by h)``
+    (rows are unique per (doc_id, h)), then one doc rollup taking both
+    counters from the same rows."""
     nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        grp.withColumn("nd", nd)
+        postings.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_spans"),
@@ -888,6 +895,72 @@ def span_stats_frame(docs: DataFrame) -> DataFrame:
             .alias("n_dup_spans"),
         )
     )
+
+
+def span_stats_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc span stats (doc_id, n_spans, n_dup_spans) for an
+    arbitrary documents population — the ONE Spark twin of
+    :func:`dup_span_stats_sql`, shared by the persisted index and the
+    streaming hygiene twin (before/after populations)."""
+    return span_stats_from_postings(span_postings_frame(docs))
+
+
+def span_index_delta(postings: DataFrame, stats: DataFrame,
+                     arriving_docs: DataFrame,
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Incremental maintenance of the span-audit state under a
+    delivery — the 100 TB path, where rebuilding per-doc stats over
+    the full corpus on every crawl delivery is the thing you must
+    never do.  Given the maintained ``postings`` (doc_id, h, c) and
+    derived ``stats`` frames plus an arriving (doc_id, text) batch,
+    returns the updated (postings, stats) pair touching only what the
+    delivery can change:
+
+    - new postings = old ∪ batch postings (disjoint doc_ids — append,
+      no rewrite);
+    - only docs sharing at least one span hash with the batch can
+      change classification (a doc's n_spans never changes; its
+      n_dup_spans depends on per-h cross-doc counts, which moved only
+      for the batch's h set), so AFFECTED old docs are found by one
+      semi-join on h, their stats recomputed from their own postings
+      against the union, and everything else carried forward
+      untouched.
+
+    Exactness is locked by the delta-vs-rebuild property test
+    (``tests/test_llmops.py``): any split of a corpus into base +
+    deliveries, applied sequentially, must equal the from-scratch
+    build on the union."""
+    batch_postings = span_postings_frame(arriving_docs)
+    merged = postings.unionByName(batch_postings)
+    batch_h = batch_postings.select("h").distinct()
+    affected_old = (
+        postings.join(batch_h, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    touched = affected_old.unionByName(
+        batch_postings.select("doc_id")
+    ).distinct()
+    # recompute ONLY touched docs: their postings, with cross-doc
+    # counts taken over the union restricted to those docs' hashes
+    touched_postings = merged.join(touched, "doc_id", "left_semi")
+    touched_h = touched_postings.select("h").distinct()
+    nd_frame = (
+        merged.join(touched_h, "h", "left_semi")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    recomputed = (
+        touched_postings.join(nd_frame, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+            .alias("n_dup_spans"),
+        )
+    )
+    carried = stats.join(touched, "doc_id", "left_anti")
+    return merged, carried.unionByName(recomputed)
 
 
 @query("dd_dup_span_ratio", _DUP_SPAN_ORACLE, survey="X-UD5,J2,A7")
