@@ -1109,6 +1109,79 @@ def dd_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental pair-index maintenance (round 6) --------------------
+
+
+def jaccard_pair_delta(postings: DataFrame, pairs: DataFrame,
+                       arriving_docs: DataFrame,
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Incremental maintenance of the n-gram Jaccard pair index under
+    a delivery — the same 100 TB discipline as
+    :func:`span_index_delta`, for the most expensive maintained
+    artifact: pairwise Jaccard depends ONLY on the two documents' own
+    shingle sets, so existing pairs never change and the delta is
+    exactly the pairs that touch the arriving batch.
+
+    Given the maintained distinct (doc_id, h) ``postings`` and
+    (doc_a, doc_b, shared, jaccard) ``pairs`` frames plus an arriving
+    (doc_id, text) batch (doc_ids disjoint from the corpus), returns
+    the updated (postings, pairs): batch postings append; new pairs =
+    (batch x corpus shared-shingle matches) ∪ (within-batch matches),
+    each scored from the two sides' own set sizes.  Exactness locked
+    by the delta-vs-rebuild property test."""
+    sh_new = doc_shingle_hashes(arriving_docs)
+    merged = postings.unionByName(sh_new)
+
+    cross = (
+        sh_new.alias("n")
+        .join(postings.alias("o"), F.col("n.h") == F.col("o.h"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+    )
+    within = (
+        sh_new.alias("a")
+        .join(
+            sh_new.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    delta = (
+        cross.unionByName(within)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    touched = (
+        delta.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(delta.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    counts = (
+        merged.join(touched, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    scored = (
+        delta.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+    return merged, pairs.unionByName(scored)
+
+
 # --- source/domain hygiene gate (round 6) ---------------------------
 
 # A doc is "duplicative" when MORE THAN HALF its spans are shared with

@@ -300,3 +300,65 @@ def test_span_index_delta_equals_rebuild(spark):
         if r.doc_id in base_stats and r.n_dup_spans != base_stats[r.doc_id]
     ]
     assert flipped, "testdata should contain cross-slice duplicate spans"
+
+
+def test_jaccard_pair_delta_equals_rebuild(spark):
+    """Incremental pair-index maintenance: base + two sequential
+    deliveries through jaccard_pair_delta must equal the from-scratch
+    pair build on the union — pairwise jaccard depends only on the two
+    docs' own shingle sets, so the delta is exactly the pairs touching
+    each delivery."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    d1 = docs.filter(F.col("doc_id") % 3 == 1)
+    d2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    def pairs_of(population):
+        sh = dd.doc_shingle_hashes(population)
+        counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        p = (
+            a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        ca, cb = counts.alias("ca"), counts.alias("cb")
+        return p.join(ca, F.col("doc_a") == F.col("ca.doc_id")).join(
+            cb, F.col("doc_b") == F.col("cb.doc_id")
+        ).select(
+            "doc_a", "doc_b", "shared",
+            (F.col("shared").cast("double")
+             / (F.col("ca.n") + F.col("cb.n") - F.col("shared"))
+             ).alias("jaccard"),
+        )
+
+    postings = dd.doc_shingle_hashes(base)
+    pairs = pairs_of(base)
+    for delivery in (d1, d2):
+        postings, pairs = dd.jaccard_pair_delta(postings, pairs, delivery)
+
+    def norm(df):
+        return {
+            (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+            for r in df.collect()
+        }
+
+    got, want = norm(pairs), norm(pairs_of(docs))
+    assert got == want and len(got) > 0
+    # cross-delivery pairs must exist (a pair with one side in d1 and
+    # the other in d2 — only discoverable by the SECOND delta)
+    d1_ids = {r.doc_id for r in d1.select("doc_id").collect()}
+    d2_ids = {r.doc_id for r in d2.select("doc_id").collect()}
+    assert any(
+        (a in d1_ids and b in d2_ids) or (a in d2_ids and b in d1_ids)
+        for a, b, *_ in got
+    )
