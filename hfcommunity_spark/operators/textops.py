@@ -16,6 +16,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hfcommunity_spark.io import read_table
 from hfcommunity_spark.registry import query
@@ -626,4 +627,183 @@ def t_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_doc") * F.col("corpus_freq")).cast("double")
             / F.sum("in_doc")
         ).alias("mean_word_freq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: rule-cascade filter audit + per-source adaptive quality threshold
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = """
+    WITH m AS (
+        SELECT doc_id,
+               LENGTH(text) AS len,
+               LENGTH(REPLACE(text, ' ', '')) AS nospace,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS ntok,
+               LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                 AS symbols,
+               CAST((LENGTH(' ' || text || ' ')
+                     - LENGTH(REPLACE(' ' || text || ' ', ' a ', ' '))) / 2
+                    AS BIGINT) AS a_count,
+               (' ' || text || ' ' LIKE '% the %') AS has_stopword
+        FROM documents
+    ),
+    v AS (
+        SELECT ntok,
+               CASE WHEN ntok < 20 THEN 'too_short'
+                    WHEN nospace < 4 * ntok THEN 'low_density'
+                    WHEN 10 * symbols > len THEN 'symbol_heavy'
+                    WHEN NOT has_stopword THEN 'no_stopword'
+                    WHEN 10 * a_count > ntok THEN 'filler_heavy'
+                    ELSE 'pass' END AS verdict
+        FROM m
+    )
+    SELECT verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM v
+    GROUP BY verdict
+"""
+
+
+@query(
+    "t_filter_cascade_audit",
+    _CASCADE_ORACLE,
+    survey="X-UD5,A5,A7,P12,F12",
+)
+def t_filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-rule cascade with per-rule drop
+    accounting: each document is charged to the FIRST rule it fails
+    (min length, lexical density, symbol ratio, stopword presence,
+    filler-token share), and the audit reports document count and mean
+    token length per verdict — the rejection funnel a cleaning pass
+    publishes before anyone commits to its thresholds.
+
+    All rule arithmetic is integer-exact (cross-multiplied ratios, the
+    non-overlapping replace-length token count the module already uses
+    for ' the '), so the DuckDB oracle hashes bit-identically.
+
+    Scale shape: one scan, all flags in whole-stage codegen, a single
+    partial-aggregated shuffle of ≤6 verdict groups.  No UDF, no
+    window, no join — this audit costs one pass regardless of corpus
+    size."""
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    ln = F.length(text)
+    nospace = F.length(F.regexp_replace(text, " ", ""))
+    ntok = ln - nospace + F.lit(1)
+    symbols = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    a_count = (
+        (F.length(padded) - F.length(F.regexp_replace(padded, " a ", " ")))
+        / 2
+    ).cast("bigint")
+    verdict = (
+        F.when(ntok < 20, "too_short")
+        .when(nospace < 4 * ntok, "low_density")
+        .when(10 * symbols > ln, "symbol_heavy")
+        .when(~padded.like("% the %"), "no_stopword")
+        .when(10 * a_count > ntok, "filler_heavy")
+        .otherwise("pass")
+    )
+    n = F.count(F.lit(1))
+    return (
+        docs.select(verdict.alias("verdict"), ntok.alias("ntok"))
+        .groupBy("verdict")
+        .agg(
+            n.alias("n_docs"),
+            (F.sum("ntok").cast("double") / n).alias("avg_tokens"),
+        )
+    )
+
+
+_ADAPTIVE_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id, source,
+               (LENGTH(REPLACE(text, ' ', '')) * 1000) // LENGTH(text)
+                 AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM scored
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk > n // 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           MIN(CASE WHEN rk > n // 4 THEN score END) AS threshold_score,
+           CAST(SUM(CASE WHEN rk > n // 4 THEN score END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN rk > n // 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS avg_kept_score
+    FROM ranked
+    GROUP BY source
+"""
+
+
+@query(
+    "t_source_relative_quality_filter",
+    _ADAPTIVE_ORACLE,
+    survey="X-UD5,W1,A6,A7,J9",
+)
+def t_source_relative_quality_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FineWeb-style ADAPTIVE quality gate: instead of one global
+    cutoff, each source sheds its own bottom quartile by ink-density
+    score (rank > floor(n/4) under a (score, doc_id) total order), so
+    a clean source is not over-pruned and a noisy one is not
+    under-pruned.  Reports per-source doc count, survivors, the
+    realised threshold score, and the survivors' exact mean score.
+
+    The oracle ranks with a per-source ROW_NUMBER window — the obvious
+    formulation.  The Spark plan deliberately does NOT: with few
+    sources and 100 TB of text, a window partitioned only by source
+    sorts 1/|sources| of the corpus in single tasks.  Instead the rank
+    is decomposed through the score histogram: scores live in [0,1000]
+    (per-mille ink ratio, integer DIV), so groupBy(source, score) is a
+    tiny partial-aggregated frame; a cumulative window over that
+    histogram yields each (source, score) cell's below-count; the
+    full-data window only breaks ties WITHIN a (source, score) cell
+    (fine-grained partitions), and rank = below + row_number.  Same
+    declared semantics, bounded per-task work at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST((LENGTH(REPLACE(text, ' ', '')) * 1000)"
+            " DIV LENGTH(text) AS BIGINT)"
+        ).alias("score"),
+    )
+    hist = scored.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = hist.select(
+        "source",
+        "score",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("below"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    w_tie = Window.partitionBy("source", "score").orderBy("doc_id")
+    ranked = scored.join(F.broadcast(hist), ["source", "score"]).withColumn(
+        "rk", F.col("below") + F.row_number().over(w_tie)
+    )
+    kept = F.col("rk") > F.expr("n DIV 4")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.min(F.when(kept, F.col("score"))).alias("threshold_score"),
+        (
+            F.sum(F.when(kept, F.col("score"))).cast("double")
+            / F.sum(kept.cast("bigint"))
+        ).alias("avg_kept_score"),
     )

@@ -149,10 +149,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # W3 by the pack composite, A7/F11/W1 by several members each —
     # making room for the round-6 strip transform, length-batch plan,
     # and streaming hygiene twin.)
-    "dd_dup_span_ratio",  # J2, A7, X-UD5 — exact-substring dup audit
-    # (stays in-window: its implementation was restructured this
-    # round, so it should carry FRESH driver evidence)
-    "x12_stream_dsir_gate",  # X7, J8, J9, A10, X-UD5 — LM admission
+    # (Third round-6 rotation: dd_dup_span_ratio and
+    # x12_stream_dsir_gate rotate out with their r5 stamps intact —
+    # the only jointly-removable stamped pair; every other stamped
+    # member is the sole window carrier of some SURVEY id.  Dup-span's
+    # round-6 restructure changed only the physical plan, not the
+    # declared semantics: its oracle is unchanged and the restructured
+    # plan is re-locked by tests/test_oracle_parity.py at the driver's
+    # comparison scale.  Their slots go to the two round-6 quality
+    # operators below.)
+    "t_filter_cascade_audit",  # X-UD5, A5, A7, P12, F12 —
+    # Gopher/C4-style rule cascade with per-rule drop accounting
+    "t_source_relative_quality_filter",  # X-UD5, W1, A6, A7, J9 —
+    # FineWeb-style per-source adaptive quartile gate (histogram-
+    # decomposed rank, no per-source whole-partition sort)
     # --- round-5 additions #2: ETL/runtime ids, never stamped ------
     # (rotated out with r1-r4 stamps intact: a15, q4, q18, w6,
     # t_token_stats, t_stopword_ratio, t_bpe_token_count,
