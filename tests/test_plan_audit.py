@@ -259,3 +259,42 @@ def test_round6_operator_plan_shapes(spark):
     plan = _formatted_plan(spark, "dd_source_hygiene_audit")
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_adaptive_quality_gate_plan_shape(spark):
+    """The per-source adaptive gate's scale claim, pinned to the
+    physical plan: the ONLY full-data window is keyed by BOTH
+    (source, score) — a window partitioned by source alone would sort
+    1/|sources| of the corpus in single tasks — the score histogram
+    reaches the document side through a BroadcastHashJoin (never a
+    shuffled join of the corpus against its own histogram), and no
+    stage collapses to SinglePartition."""
+    plan = _formatted_plan(spark, "t_source_relative_quality_filter")
+    assert "windowspecdefinition(source#" in plan or (
+        "windowspecdefinition(source" in plan
+    )
+    # every window over the document-side columns must carry the score
+    # key; source-only windows are allowed only on the tiny histogram
+    import re
+
+    doc_windows = [
+        w for w in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    ]
+    assert doc_windows, "expected the tie-break row_number window"
+    for spec in doc_windows:
+        assert "score" in spec, f"doc-side window missing score key: {spec}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_filter_cascade_plan_shape(spark):
+    """The rule cascade is ONE scan + one partial-aggregated shuffle:
+    no join, no window, no UDF — the audit's cost is a single pass
+    regardless of corpus size."""
+    plan = _formatted_plan(spark, "t_filter_cascade_audit")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
