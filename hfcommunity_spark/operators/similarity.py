@@ -1256,3 +1256,129 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("embedding"), F.lit(q.tolist())).alias("sim"),
     )
     return _rank_topk(rescored, with_sim=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: MMR diversity re-rank (maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 16  # candidate pool (exact cosine top-16)
+MMR_K = 8      # diversified selection size
+MMR_LAMBDA = 0.7
+
+_MMR_ORACLE = f"""
+    WITH RECURSIVE
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, embedding,
+             list_cosine_similarity(embedding, q_emb) AS rel
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+    ),
+    relranked AS (
+      SELECT vec_id, embedding, rel,
+             ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rel_rank
+      FROM cand
+    ),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+      FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+    ),
+    sel AS (
+      SELECT 1 AS step, [vec_id] AS picked
+      FROM relranked WHERE rel_rank = 1
+      UNION ALL
+      SELECT step + 1,
+             list_append(picked, (
+                 SELECT c.vec_id
+                 FROM relranked c
+                 WHERE NOT list_contains(picked, c.vec_id)
+                 ORDER BY {MMR_LAMBDA} * c.rel
+                          - {1 - MMR_LAMBDA:.1f} * (
+                              SELECT MAX(s.sim) FROM sims s
+                              WHERE s.ia = c.vec_id
+                                AND list_contains(picked, s.ib)) DESC,
+                          c.vec_id
+                 LIMIT 1))
+      FROM sel WHERE step < {MMR_K}
+    )
+    SELECT u.v AS vec_id,
+           CAST(u.i AS INTEGER) AS mmr_rank,
+           CAST(r.rel_rank AS INTEGER) AS rel_rank
+    FROM (SELECT UNNEST(picked) AS v,
+                 generate_subscripts(picked, 1) AS i
+          FROM sel WHERE step = {MMR_K}) u
+    JOIN relranked r ON r.vec_id = u.v
+"""
+
+
+@query(
+    "sim_mmr_diversify_topk",
+    _MMR_ORACLE,
+    survey="X-UD5,O1,UD4",
+)
+def sim_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: greedily select MMR_K of the
+    MMR_POOL most query-similar vectors, each pick maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    diversity-aware selection a retrieval or curation pass uses so the
+    context window (or the training sample) is not MMR_K near-copies
+    of the same document.
+
+    Greedy MMR is inherently sequential, but over a BOUNDED pool: the
+    cluster-scale stage is the exact top-MMR_POOL candidate heap
+    (TakeOrderedAndProject — per-partition heaps, k-row driver merge),
+    and the sequential loop runs executor-side in one Arrow grouped
+    map over those ≤MMR_POOL rows (pool-sized GEMM for the pairwise
+    sims, then the greedy scan).  The DuckDB oracle expresses the same
+    greedy recursion as a recursive CTE carrying the picked set as a
+    list.  Output is rank-only (mmr_rank + the candidate's relevance
+    rank): engine cosine implementations agree to ~1e-12, far below
+    candidate spacing, so ranks hash identically while raw floats
+    would not — the module's sim_bruteforce_topk convention."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = _query_vector(emb, cache_key=sf_dir)
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        _cosine_to_query_udf(q)(F.col("embedding")).alias("rel"),
+    )
+    cand = scored.orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_POOL)
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["rel", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        m = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+        )
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        picked = [0]  # rel_rank 1 seeds the selection
+        while len(picked) < min(MMR_K, len(pdf)):
+            best_key, best_i = None, None
+            for i in range(len(pdf)):
+                if i in picked:
+                    continue
+                pen = max(sims[i, j] for j in picked)
+                key = (-(MMR_LAMBDA * rel[i] - (1 - MMR_LAMBDA) * pen),
+                       ids[i])
+                if best_key is None or key < best_key:
+                    best_key, best_i = key, i
+            picked.append(best_i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[picked],
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "rel_rank": np.asarray(picked, dtype=np.int32) + 1,
+            }
+        )
+
+    return (
+        cand.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(mmr, "vec_id long, mmr_rank int, rel_rank int")
+    )

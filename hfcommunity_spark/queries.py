@@ -110,7 +110,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # making room for the nine never-stamped late round-5 queries
     # below.)
     "w5_funnel_conversion",  # A5, P9, W4
-    "mm_byte_features_full",  # UD2, UD4, X-UD5
+    # (Fourth round-6 rotation: mm_byte_features_full rotates out with
+    # its r5 stamp intact — UD2 stays with ud2_chunk_udtf, UD4 moves
+    # to the new MMR grouped map — making room for the round-6 MMR
+    # diversity re-rank.)
+    "sim_mmr_diversify_topk",  # X-UD5, O1, UD4 — greedy MMR over a
+    # bounded exact-top-k pool, recursive-CTE oracle
     "pipe_curation_end_to_end",  # X-UD5, J2, J5, U3, A9, F1, W4 —
     # round-5 flagship: the four-stage curation pipeline as ONE
     # hash-checked composition (quality -> exact dedup -> near-dup

@@ -298,3 +298,15 @@ def test_filter_cascade_plan_shape(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+
+
+def test_mmr_plan_shape(spark):
+    """MMR's scale contract: candidate selection is the heap top-k
+    (TakeOrderedAndProject), the sequential greedy loop is ONE Arrow
+    grouped map over the bounded pool, and nothing shuffles the full
+    corpus into a single partition before the heap."""
+    plan = _formatted_plan(spark, "sim_mmr_diversify_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FlatMapGroupsInPandas (") == 1  # tree node form
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # rank comes from the grouped map

@@ -84,10 +84,11 @@ def test_north_star_families_inside_window():
     # stamps; skew_salted_agg_parity keeps its r4 stamp after the
     # second round-5 rotation); "x1" pins the stream-static gate slot
     # (x10 in round 4, the x12 DSIR gate since round 6); "pipe_"
-    # pins the curation composites.  ("layout_" rotated out in round 6
-    # with its r5 stamp intact; the no-orphan test above guards every
-    # rotated query's cumulative evidence.)
-    for prefix in ("dd_", "sim_", "t_", "mm_", "ud", "d3", "d5",
+    # pins the curation composites.  ("layout_" and "mm_" rotated out
+    # in round 6 with their r5 stamps intact — UD2/UD4 driver evidence
+    # now rides ud2_chunk_udtf and the MMR grouped map; the no-orphan
+    # test above guards every rotated query's cumulative evidence.)
+    for prefix in ("dd_", "sim_", "t_", "ud", "d3", "d5",
                    "u1", "samp_", "pipe_",
                    "x3", "x4", "x5", "x9", "x1"):
         assert any(n.startswith(prefix) for n in window), prefix
