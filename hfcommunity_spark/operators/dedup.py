@@ -1182,6 +1182,68 @@ def jaccard_pair_delta(postings: DataFrame, pairs: DataFrame,
     return merged, pairs.unionByName(scored)
 
 
+def minhash_band_delta(bands: DataFrame, pairs: DataFrame,
+                       arriving_docs: DataFrame,
+                       hash_mode: str = "xxhash64",
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Incremental maintenance of the MinHash band index and its LSH
+    candidate-pair index under a delivery — completing the maintained
+    family (:func:`span_index_delta`, :func:`jaccard_pair_delta`) with
+    its probabilistic member.
+
+    A document's signature and band hashes depend only on its own
+    shingles, so the band index is embarrassingly incremental (the
+    delivery's rows append; doc_ids disjoint from the corpus), and a
+    pair of OLD documents can never newly share a bucket — the pair
+    delta is exactly the candidates with at least one side in the
+    batch: (batch bands ⋈ merged index on (band, bhash)), scored by
+    signature agreement and deduped like
+    :func:`minhash_lsh_pairs_from_bands`.  Per-delivery work is
+    bounded by the batch's band rows probing the index, never a
+    corpus-wide self-join.
+
+    The maintained index is the EXACT (uncapped) candidate set —
+    delta-vs-rebuild equality is against
+    ``minhash_lsh_pairs_from_bands`` on the uncapped union.  Hot-bucket
+    capping (``MAX_BUCKET``) is the analytic face's build-time policy
+    against quadratic blowup inside one corpus self-join; a maintained
+    deployment applies the same policy on the PROBE side per delivery
+    (cap the batch's bucket fan-out) where it bounds work without
+    un-emitting history."""
+    new_sigs = minhash_signatures(arriving_docs, hash_mode=hash_mode)
+    new_bands = _minhash_bands(new_sigs, hash_mode)
+    merged = bands.unionByName(new_bands)
+    n, m = new_bands.alias("n"), merged.alias("m")
+    new_is_lower = F.col("n.doc_id") < F.col("m.doc_id")
+    cand = (
+        n.join(
+            m,
+            (F.col("n.band") == F.col("m.band"))
+            & (F.col("n.bhash") == F.col("m.bhash"))
+            & (F.col("n.doc_id") != F.col("m.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("m.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("m.doc_id")).alias("doc_b"),
+            F.when(new_is_lower, F.col("n.sig"))
+            .otherwise(F.col("m.sig"))
+            .alias("sig_a"),
+            F.when(new_is_lower, F.col("m.sig"))
+            .otherwise(F.col("n.sig"))
+            .alias("sig_b"),
+        )
+    )
+    matches = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    )
+    delta = cand.select(
+        "doc_a",
+        "doc_b",
+        (matches.cast("double") / MINHASH_K).alias("est_similarity"),
+    ).distinct()
+    return merged, pairs.unionByName(delta)
+
+
 # --- source/domain hygiene gate (round 6) ---------------------------
 
 # A doc is "duplicative" when MORE THAN HALF its spans are shared with

@@ -362,3 +362,44 @@ def test_jaccard_pair_delta_equals_rebuild(spark):
         (a in d1_ids and b in d2_ids) or (a in d2_ids and b in d1_ids)
         for a, b, *_ in got
     )
+
+
+def test_minhash_band_delta_equals_rebuild(spark):
+    """Incremental band/pair-index maintenance: base + two sequential
+    deliveries through minhash_band_delta must equal the from-scratch
+    minhash_lsh_pairs_from_bands on the uncapped union — a doc's bands
+    depend only on its own shingles, so old-old pairs can never newly
+    appear and each delta is exactly the pairs touching the batch."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    d1 = docs.filter(F.col("doc_id") % 3 == 1)
+    d2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    def bands_of(population):
+        return dd._minhash_bands(
+            dd.minhash_signatures(population), "xxhash64"
+        )
+
+    bands = bands_of(base)
+    pairs = dd.minhash_lsh_pairs_from_bands(bands)
+    for delivery in (d1, d2):
+        bands, pairs = dd.minhash_band_delta(bands, pairs, delivery)
+
+    def norm(df):
+        return {
+            (r.doc_a, r.doc_b, round(r.est_similarity, 9))
+            for r in df.collect()
+        }
+
+    got = norm(pairs)
+    want = norm(dd.minhash_lsh_pairs_from_bands(bands_of(docs)))
+    assert got == want and len(got) > 0
+    # the maintained band index itself must equal the rebuilt one
+    assert bands.count() == bands_of(docs).count()

@@ -881,3 +881,88 @@ def test_stream_source_hygiene_micro_batches(spark, tmp_path):
     assert {s: tuple(r) for s, r in twin.items()} == {
         s: tuple(r) for s, r in batch.items()
     }
+
+
+def test_stream_neardup_index_evolution(spark, tmp_path):
+    """X10 + maintained index: accepted docs are ADMITTED into the
+    band/pair index between micro-batches via minhash_band_delta, so a
+    near-copy arriving later is flagged against the EVOLVED index even
+    though the original corpus never saw either doc.  The static-index
+    twin (the previous test) would wave the copy through — this is the
+    difference between probing a snapshot and maintaining the index
+    under ingest."""
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.dedup import (
+        minhash_band_delta,
+        minhash_band_index,
+        minhash_lsh_pairs_from_bands,
+        neardup_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    novel = ("completely novel words never seen in corpus "
+             "alpha beta gamma delta epsilon zeta eta theta")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "docs_in")
+
+    state = {
+        "bands": minhash_band_index(spark, sf, hash_mode="xxhash64"),
+        "pairs": None,
+        "verdicts": [],
+    }
+    state["pairs"] = minhash_lsh_pairs_from_bands(state["bands"])
+
+    def gate_and_admit(batch_df, batch_id):
+        batch_df = batch_df.localCheckpoint()
+        verdicts = neardup_gate(
+            batch_df, state["bands"], hash_mode="xxhash64"
+        ).collect()
+        state["verdicts"].extend(verdicts)
+        clean_ids = [v.doc_id for v in verdicts if v.n_near_dups == 0]
+        admitted = batch_df.filter(F.col("doc_id").isin(clean_ids))
+        state["bands"], state["pairs"] = minhash_band_delta(
+            state["bands"], state["pairs"], admitted
+        )
+        # pin the evolved index so the next batch probes materialized
+        # state, not a growing lineage
+        state["bands"] = state["bands"].localCheckpoint()
+        state["pairs"] = state["pairs"].localCheckpoint()
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(gate_and_admit)
+            .option("checkpointLocation", f"{tmp_path}/ckpt_evo")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(200001, novel)])          # novel → admitted
+    run_batch([(200002, novel)])          # near-copy of an ADMITTED doc
+
+    verdicts = {v.doc_id: v for v in state["verdicts"]}
+    assert verdicts[200001].n_near_dups == 0      # clean on arrival
+    assert verdicts[200002].n_near_dups >= 1      # caught by evolution
+    assert verdicts[200002].max_est_similarity == 1.0
+    # the static twin misses it: the original index never saw 200001
+    static = neardup_gate(
+        spark.createDataFrame([(200002, novel)], schema),
+        minhash_band_index(spark, sf, hash_mode="xxhash64"),
+        hash_mode="xxhash64",
+    ).collect()
+    assert static[0].n_near_dups == 0
+    # and the maintained pair index recorded the admitted duplicate
+    # pair-free state (only 200001 was admitted; 200002 was flagged,
+    # never admitted, so no (200001, 200002) pair exists)
+    touching = state["pairs"].filter(
+        (F.col("doc_a") >= 200000) | (F.col("doc_b") >= 200000)
+    ).count()
+    assert touching == 0
