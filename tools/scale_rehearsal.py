@@ -82,6 +82,14 @@ QUERIES = [
     # stats rebuild is the only fresh work (linear); the after side
     # probes the persisted index.
     ("x13_stream_source_hygiene", "bucketed-postings", 1.0),
+    # round 6: quality operators — the cascade is one scan + one
+    # tiny-group agg; the adaptive gate's rank is decomposed through
+    # the bounded score histogram (window keys are (source, score));
+    # MMR's corpus-scale stage is the top-16 heap, the greedy loop is
+    # constant work over the pool.
+    ("t_filter_cascade_audit", "single-pass-agg", 1.0),
+    ("t_source_relative_quality_filter", "histogram-window", 1.0),
+    ("sim_mmr_diversify_topk", "coarse-prune-rerank", 1.0),
 ]
 
 
