@@ -59,8 +59,9 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--create-schema", action="store_true",
                    help="create the 17-table schema and exit")
     p.add_argument("--feeds", help="directory of {kind}.jsonl feeds")
-    p.add_argument("--base", required=True,
-                   help="snapshot root (and schema location for -c)")
+    p.add_argument("--base", default=None,
+                   help="snapshot root (and schema location for -c); "
+                        "for --query, the directory of parquet tables")
     p.add_argument("--release", default=None,
                    help="release tag for this snapshot run")
     p.add_argument("--prev-release", default=None,
@@ -73,6 +74,12 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--metric", default=None,
                    help="analysis mode: run a published metric by name "
                         "(metrics.ALL_METRICS) over the release")
+    p.add_argument("--query", default=None, metavar="NAME",
+                   help="analysis mode: run a declared registry query "
+                        "by name against --base (a directory of "
+                        "{table}.parquet files)")
+    p.add_argument("--list-queries", action="store_true",
+                   help="print the declared-query registry and exit")
     p.add_argument("--limit", type=int, default=50,
                    help="max rows printed in analysis mode")
     return p
@@ -198,9 +205,39 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict[str, int]:
 
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
+    if args.list_queries:
+        # no Spark session needed: the registry is plain metadata
+        from hfcommunity_spark.queries import all_queries
+
+        for name, spec in sorted(all_queries().items()):
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:42s} {kind:9s} {','.join(spec.survey_ids)}")
+        return 0
     from hfcommunity_spark.session import get_spark
 
     spark = get_spark(app_name="hfcommunity-etl")
+    if args.query:
+        # run one declared query against a directory of parquet
+        # tables — the full 152-query inventory through the same CLI
+        # the ETL uses, no Python required of the user
+        if not args.base:
+            print("error: --base (table directory) is required for "
+                  "--query", file=sys.stderr)
+            return 2
+        from hfcommunity_spark.queries import all_queries
+
+        qs = all_queries()
+        if args.query not in qs:
+            print(f"error: unknown query {args.query!r}; see "
+                  f"--list-queries", file=sys.stderr)
+            return 2
+        qs[args.query].spark(spark, args.base).show(
+            args.limit, truncate=False
+        )
+        return 0
+    if not args.base:
+        print("error: --base is required", file=sys.stderr)
+        return 2
     if args.create_schema:
         from hfcommunity_spark.catalog import create_schema
 

@@ -410,3 +410,76 @@ def merge_commits(commit_parents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parents"))
         .filter(F.col("n_parents") >= 2)
     )
+
+
+def components_delta(assign: DataFrame, new_edges: DataFrame,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """Incremental connected-components maintenance under an edge
+    delivery — the cluster-side completion of the maintained-index
+    family (``dedup.minhash_band_delta`` produces the pair deltas;
+    this folds them into the cluster assignment without re-running CC
+    over the full edge history).
+
+    ``assign`` is the maintained (vertex, component) frame with the
+    module's min-vertex-id labeling invariant; ``new_edges`` is the
+    delivery.  Components only ever MERGE under edge additions, so the
+    delta reduces to components of the QUOTIENT graph: map each
+    arriving endpoint to its current component (unknown vertices are
+    their own), keep the edges whose endpoints disagree — a frame
+    bounded by the delivery, never the history — and run
+    :func:`connected_components` on those component ids.  Because
+    every maintained label IS its component's minimum vertex id, the
+    quotient labels are the merged components' minima, and one
+    broadcast relabel join restores the invariant.
+
+    Scale shape: per-delivery compute is two endpoint-resolution joins
+    (delivery-sized probes of the assignment) plus CC over the
+    delivery-bounded quotient; the relabel pass is a broadcast join
+    touching every assignment row but shuffling none — and since only
+    rows in the (small) relabel map change, a 100 TB deployment's
+    writer rewrites only the merged components' partitions.  Exactness
+    (any base + delivery split equals the from-scratch build) is
+    locked by ``tests/test_graph.py``."""
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    verts = (
+        e.select(F.col("a").alias("vertex"))
+        .unionByName(e.select(F.col("b").alias("vertex")))
+        .distinct()
+    )
+    fresh = verts.join(assign, "vertex", "left_anti").select(
+        "vertex", F.col("vertex").alias("component")
+    )
+    assign_all = assign.unionByName(fresh)
+    ca = assign_all.select(
+        F.col("vertex").alias("a"), F.col("component").alias("comp_a")
+    )
+    cb = assign_all.select(
+        F.col("vertex").alias("b"), F.col("component").alias("comp_b")
+    )
+    quot = (
+        e.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("comp_a") != F.col("comp_b"))
+        .select(F.col("comp_a").alias("src"), F.col("comp_b").alias("dst"))
+    )
+    quot, quot_ids = _eager_checkpoint(quot.distinct())
+    if quot.isEmpty():
+        _free_checkpoint(assign.sparkSession, quot_ids)
+        return assign_all
+    relabel = (
+        connected_components(quot)
+        .filter(F.col("vertex") != F.col("component"))
+        .select(
+            F.col("vertex").alias("component"),
+            F.col("component").alias("merged"),
+        )
+    )
+    return (
+        assign_all.join(F.broadcast(relabel), "component", "left")
+        .select(
+            "vertex",
+            F.coalesce("merged", "component").alias("component"),
+        )
+    )

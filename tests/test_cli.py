@@ -372,3 +372,26 @@ def test_cli_incremental_author_priority_not_downgraded(
     a2 = {r.username: r.source for r in spark.read.parquet(
         f"{base}/author/release=r2").collect()}
     assert a2["fan"] == "hf"  # still hf tier, not 'commit'
+
+
+def test_cli_query_mode_runs_declared_inventory(spark, capsys):
+    """--query exposes the full declared registry through the CLI:
+    running a declared query against a parquet table directory prints
+    its rows; unknown names and a missing --base are rc-2 errors;
+    --list-queries enumerates the registry without needing a base."""
+    assert cli.main(["--query", "t_filter_cascade_audit",
+                     "--base", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "verdict" in out and "n_docs" in out
+
+    assert cli.main(["--query", "no_such_query",
+                     "--base", "/root/testdata/sf0.001"]) == 2
+    assert "unknown query" in capsys.readouterr().err
+
+    assert cli.main(["--query", "t_filter_cascade_audit"]) == 2
+    assert "--base" in capsys.readouterr().err
+
+    assert cli.main(["--list-queries"]) == 0
+    listing = capsys.readouterr().out
+    assert "sim_mmr_diversify_topk" in listing
+    assert "rows-only" in listing  # the k-means ANN is declared as such

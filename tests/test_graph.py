@@ -235,3 +235,42 @@ def test_eager_checkpoint_does_not_capture_lazy_caches(spark):
                 i).rdd().getStorageLevel().isValid()
     finally:
         cached.unpersist()
+
+
+def test_components_delta_equals_rebuild(spark):
+    """Incremental CC maintenance: base + sequential edge deliveries
+    through components_delta must equal the from-scratch labeling on
+    the union — including the hard case where a later delivery's edge
+    MERGES two components that were distinct at every earlier step,
+    and brand-new vertices forming their own components."""
+    from hfcommunity_spark.operators.graph import (
+        components_delta,
+        connected_components,
+    )
+
+    # chains 0-1-2, 10-11-12, 20-21 built in delivery 1; delivery 2
+    # adds 30-31 (new component) and the 2-10 bridge (merges the first
+    # two chains); delivery 3 bridges 21-30 (merges across deliveries)
+    base_edges = [(0, 1), (1, 2), (10, 11), (11, 12), (20, 21)]
+    d1 = [(30, 31), (2, 10)]
+    d2 = [(21, 30), (40, 41)]
+
+    def df_of(pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    assign = connected_components(df_of(base_edges))
+    for delivery in (d1, d2):
+        assign = components_delta(assign, df_of(delivery))
+        assign = assign.localCheckpoint()
+
+    got = {(r.vertex, r.component) for r in assign.collect()}
+    want = {
+        (r.vertex, r.component)
+        for r in connected_components(
+            df_of(base_edges + d1 + d2)
+        ).collect()
+    }
+    assert got == want and len(got) == 12
+    # the merged mega-component keeps the min-id invariant
+    comp_of = dict(got)
+    assert comp_of[12] == 0 and comp_of[31] == 20 and comp_of[40] == 40

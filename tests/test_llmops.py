@@ -403,3 +403,77 @@ def test_minhash_band_delta_equals_rebuild(spark):
     assert got == want and len(got) > 0
     # the maintained band index itself must equal the rebuilt one
     assert bands.count() == bands_of(docs).count()
+
+
+def test_incremental_dedup_pipeline_equals_rebuild(spark):
+    """The full maintained dedup pipeline under deliveries: MinHash
+    band/pair deltas feed components_delta, and after two deliveries
+    the maintained CLUSTER assignment equals the from-scratch build
+    (bands -> thresholded pairs -> CC) on the union — the end-to-end
+    composition a 100 TB deployment runs per crawl drop, with no step
+    ever re-reading history."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+    from hfcommunity_spark.operators.graph import (
+        components_delta,
+        connected_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # replicate a slice of the corpus under offset ids so real
+    # cross-delivery near-dup pairs exist (replicas land in d1/d2)
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    world = docs.unionByName(dups)
+    base = world.filter(F.col("doc_id") % 3 == 0)
+    d1 = world.filter(F.col("doc_id") % 3 == 1)
+    d2 = world.filter(F.col("doc_id") % 3 == 2)
+    T = 0.5
+
+    def clusters_of(pairs):
+        edges = pairs.filter(F.col("est_similarity") >= T).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        return connected_components(edges)
+
+    def bands_of(population):
+        return dd._minhash_bands(
+            dd.minhash_signatures(population), "xxhash64"
+        )
+
+    bands = bands_of(base)
+    pairs = dd.minhash_lsh_pairs_from_bands(bands)
+    assign = clusters_of(pairs)
+    for delivery in (d1, d2):
+        bands, merged_pairs = dd.minhash_band_delta(bands, pairs, delivery)
+        delta_pairs = merged_pairs.exceptAll(pairs)  # this delivery's new pairs
+        assign = components_delta(
+            assign,
+            delta_pairs.filter(F.col("est_similarity") >= T).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+        ).localCheckpoint()
+        pairs = merged_pairs.localCheckpoint()
+
+    got = {(r.vertex, r.component) for r in assign.collect()}
+    want = {
+        (r.vertex, r.component)
+        for r in clusters_of(
+            dd.minhash_lsh_pairs_from_bands(bands_of(world))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # replicas must cluster with their originals (min-id = original)
+    originals = {c for _, c in got if c < 1_000_000}
+    replicas_clustered = {
+        v: c for v, c in got if v >= 1_000_000
+    }
+    assert replicas_clustered and all(
+        c < 1_000_000 for c in replicas_clustered.values()
+    )
+    assert originals >= set(replicas_clustered.values())
