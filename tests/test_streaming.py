@@ -966,3 +966,101 @@ def test_stream_neardup_index_evolution(spark, tmp_path):
         (F.col("doc_a") >= 200000) | (F.col("doc_b") >= 200000)
     ).count()
     assert touching == 0
+
+
+def test_stream_incremental_cluster_maintenance(spark, tmp_path):
+    """The maintained dedup pipeline under REAL micro-batches: each
+    foreachBatch delivery flows band delta -> pair delta ->
+    components_delta, and after two batches the maintained cluster
+    assignment equals the from-scratch build (bands -> thresholded
+    pairs -> CC) over corpus + both batches.  This is the ingestion
+    mode that CLUSTERS arrivals instead of gating them — a crawl drop
+    lands, its near-dup edges fold into the standing assignment, and
+    no step re-reads history."""
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.dedup import (
+        _minhash_bands,
+        minhash_band_delta,
+        minhash_band_index,
+        minhash_lsh_pairs_from_bands,
+        minhash_signatures,
+    )
+    from hfcommunity_spark.operators.graph import (
+        components_delta,
+        connected_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copy_text = corpus.orderBy("doc_id").limit(1).collect()[0].text
+    novel = ("entirely fresh ingest words quark meson boson lepton "
+             "hadron gluon photon neutrino")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "docs_in")
+    T_SIM = 0.5
+
+    def edges_of(pairs):
+        return pairs.filter(F.col("est_similarity") >= T_SIM).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+
+    state = {"bands": minhash_band_index(spark, sf, hash_mode="xxhash64")}
+    state["pairs"] = minhash_lsh_pairs_from_bands(state["bands"])
+    state["assign"] = connected_components(edges_of(state["pairs"]))
+
+    def ingest(batch_df, batch_id):
+        batch_df = batch_df.localCheckpoint()
+        bands, merged = minhash_band_delta(
+            state["bands"], state["pairs"], batch_df
+        )
+        delta = merged.exceptAll(state["pairs"])
+        state["assign"] = components_delta(
+            state["assign"], edges_of(delta)
+        ).localCheckpoint()
+        state["bands"] = bands.localCheckpoint()
+        state["pairs"] = merged.localCheckpoint()
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{tmp_path}/ckpt_cluster")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(300001, novel)])
+    run_batch([(300002, copy_text), (300003, novel)])
+
+    got = {(r.vertex, r.component) for r in state["assign"].collect()}
+    world = corpus.unionByName(
+        spark.createDataFrame(
+            [(300001, novel), (300002, copy_text), (300003, novel)], schema
+        )
+    )
+    want = {
+        (r.vertex, r.component)
+        for r in connected_components(
+            edges_of(
+                minhash_lsh_pairs_from_bands(
+                    _minhash_bands(minhash_signatures(world), "xxhash64")
+                )
+            )
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    comp_of = dict(got)
+    # the copy clusters with its corpus original; the two novel docs
+    # cluster with each other under the min-id label
+    assert comp_of[300002] < 300000
+    assert comp_of[300003] == 300001
