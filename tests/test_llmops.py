@@ -477,3 +477,47 @@ def test_incremental_dedup_pipeline_equals_rebuild(spark):
         c < 1_000_000 for c in replicas_clustered.values()
     )
     assert originals >= set(replicas_clustered.values())
+
+
+def test_maintained_index_deltas_tolerate_empty_deliveries(spark):
+    """An empty crawl drop is a no-op for every maintained index: the
+    band/pair delta, and the cluster delta under an empty edge set,
+    must return frames equal to their inputs (and not error on the
+    empty-side joins/aggregations)."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+    from hfcommunity_spark.operators.graph import (
+        components_delta,
+        connected_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    empty_docs = docs.filter(F.lit(False))
+    bands = dd._minhash_bands(dd.minhash_signatures(docs), "xxhash64")
+    pairs = dd.minhash_lsh_pairs_from_bands(bands)
+    b2, p2 = dd.minhash_band_delta(bands, pairs, empty_docs)
+    assert b2.count() == bands.count()
+    assert p2.count() == pairs.count()
+
+    edges = pairs.filter(F.col("est_similarity") >= 0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    assign = connected_components(edges)
+    empty_edges = edges.filter(F.lit(False))
+    a2 = components_delta(assign, empty_edges)
+    got = {(r.vertex, r.component) for r in a2.collect()}
+    want = {(r.vertex, r.component) for r in assign.collect()}
+    assert got == want
+
+    # an edge delivery that merges nothing (both endpoints already in
+    # one component) is also a no-op
+    one = pairs.filter(F.col("est_similarity") >= 0.5).limit(1)
+    same_comp_edges = one.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    a3 = components_delta(a2, same_comp_edges)
+    assert {(r.vertex, r.component) for r in a3.collect()} == want
