@@ -723,6 +723,7 @@ _ADAPTIVE_ORACLE = """
                (LENGTH(REPLACE(text, ' ', '')) * 1000) // LENGTH(text)
                  AS score
         FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
     ),
     ranked AS (
         SELECT source, score,
@@ -769,8 +770,17 @@ def t_source_relative_quality_filter(
     histogram yields each (source, score) cell's below-count; the
     full-data window only breaks ties WITHIN a (source, score) cell
     (fine-grained partitions), and rank = below + row_number.  Same
-    declared semantics, bounded per-task work at any corpus size."""
-    docs = read_table(spark, sf_dir, "documents")
+    declared semantics, bounded per-task work at any corpus size.
+
+    NULL guard, explicit on BOTH sides: a NULL text has no score and a
+    NULL source has no population to rank within — and the engines
+    disagree by default (Spark's equi-join drops NULL keys where the
+    oracle's window would rank them), so the gate excludes them up
+    front; a production pipeline routes NULL-source docs to a
+    quarantine source before ranking."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
     scored = docs.select(
         "doc_id",
         "source",

@@ -32,12 +32,16 @@ from tests.oracle_utils import assert_frames_match
 # and a symbol-only token (symbol_heavy).
 VOCAB = ["a", "the", "ab", "abcde", "abcdefghij", "!!", "x9"]
 
-doc_strategy = st.lists(
-    st.sampled_from(VOCAB), min_size=1, max_size=30
-).map(" ".join)
+doc_strategy = st.one_of(
+    st.none(),  # NULL text: both engines must agree on its handling
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=30).map(" ".join),
+)
 
 corpus_strategy = st.lists(
-    st.tuples(doc_strategy, st.sampled_from(["s0", "s1", "s2"])),
+    st.tuples(
+        doc_strategy,
+        st.sampled_from(["s0", "s1", "s2", None]),  # NULL source too
+    ),
     min_size=1,
     max_size=40,
 )
@@ -50,13 +54,15 @@ def _write_case(spark, tmp_root, rows):
             "text": [t for t, _ in rows],
             "lang": ["en"] * len(rows),
             "source": [s for _, s in rows],
-            "n_chars": [len(t) for t, _ in rows],
+            "n_chars": [len(t) if t is not None else None for t, _ in rows],
         }
     )
     case_dir = tmp_root / f"case_{abs(hash(tuple(map(tuple, rows)))) % 10**12}"
-    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
-        f"{case_dir}/documents.parquet"
-    )
+    spark.createDataFrame(
+        pdf,
+        schema="doc_id long, text string, lang string, "
+               "source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{case_dir}/documents.parquet")
     return case_dir
 
 
