@@ -133,27 +133,15 @@ def _write_feeds(d: str, n_repos: int, seed: int = 11) -> None:
         f.close()
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--repos", type=int, default=20_000)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ETL_BENCH.json"))
-    args = ap.parse_args()
+def _one_scale(spark, work: str, n_repos: int) -> dict:
+    from hfcommunity_spark import cli
 
-    work = tempfile.mkdtemp(prefix="etl_bench_")
-    feeds = os.path.join(work, "feeds")
-    base = os.path.join(work, "snap")
+    feeds = os.path.join(work, f"feeds_{n_repos}")
+    base = os.path.join(work, f"snap_{n_repos}")
     os.makedirs(feeds)
     t0 = time.monotonic()
-    _write_feeds(feeds, args.repos)
+    _write_feeds(feeds, n_repos)
     gen_s = time.monotonic() - t0
-
-    from hfcommunity_spark import cli
-    from hfcommunity_spark.session import get_spark
-
-    spark = get_spark(app_name="hfcommunity-etl-bench")
-    spark.sparkContext.setLogLevel("ERROR")
     ns = cli._parser().parse_args(
         ["--feeds", feeds, "--base", base, "--release", "bench"]
     )
@@ -161,14 +149,47 @@ def main() -> None:
     counts = cli.run(spark, ns)
     load_s = time.monotonic() - t1
     rows = sum(counts.values())
-    rps = rows / load_s
-    payload = {
-        "repos": args.repos,
+    return {
+        "repos": n_repos,
         "rows_total": rows,
         "feed_gen_seconds": round(gen_s, 1),
         "load_seconds": round(load_s, 1),
-        "rows_per_sec": round(rps, 1),
+        "rows_per_sec": round(rows / load_s, 1),
         "per_table": counts,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repos", type=int, default=20_000)
+    ap.add_argument("--series", action="store_true",
+                    help="weak-scaling sweep: repos/10, repos, repos*3 "
+                         "— shows the fixed per-run overhead amortize "
+                         "(throughput must NOT degrade with size)")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ETL_BENCH.json"))
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="etl_bench_")
+    from hfcommunity_spark.session import get_spark
+
+    spark = get_spark(app_name="hfcommunity-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    scales = ([args.repos // 10, args.repos, args.repos * 3]
+              if args.series else [args.repos])
+    runs = [_one_scale(spark, work, n) for n in scales]
+    head = runs[-1]  # largest scale carries the headline numbers
+    rps = head["rows_per_sec"]
+    payload = {
+        **{k: head[k] for k in ("repos", "rows_total",
+                                "feed_gen_seconds", "load_seconds",
+                                "rows_per_sec", "per_table")},
+        "series": [
+            {k: r[k] for k in ("repos", "rows_total", "load_seconds",
+                               "rows_per_sec")}
+            for r in runs
+        ],
         "reference": {
             "rows_total": REF_ROWS_TOTAL,
             "wall_hours": REF_HOURS,
@@ -184,10 +205,9 @@ def main() -> None:
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    print(json.dumps({k: payload[k] for k in
-                      ("repos", "rows_total", "load_seconds",
-                       "rows_per_sec",
-                       "extrapolated_hours_at_ref_cardinality")}))
+    print(json.dumps({"series": payload["series"],
+                      "extrapolated_hours_at_ref_cardinality":
+                          payload["extrapolated_hours_at_ref_cardinality"]}))
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
 
