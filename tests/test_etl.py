@@ -238,3 +238,36 @@ def test_schema_registry_and_fk_audit(spark):
     tables["model"] = spark.createDataFrame([("models/ghost/x",)], ["model_id"])
     fk = next(f for f in FOREIGN_KEYS if f.table == "model")
     assert fk_violations(tables, fk).count() == 1
+
+
+def test_etl_bench_feeds_are_schema_compatible(spark, tmp_path):
+    """The throughput harness's synthetic feeds must stay loadable by
+    the real pipeline — schema drift in tools/etl_bench.py would
+    silently turn the 54-hour comparison into a crash or a zero-row
+    lie.  A 60-repo feed must parse with the production feed schemas,
+    produce all 17 tables, and pass the RI audit."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from etl_bench import _write_feeds
+
+    from hfcommunity_spark.etl import pipeline
+    from hfcommunity_spark.schema import FOREIGN_KEYS, SCHEMAS, fk_violations
+    from hfcommunity_spark.sources import hub_feeds
+
+    d = str(tmp_path / "feeds")
+    import os
+
+    os.makedirs(d)
+    _write_feeds(d, 60)
+    feeds = hub_feeds.read_all_feeds(spark, d)
+    tables = pipeline.run_offline(
+        spark, feeds["models"], feeds["datasets"], feeds["spaces"],
+        feeds["commits"], feeds["discussions"],
+    )
+    assert set(tables) == set(SCHEMAS)
+    assert tables["repository"].count() == 60
+    assert tables["commits"].count() > 0
+    assert tables["repo_file"].count() > 0
+    for fk in FOREIGN_KEYS:
+        assert fk_violations(tables, fk).count() == 0, fk
