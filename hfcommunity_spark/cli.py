@@ -213,13 +213,9 @@ def main(argv: list[str] | None = None) -> int:
             kind = "oracle" if spec.oracle else "rows-only"
             print(f"{name:42s} {kind:9s} {','.join(spec.survey_ids)}")
         return 0
-    from hfcommunity_spark.session import get_spark
-
-    spark = get_spark(app_name="hfcommunity-etl")
     if args.query:
-        # run one declared query against a directory of parquet
-        # tables — the full 152-query inventory through the same CLI
-        # the ETL uses, no Python required of the user
+        # validate BEFORE paying JVM/session startup: both checks are
+        # plain metadata, like the --list-queries branch above
         if not args.base:
             print("error: --base (table directory) is required for "
                   "--query", file=sys.stderr)
@@ -231,13 +227,20 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: unknown query {args.query!r}; see "
                   f"--list-queries", file=sys.stderr)
             return 2
+    if not args.base:
+        print("error: --base is required", file=sys.stderr)
+        return 2
+    from hfcommunity_spark.session import get_spark
+
+    spark = get_spark(app_name="hfcommunity-etl")
+    if args.query:
+        # run one declared query against a directory of parquet
+        # tables — the full declared inventory through the same CLI
+        # the ETL uses, no Python required of the user
         qs[args.query].spark(spark, args.base).show(
             args.limit, truncate=False
         )
         return 0
-    if not args.base:
-        print("error: --base is required", file=sys.stderr)
-        return 2
     if args.create_schema:
         from hfcommunity_spark.catalog import create_schema
 

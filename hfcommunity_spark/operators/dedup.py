@@ -16,7 +16,7 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
@@ -397,6 +397,20 @@ def _minhash_bands(with_sh: DataFrame, hash_mode: str) -> DataFrame:
     ).select("doc_id", "sig", "bh.band", "bh.bhash")
 
 
+def est_sig_similarity(a: str, b: str) -> Column:
+    """Estimated signature similarity: fraction of agreeing minhash
+    slots between two signature columns.  The SINGLE definition every
+    band consumer scores with — the pair query, the admission gate,
+    and the incremental delta — because the delta-vs-rebuild equality
+    contract depends on their scoring staying bit-identical."""
+    return (
+        F.expr(
+            f"size(filter(zip_with({a}, {b}, (x, y) -> x = y), v -> v))"
+        ).cast("double")
+        / MINHASH_K
+    )
+
+
 def minhash_lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
     """MinHash + LSH near-dup pairs from a (capped) band frame: docs
     sharing a band hash become candidates and are verified with the
@@ -417,9 +431,6 @@ def minhash_lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
             F.col("b.sig").alias("sig_b"),
         )
     )
-    matches = F.expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-    )
     # project the scalar similarity BEFORE the pair dedup: distinct then
     # hashes 3 scalar columns instead of two 16-long signature arrays
     # (est_similarity is a pure function of the pair, so the result set
@@ -427,7 +438,7 @@ def minhash_lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
     return cand.select(
         "doc_a",
         "doc_b",
-        (matches.cast("double") / MINHASH_K).alias("est_similarity"),
+        est_sig_similarity("sig_a", "sig_b").alias("est_similarity"),
     ).distinct()
 
 
@@ -454,16 +465,13 @@ def neardup_gate(incoming: DataFrame, band_index: DataFrame,
         "band",
         "bhash",
     )
-    matches = F.expr(
-        "size(filter(zip_with(sig, c_sig, (x, y) -> x = y), v -> v))"
-    )
     per_pair = (
         inc_bands.join(idx, ["band", "bhash"])
         .filter(F.col("doc_id") != F.col("c_doc"))
         .select(
             "doc_id",
             "c_doc",
-            (matches.cast("double") / MINHASH_K).alias("est"),
+            est_sig_similarity("sig", "c_sig").alias("est"),
         )
         .distinct()
     )
@@ -1233,13 +1241,10 @@ def minhash_band_delta(bands: DataFrame, pairs: DataFrame,
             .alias("sig_b"),
         )
     )
-    matches = F.expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-    )
     delta = cand.select(
         "doc_a",
         "doc_b",
-        (matches.cast("double") / MINHASH_K).alias("est_similarity"),
+        est_sig_similarity("sig_a", "sig_b").alias("est_similarity"),
     ).distinct()
     return merged, pairs.unionByName(delta)
 

@@ -568,8 +568,8 @@ def samp_length_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = b.withColumn(
         "batch_id",
-        F.expr(f"int((row_number() OVER (PARTITION BY bucket "
-               f"ORDER BY n_tokens DESC, doc_id ASC) - 1) DIV {BATCH_DOCS})"),
+        ((F.row_number().over(w) - F.lit(1)) / BATCH_DOCS)
+        .cast("int"),
     )
     padded = F.col("n_docs") * F.col("max_tokens")
     return (

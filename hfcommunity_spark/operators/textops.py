@@ -650,7 +650,8 @@ _CASCADE_ORACLE = """
     ),
     v AS (
         SELECT ntok,
-               CASE WHEN ntok < 20 THEN 'too_short'
+               CASE WHEN len IS NULL OR len = 0 THEN 'no_text'
+                    WHEN ntok < 20 THEN 'too_short'
                     WHEN nospace < 4 * ntok THEN 'low_density'
                     WHEN 10 * symbols > len THEN 'symbol_heavy'
                     WHEN NOT has_stopword THEN 'no_stopword'
@@ -674,10 +675,13 @@ _CASCADE_ORACLE = """
 def t_filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality-rule cascade with per-rule drop
     accounting: each document is charged to the FIRST rule it fails
-    (min length, lexical density, symbol ratio, stopword presence,
-    filler-token share), and the audit reports document count and mean
-    token length per verdict — the rejection funnel a cleaning pass
-    publishes before anyone commits to its thresholds.
+    (no text at all, min length, lexical density, symbol ratio,
+    stopword presence, filler-token share), and the audit reports
+    document count and mean token length per verdict — the rejection
+    funnel a cleaning pass publishes before anyone commits to its
+    thresholds.  NULL and empty texts land in an explicit 'no_text'
+    verdict rather than falling through every NULL-valued rule into
+    'pass' (both engines' CASE semantics would do exactly that).
 
     All rule arithmetic is integer-exact (cross-multiplied ratios, the
     non-overlapping replace-length token count the module already uses
@@ -699,7 +703,8 @@ def t_filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 2
     ).cast("bigint")
     verdict = (
-        F.when(ntok < 20, "too_short")
+        F.when(text.isNull() | (ln == 0), "no_text")
+        .when(ntok < 20, "too_short")
         .when(nospace < 4 * ntok, "low_density")
         .when(10 * symbols > ln, "symbol_heavy")
         .when(~padded.like("% the %"), "no_stopword")
@@ -724,6 +729,7 @@ _ADAPTIVE_ORACLE = """
                  AS score
         FROM documents
         WHERE text IS NOT NULL AND source IS NOT NULL
+          AND LENGTH(text) > 0
     ),
     ranked AS (
         SELECT source, score,
@@ -772,14 +778,17 @@ def t_source_relative_quality_filter(
     (fine-grained partitions), and rank = below + row_number.  Same
     declared semantics, bounded per-task work at any corpus size.
 
-    NULL guard, explicit on BOTH sides: a NULL text has no score and a
-    NULL source has no population to rank within — and the engines
-    disagree by default (Spark's equi-join drops NULL keys where the
-    oracle's window would rank them), so the gate excludes them up
-    front; a production pipeline routes NULL-source docs to a
-    quarantine source before ranking."""
+    NULL/empty guard, explicit on BOTH sides: a NULL or empty text has
+    no score (LENGTH 0 makes the integer DIV undefined) and a NULL
+    source has no population to rank within — and the engines disagree
+    by default (Spark's equi-join drops NULL keys and orders NULLS
+    FIRST where the oracle's window keeps and orders them LAST), so
+    the gate excludes all three up front; a production pipeline routes
+    them to a quarantine source before ranking."""
     docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & F.col("source").isNotNull()
+        F.col("text").isNotNull()
+        & F.col("source").isNotNull()
+        & (F.length("text") > 0)
     )
     scored = docs.select(
         "doc_id",

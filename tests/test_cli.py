@@ -289,6 +289,9 @@ def test_cli_metric_mode_matches_library_for_all_published(
         fn(tables).show(100, truncate=False)  # same rendering path
         via_lib = capsys.readouterr().out
         assert via_lib.strip() and via_lib.strip() in via_cli, name
+
+
+def test_cli_skiplist_prunes_children_too(spark, tmp_path):
     """--skiplist must exclude the repo's commits/discussions as well
     as its feed row — no orphan child rows (round-5 review #2)."""
     d = tmp_path / "feeds_skip"

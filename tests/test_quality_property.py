@@ -33,7 +33,8 @@ from tests.oracle_utils import assert_frames_match
 VOCAB = ["a", "the", "ab", "abcde", "abcdefghij", "!!", "x9"]
 
 doc_strategy = st.one_of(
-    st.none(),  # NULL text: both engines must agree on its handling
+    st.none(),      # NULL text: both engines must agree on its handling
+    st.just(""),    # empty text: LENGTH 0, the other degenerate case
     st.lists(st.sampled_from(VOCAB), min_size=1, max_size=30).map(" ".join),
 )
 
