@@ -1551,3 +1551,60 @@ def dd_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tp").cast("double") / F.col("n_candidates"), 4),
         ).alias("precision_rounded"),
     )
+
+
+# --- bucketed span-postings layout (round 6) ------------------------
+
+SPAN_H_BUCKETS = 64
+
+
+def write_span_postings(postings: DataFrame, out_dir: str,
+                        buckets: int = SPAN_H_BUCKETS) -> str:
+    """Materialize the maintained span-postings state in the layout a
+    deployment actually probes: parquet partitioned by
+    ``h_bucket = pmod(h, buckets)``.  The delta path's first pass —
+    "which corpus docs share a span hash with the delivery?" — then
+    reads ONLY the partitions whose buckets the batch's hashes land
+    in (Catalyst partition pruning, asserted in
+    ``tests/test_llmops.py``), instead of scanning the full postings
+    table the in-memory harness scans (DELTA_BENCH.json's note)."""
+    (
+        postings.withColumn(
+            "h_bucket", F.pmod(F.col("h"), F.lit(buckets)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("h_bucket")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def affected_docs_pruned(spark: SparkSession, postings_dir: str,
+                         batch_postings: DataFrame,
+                         buckets: int = SPAN_H_BUCKETS) -> DataFrame:
+    """Pass 1 of the span delta against the bucketed layout: resolve
+    the delivery's h-buckets (≤``buckets`` values, driver-bounded by
+    construction), read only those partitions, and semi-join on h.
+    Returns the distinct affected corpus doc_ids.  The bucket IN-list
+    reaches the scan as a PartitionFilter, so probe IO is
+    |touched buckets|/|buckets| of the table regardless of corpus
+    size — the partition-pruning seam the in-memory delta cannot
+    express."""
+    hit = sorted(
+        r.b
+        for r in batch_postings.select(
+            F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
+        ).distinct().collect()
+    )
+    pruned = spark.read.parquet(postings_dir).filter(
+        F.col("h_bucket").isin(hit)
+    )
+    return (
+        pruned.join(
+            F.broadcast(batch_postings.select("h").distinct()),
+            "h",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
