@@ -1590,9 +1590,14 @@ def affected_docs_pruned(spark: SparkSession, postings_dir: str,
     |touched buckets|/|buckets| of the table regardless of corpus
     size — the partition-pruning seam the in-memory delta cannot
     express."""
+    # materialize the batch's distinct hashes ONCE: the bucket-list
+    # collect and the semi-join below both consume this frame, and an
+    # unmaterialized plan would re-run the delivery's explode+agg for
+    # each (review finding)
+    hs = batch_postings.select("h").distinct().localCheckpoint()
     hit = sorted(
         r.b
-        for r in batch_postings.select(
+        for r in hs.select(
             F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
         ).distinct().collect()
     )
@@ -1600,11 +1605,7 @@ def affected_docs_pruned(spark: SparkSession, postings_dir: str,
         F.col("h_bucket").isin(hit)
     )
     return (
-        pruned.join(
-            F.broadcast(batch_postings.select("h").distinct()),
-            "h",
-            "left_semi",
-        )
+        pruned.join(F.broadcast(hs), "h", "left_semi")
         .select("doc_id")
         .distinct()
     )

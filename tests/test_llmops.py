@@ -561,14 +561,31 @@ def test_bucketed_span_postings_probe_is_partition_pruned(spark, tmp_path):
     w = {r.doc_id for r in want.collect()}
     assert g == w and len(g) > 0
 
+    import os
+    import re
+
+    # physics: the bucket IN-list must reach the scan AS a partition
+    # filter — a bare "PartitionFilters" substring appears even for an
+    # unpruned scan (printed as "PartitionFilters: []"), so match a
+    # NON-EMPTY filter list naming h_bucket (review finding)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "h_bucket" in plan
-    # with 3 docs' hashes the batch cannot cover all 64 buckets unless
-    # it has >= 64 distinct spans per bucket on average — count the
-    # buckets actually hit and assert pruning engaged
-    hit = batch_postings.select(
-        F.pmod(F.col("h"), F.lit(dd.SPAN_H_BUCKETS)).cast("int")
-    ).distinct().count()
-    n_parts = len([p for p in __import__("os").listdir(out)
+    assert re.search(r"PartitionFilters: \[[^\]]*h_bucket", plan), plan
+    # and pruning must actually drop partitions: the delivery's hashes
+    # hit a strict subset of the written buckets, and the pruned read
+    # sees only those
+    hit = {
+        r.b for r in batch_postings.select(
+            F.pmod(F.col("h"), F.lit(dd.SPAN_H_BUCKETS)).cast("int")
+            .alias("b")
+        ).distinct().collect()
+    }
+    n_parts = len([p for p in os.listdir(out)
                    if p.startswith("h_bucket=")])
-    assert hit <= n_parts <= dd.SPAN_H_BUCKETS
+    assert len(hit) < n_parts, (len(hit), n_parts)
+    read_buckets = {
+        r.h_bucket
+        for r in spark.read.parquet(out)
+        .filter(F.col("h_bucket").isin(sorted(hit)))
+        .select("h_bucket").distinct().collect()
+    }
+    assert read_buckets <= hit

@@ -105,9 +105,18 @@ def main() -> None:
                 for df in dd.span_index_delta(postings, stats, delivery)
             ]),
         }
-        merged_pairs = dd.minhash_band_delta(bands, pairs, delivery)[1]
+        # both CC arms start from MATERIALIZED pair frames — timing the
+        # lazy merged plan would charge the band-delta recomputation to
+        # the rebuild arm (review finding); and the delta rows are by
+        # construction exactly the pairs touching the delivery, so a
+        # doc_id filter recovers them without a corpus-scale exceptAll
+        merged_pairs = dd.minhash_band_delta(
+            bands, pairs, delivery
+        )[1].localCheckpoint()
         delta_edges = edges_of(
-            merged_pairs.exceptAll(pairs)
+            merged_pairs.filter(
+                F.col("doc_a").isin(ids) | F.col("doc_b").isin(ids)
+            )
         ).localCheckpoint()
         scale["clusters"] = {
             "rebuild_s": timed(lambda: connected_components(
