@@ -100,9 +100,13 @@ def git_log_rows(repo_dir: str) -> list[dict]:
     """S7: one repo's commit history with per-file numstat — the
     PyDriller traverse_commits (:389-427) without the per-commit
     subprocess storm (single ``git log`` pass)."""
+    # core.quotepath=off: without it git C-quotes non-ASCII paths
+    # ("file\303\244.txt", quotes included), which would corrupt the
+    # surrogate keys and silently miss the repo_file FK probe
+    # (round-6 review finding)
     out = subprocess.run(
-        ["git", "-C", repo_dir, "log", f"--pretty=format:{_FMT}",
-         "--numstat", "--no-renames"],
+        ["git", "-C", repo_dir, "-c", "core.quotepath=off", "log",
+         f"--pretty=format:{_FMT}", "--numstat", "--no-renames"],
         capture_output=True, check=True,
     ).stdout.decode("utf-8", errors="replace")
 
@@ -112,7 +116,11 @@ def git_log_rows(repo_dir: str) -> list[dict]:
     # \x1e record separator itself (it's a unicode line boundary).
     for line in out.split("\n"):
         if _SEP in line:
-            sha, parents, an, ae, ad, cd, msg = line.split(_SEP)
+            # maxsplit: a raw 0x1e byte IN a commit subject passes
+            # through %s verbatim, so the message (last field) must
+            # absorb any extras instead of crashing the unpack
+            # (round-6 review finding)
+            sha, parents, an, ae, ad, cd, msg = line.split(_SEP, 6)
             cur = {
                 "sha": sha,
                 "parents": parents.split() if parents else [],

@@ -66,9 +66,9 @@ def _flatten_sibling(s: object) -> dict:
     and lfs may be an object or a dict depending on hub version."""
     lfs = _field(s, "lfs")
     return {
-        "filename": getattr(s, "rfilename", None),
-        "size": getattr(s, "size", None),
-        "blob_id": getattr(s, "blob_id", None),
+        "filename": _field(s, "rfilename"),
+        "size": _field(s, "size"),
+        "blob_id": _field(s, "blob_id"),
         "lfs": None
         if lfs is None
         else {
@@ -82,18 +82,18 @@ def _flatten_sibling(s: object) -> dict:
 def _flatten_repo_common(info: object) -> dict:
     """The _REPO_COMMON_FIELDS slice every repo subtype shares
     (reference reads at :604-641, :693-717, :773-806)."""
-    siblings = getattr(info, "siblings", None)
+    siblings = _field(info, "siblings")
     return {
-        "name": getattr(info, "id", None),
-        "author": getattr(info, "author", None),
-        "sha": getattr(info, "sha", None),
-        "last_modified": getattr(info, "last_modified", None),
-        "private": getattr(info, "private", None),
-        "card_data": _opt_str(getattr(info, "card_data", None)),
-        "gated": _opt_str(getattr(info, "gated", None)),
-        "likes": getattr(info, "likes", None),
-        "disabled": getattr(info, "disabled", None),
-        "tags": list(getattr(info, "tags", None) or []) or None,
+        "name": _field(info, "id"),
+        "author": _field(info, "author"),
+        "sha": _field(info, "sha"),
+        "last_modified": _field(info, "last_modified"),
+        "private": _field(info, "private"),
+        "card_data": _opt_str(_field(info, "card_data")),
+        "gated": _opt_str(_field(info, "gated")),
+        "likes": _field(info, "likes"),
+        "disabled": _field(info, "disabled"),
+        "tags": list(_field(info, "tags") or []) or None,
         "siblings": None
         if siblings is None
         else [_flatten_sibling(s) for s in siblings],
@@ -103,43 +103,43 @@ def _flatten_repo_common(info: object) -> dict:
 def flatten_model(info: object) -> dict:
     row = _flatten_repo_common(info)
     row.update(
-        pipeline_tag=getattr(info, "pipeline_tag", None),
-        downloads=getattr(info, "downloads", None),
-        library_name=getattr(info, "library_name", None),
-        config=_opt_str(getattr(info, "config", None)),
+        pipeline_tag=_field(info, "pipeline_tag"),
+        downloads=_field(info, "downloads"),
+        library_name=_field(info, "library_name"),
+        config=_opt_str(_field(info, "config")),
     )
     return row
 
 
 def flatten_dataset(info: object) -> dict:
-    card = getattr(info, "card_data", None)
+    card = _field(info, "card_data")
     row = _flatten_repo_common(info)
     row.update(
-        description=getattr(info, "description", None),
-        citation=getattr(info, "citation", None),
+        description=_field(info, "description"),
+        citation=_field(info, "citation"),
         paperswithcode_id=None
         if card is None
-        else getattr(card, "paperswithcode_id", None),
-        downloads=getattr(info, "downloads", None),
+        else _field(card, "paperswithcode_id"),
+        downloads=_field(info, "downloads"),
     )
     return row
 
 
 def flatten_space(info: object) -> dict:
-    runtime = getattr(info, "runtime", None)
+    runtime = _field(info, "runtime")
     row = _flatten_repo_common(info)
     row.update(
-        sdk=getattr(info, "sdk", None),
-        stage=None if runtime is None else getattr(runtime, "stage", None),
-        hardware=None if runtime is None else getattr(runtime, "hardware", None),
+        sdk=_field(info, "sdk"),
+        stage=None if runtime is None else _field(runtime, "stage"),
+        hardware=None if runtime is None else _field(runtime, "hardware"),
         requested_hw=None
         if runtime is None
-        else getattr(runtime, "requested_hardware", None),
-        sleep_time=None if runtime is None else getattr(runtime, "sleep_time", None),
-        storage=None if runtime is None else getattr(runtime, "storage", None),
+        else _field(runtime, "requested_hardware"),
+        sleep_time=None if runtime is None else _field(runtime, "sleep_time"),
+        storage=None if runtime is None else _field(runtime, "storage"),
         runtime_raw=_opt_str(runtime),
-        models=list(getattr(info, "models", None) or []) or None,
-        datasets=list(getattr(info, "datasets", None) or []) or None,
+        models=list(_field(info, "models") or []) or None,
+        datasets=list(_field(info, "datasets") or []) or None,
     )
     return row
 
@@ -188,7 +188,7 @@ def make_repo_info_fetcher(repo_type: str, api: object | None = None,
             return []
         return [
             dict(_flatten_sibling(s), repo_name=str(repo_name))
-            for s in (getattr(info, "siblings", None) or [])
+            for s in (_field(info, "siblings") or [])
         ]
 
     return fetch
@@ -221,40 +221,40 @@ def make_discussions_fetcher(repo_type: str, api: object | None = None,
             # P11 guard at the source: the API sometimes hands back a
             # non-list here; NULL it rather than crash the feed
             # (etl.normalize.conflicting_files_rows re-checks downstream)
-            cf = getattr(det, "conflicting_files", None)
+            cf = _field(det, "conflicting_files")
             if not isinstance(cf, list):
                 cf = None
             events = []
-            for ev in getattr(det, "events", None) or []:
+            for ev in _field(det, "events") or []:
                 events.append(
                     {
-                        "id": getattr(ev, "id", None),
-                        "event_type": getattr(ev, "type", None),
-                        "created_at": getattr(ev, "created_at", None),
-                        "author": getattr(ev, "author", None),
-                        "content": getattr(ev, "content", None),
-                        "edited": getattr(ev, "edited", None),
-                        "hidden": getattr(ev, "hidden", None),
-                        "new_status": getattr(ev, "new_status", None),
-                        "summary": getattr(ev, "summary", None),
-                        "sha": getattr(ev, "oid", None),
-                        "old_title": getattr(ev, "old_title", None),
-                        "new_title": getattr(ev, "new_title", None),
-                        "full_data": _opt_str(getattr(ev, "_event", None)),
+                        "id": _field(ev, "id"),
+                        "event_type": _field(ev, "type"),
+                        "created_at": _field(ev, "created_at"),
+                        "author": _field(ev, "author"),
+                        "content": _field(ev, "content"),
+                        "edited": _field(ev, "edited"),
+                        "hidden": _field(ev, "hidden"),
+                        "new_status": _field(ev, "new_status"),
+                        "summary": _field(ev, "summary"),
+                        "sha": _field(ev, "oid"),
+                        "old_title": _field(ev, "old_title"),
+                        "new_title": _field(ev, "new_title"),
+                        "full_data": _opt_str(_field(ev, "_event")),
                     }
                 )
             rows.append(
                 {
                     "repo_id": f"{repo_type}s/{name}",
-                    "num": getattr(det, "num", None),
-                    "author": getattr(det, "author", None),
-                    "title": getattr(det, "title", None),
-                    "status": getattr(det, "status", None),
-                    "created_at": getattr(det, "created_at", None),
-                    "is_pull_request": getattr(det, "is_pull_request", None),
-                    "target_branch": getattr(det, "target_branch", None),
-                    "merge_commit_oid": getattr(det, "merge_commit_oid", None),
-                    "git_reference": getattr(det, "git_reference", None),
+                    "num": _field(det, "num"),
+                    "author": _field(det, "author"),
+                    "title": _field(det, "title"),
+                    "status": _field(det, "status"),
+                    "created_at": _field(det, "created_at"),
+                    "is_pull_request": _field(det, "is_pull_request"),
+                    "target_branch": _field(det, "target_branch"),
+                    "merge_commit_oid": _field(det, "merge_commit_oid"),
+                    "git_reference": _field(det, "git_reference"),
                     "conflicting_files": cf,
                     "events": events,
                 }

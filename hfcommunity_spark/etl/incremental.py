@@ -55,9 +55,21 @@ def incremental_repository_load(
     rows arrive pre-built (e.g. a notebook upsert against one
     table)."""
     fresh, stale = split_by_watermark(incoming, wm)
-    out = upsert(existing, fresh, pk=list(pk))
+    # deterministic within-batch dedup, same discipline as
+    # incremental_release_merge's det_order: newest-first recency for
+    # the upsert path, then the remaining columns as a total
+    # tie-break — a bare dropDuplicates pick would let two identical
+    # runs publish different rows (round-6 review finding)
+    def _order(df: DataFrame):
+        cols = [c for c in df.columns if c not in pk]
+        rec = [F.desc(c) for c in ("last_modified",) if c in cols]
+        rest = [F.col(c) for c in sorted(cols) if c != "last_modified"]
+        return (rec + rest) or None
+
+    out = upsert(existing, fresh, pk=list(pk), order_by=_order(fresh))
     return partial_update(
-        out, stale, pk=list(pk), update_cols=list(stale_update_cols)
+        out, stale, pk=list(pk), update_cols=list(stale_update_cols),
+        order_by=_order(stale),
     )
 
 

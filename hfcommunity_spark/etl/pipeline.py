@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from hfcommunity_spark.etl.normalize import (
     conflicting_files_rows,
@@ -277,7 +278,11 @@ def run_offline(
     )
 
     # -- tags (explode + INSERT IGNORE dedup, :257-282) ---------------
-    tagged = repository.select("id", "type").join(
+    # no join back to repository: the (id, tags) union derives from
+    # the SAME already-filtered feeds repository is built from, so the
+    # join could neither add nor drop a row — it was one pure wasted
+    # shuffle per snapshot (round-6 review finding)
+    tagged = (
         feeds["model"]
         .select(repo_full_id(F.lit("model"), F.col("name")).alias("id"), "tags")
         .unionByName(
@@ -289,8 +294,7 @@ def run_offline(
             feeds["space"].select(
                 repo_full_id(F.lit("space"), F.col("name")).alias("id"), "tags"
             )
-        ),
-        "id",
+        )
     )
     tag, tags_in_repo = explode_tags(tagged)
 
@@ -334,6 +338,17 @@ def run_offline(
         ).alias("deletions"),
         "author_name", "committer_name",
         F.lit("pydriller").alias("source"),  # :402
+    )
+    # PK discipline: commits' declared PK is sha alone, but forks and
+    # mirrors legitimately replay one commit under several repo_ids in
+    # the same feed — the reference's INSERT IGNORE (:401) kept the
+    # first arrival, so keep the first under ascending repo_id (the
+    # deterministic stand-in for arrival order; round-6 review finding)
+    c_first = Window.partitionBy("sha").orderBy(F.asc("repo_id"))
+    commits = (
+        commits.withColumn("__rn", F.row_number().over(c_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     commit_parents = commits_feed.select(
         F.col("sha").alias("commit_sha"),
@@ -383,7 +398,21 @@ def run_offline(
         .drop("__rf_id")
     )
     files_in_commit = modified_file.select("sha", "modified_file_id").distinct()
-    modified_file = modified_file.drop("sha").distinct()
+    # PK discipline: modified_file_id hashes the BASENAME (reference
+    # :419), so one commit touching a/util.py and b/util.py collides on
+    # the id while differing in old/new_path — the reference's INSERT
+    # IGNORE kept exactly one row, so keep the first under a
+    # deterministic path order instead of a full-row distinct that
+    # would ship a duplicate PK (round-6 review finding)
+    mf_first = Window.partitionBy("modified_file_id").orderBy(
+        F.asc_nulls_last("new_path"), F.asc_nulls_last("old_path")
+    )
+    modified_file = (
+        modified_file.drop("sha")
+        .withColumn("__rn", F.row_number().over(mf_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
     # -- discussions (:447-546) ---------------------------------------
     discussion = validate_merge_commits(

@@ -56,23 +56,12 @@ def read_event_stream(spark: SparkSession, input_dir: str,
 def tumbling_counts(events: DataFrame,
                     size: str = "1 hour",
                     watermark: str = DEFAULT_WATERMARK) -> DataFrame:
-    """X2+X3: event-time tumbling window counts + sums."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", size).alias("win"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    """X2+X3: event-time tumbling window counts + sums.  A tumbling
+    window IS a sliding window whose slide equals its size — delegate
+    so the X3 twins cannot drift (their agg/projection used to be two
+    verbatim copies; round-6 review finding)."""
+    return sliding_counts(events, size=size, slide=size,
+                          watermark=watermark)
 
 
 def sliding_counts(events: DataFrame,

@@ -41,7 +41,12 @@ def _update_user_totals(
     batch_cents = 0
     for pdf in pdfs:
         batch_events += len(pdf)
-        batch_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # NULL-valued events count toward batch_events but contribute 0
+        # cents; an unmasked NaN would raise inside astype('int64') and
+        # kill the streaming query (the round-5 anomaly-monitor bug,
+        # same fix)
+        vals = pdf["value"].dropna()
+        batch_cents += int((vals * 100).round().astype("int64").sum())
     total_events += batch_events
     total_cents += batch_cents
     state.update((total_events, total_cents))

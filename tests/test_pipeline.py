@@ -206,3 +206,55 @@ def test_git_adapter_on_real_repo(spark):
     )
     got = df.count()
     assert got == n
+
+
+def test_pk_uniqueness_under_collisions(spark):
+    """Two round-6 review findings, locked: (1) one commit touching
+    a/util.py and b/util.py collides on modified_file_id (the id
+    hashes the BASENAME by reference design :419) — the snapshot must
+    keep exactly one row per id like the reference's INSERT IGNORE;
+    (2) one commit sha replayed under two repo_ids (forks/mirrors)
+    must produce ONE commits row (PK is sha alone), first-writer by
+    ascending repo_id."""
+    empty_m = spark.createDataFrame([], schema=pipeline.MODEL_FEED_SCHEMA)
+    empty_d = spark.createDataFrame([], schema=pipeline.DATASET_FEED_SCHEMA)
+    empty_s = spark.createDataFrame([], schema=pipeline.SPACE_FEED_SCHEMA)
+    empty_disc = spark.createDataFrame(
+        [], schema=pipeline.DISCUSSIONS_FEED_SCHEMA
+    )
+    sha = "f1" + "0" * 38
+    commits_feed = spark.createDataFrame(
+        [
+            dict(repo_id="models/org/fork-a", sha=sha, parents=[],
+                 message="shared", author_date=TS, author_tz=0,
+                 committer_date=TS, committer_tz=0, in_main_branch=True,
+                 author_name="dev", committer_name="dev",
+                 files=[dict(old_path=None, new_path="a/util.py",
+                             change_type="ADD", diff="+1", added=1,
+                             deleted=0, nloc=1),
+                        dict(old_path=None, new_path="b/util.py",
+                             change_type="ADD", diff="+2", added=2,
+                             deleted=0, nloc=1)]),
+            dict(repo_id="models/org/fork-b", sha=sha, parents=[],
+                 message="shared", author_date=TS, author_tz=0,
+                 committer_date=TS, committer_tz=0, in_main_branch=True,
+                 author_name="dev", committer_name="dev",
+                 files=[dict(old_path=None, new_path="a/util.py",
+                             change_type="ADD", diff="+1", added=1,
+                             deleted=0, nloc=1)]),
+        ],
+        schema=pipeline.COMMITS_FEED_SCHEMA,
+    )
+    tables = pipeline.run_offline(
+        spark, empty_m, empty_d, empty_s, commits_feed, empty_disc
+    )
+    commits = tables["commits"].collect()
+    assert len(commits) == 1
+    assert commits[0].repo_id == "models/org/fork-a"  # first writer
+    mf = tables["modified_file"].collect()
+    ids = [r.modified_file_id for r in mf]
+    assert len(ids) == len(set(ids)), "duplicate modified_file PK"
+    # the deterministic survivor of the basename collision is the
+    # path-ascending row (a/util.py)
+    by_path = {r.new_path for r in mf}
+    assert "a/util.py" in by_path

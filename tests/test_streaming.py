@@ -203,6 +203,9 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     b2 = _events_pdf(
         [
             (4, T0 + dt.timedelta(minutes=1), 7, "click", 0.25, None),
+            # NULL value: counts as an event, contributes 0 cents —
+            # an unmasked NaN killed the query pre-fix (round-6 review)
+            (5, T0 + dt.timedelta(minutes=1), 7, "view", None, None),
         ]
     )
     out = _run_two_batches(
@@ -217,8 +220,8 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     ).toPandas()
     u7 = out[out.user_id == 7].sort_values("total_events")
     # batch 1: two events, 375 cents; batch 2: one more, 400 cents total
-    assert u7.batch_events.tolist() == [2, 1]
-    assert u7.total_events.tolist() == [2, 3]
+    assert u7.batch_events.tolist() == [2, 2]
+    assert u7.total_events.tolist() == [2, 4]
     assert u7.total_cents.tolist() == [375, 400]
     u8 = out[out.user_id == 8]
     assert u8.total_events.tolist() == [1]
