@@ -29,8 +29,14 @@ def missing_tables(spark: SparkSession) -> list[str]:
 def create_schema(spark: SparkSession, base_dir: str,
                   if_not_exists: bool = True) -> list[str]:
     """Create all 17 tables as external parquet tables rooted at
-    ``base_dir/<table>`` (the auto-create at :909-914).  Returns the
-    tables actually created."""
+    ``base_dir/<table>`` (the auto-create at :909-914), PARTITIONED BY
+    release to match ``write_snapshot``'s ``release=<tag>`` directory
+    layout — a non-partitioned table over that location would merge
+    every release's rows into one unfiltered scan and silently grow a
+    release column not in SCHEMAS (round-6 review finding).  Partition
+    discovery runs (MSCK REPAIR) so releases already on disk are
+    queryable immediately; re-run it (or create the schema again) after
+    new releases land.  Returns the tables actually created."""
     created = []
     clause = "IF NOT EXISTS " if if_not_exists else ""
     for name, schema in SCHEMAS.items():
@@ -40,9 +46,16 @@ def create_schema(spark: SparkSession, base_dir: str,
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
         spark.sql(
-            f"CREATE TABLE {clause}`{name}` ({ddl}) USING PARQUET "
+            f"CREATE TABLE {clause}`{name}` ({ddl}, `release` STRING) "
+            f"USING PARQUET PARTITIONED BY (`release`) "
             f"LOCATION '{base_dir}/{name}'"
         )
+        try:
+            spark.sql(f"MSCK REPAIR TABLE `{name}`")
+        except Exception:
+            # the location may not exist yet (-c before any load) —
+            # an empty table needs no partition discovery
+            pass
         created.append(name)
     return created
 

@@ -342,9 +342,14 @@ def run_offline(
     # PK discipline: commits' declared PK is sha alone, but forks and
     # mirrors legitimately replay one commit under several repo_ids in
     # the same feed — the reference's INSERT IGNORE (:401) kept the
-    # first arrival, so keep the first under ascending repo_id (the
-    # deterministic stand-in for arrival order; round-6 review finding)
-    c_first = Window.partitionBy("sha").orderBy(F.asc("repo_id"))
+    # first arrival, so keep the first under the INSERT-IGNORE
+    # discipline: ASCENDING recency (the incremental layer's det_order
+    # contract for first-writer-wins tables), then repo_id and message
+    # as the total-order tie-break (round-6 review finding)
+    c_first = Window.partitionBy("sha").orderBy(
+        F.asc("author_date"), F.asc("committer_date"),
+        F.asc("repo_id"), F.asc("message"),
+    )
     commits = (
         commits.withColumn("__rn", F.row_number().over(c_first))
         .filter(F.col("__rn") == 1)

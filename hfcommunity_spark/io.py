@@ -42,6 +42,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     native type for: read nanos as long (legacy conf, runtime-settable)
     and convert to a microsecond TimestampType.  The generator emits
     whole-microsecond values, so the ns→us conversion is lossless.
+
+    The conf is deliberately left set on the session afterwards: the
+    returned frame is LAZY, so restoring the conf before the caller's
+    action would flip the scan's type resolution mid-plan.  Session
+    consequence (documented trade-off): any LATER read of an unrelated
+    nanos-timestamp parquet in the same session also surfaces LongType
+    — this engine's own tables all want that; a caller needing native
+    nanos-rejection semantics must unset the conf explicitly.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -133,7 +133,14 @@ def m7_owner_discussion_share(tables: dict[str, DataFrame]) -> DataFrame:
     repo = tables["repository"].alias("r")
     joined = disc.join(repo, F.col("d.repo_id") == F.col("r.id")).select(
         F.col("d.repo_id").alias("repo_id"),
-        (F.col("d.author") == F.col("r.author")).alias("by_owner"),
+        # null-safe: a NULL owner (or NULL discussion author) is NOT an
+        # owner-authored discussion — the plain == would make every
+        # comparison NULL, the per-repo sum NULL, and the bucket CASE
+        # fall through to '100%' (round-6 review finding; eqNullSafe
+        # would be wrong the other way, counting NULL==NULL as owned)
+        F.coalesce(
+            F.col("d.author") == F.col("r.author"), F.lit(False)
+        ).alias("by_owner"),
     )
     per_repo = joined.groupBy("repo_id").agg(
         (

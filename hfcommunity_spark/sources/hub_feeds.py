@@ -43,7 +43,11 @@ def read_feed(spark: SparkSession, path: str, kind: str) -> DataFrame:
     return (
         spark.read.schema(FEED_SCHEMAS[kind])
         .option("mode", "FAILFAST")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]['Z']")
+        # [XXXXX] accepts 'Z', '+00:00', and any numeric offset —
+        # datetime.isoformat() of a tz-aware value emits '+00:00',
+        # which the previous literal-'Z'-only pattern FAILFASTed on
+        # (round-6 review finding); naive values still parse
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXXXX]")
         .json(path)
     )
 

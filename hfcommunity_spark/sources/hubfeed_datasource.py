@@ -45,30 +45,32 @@ from pyspark.sql.datasource import (
 
 
 def _feed_schemas() -> dict[str, T.StructType]:
-    from hfcommunity_spark.etl.pipeline import (
-        COMMITS_FEED_SCHEMA,
-        DATASET_FEED_SCHEMA,
-        DISCUSSIONS_FEED_SCHEMA,
-        MODEL_FEED_SCHEMA,
-        SPACE_FEED_SCHEMA,
-    )
+    # ONE kind→schema mapping, shared with the plain JSON reader —
+    # two parallel dicts could drift (round-6 review finding); the
+    # import stays inside the function for the pickling-lightness the
+    # lazy import was written for
+    from hfcommunity_spark.sources.hub_feeds import FEED_SCHEMAS
 
-    return {
-        "models": MODEL_FEED_SCHEMA,
-        "datasets": DATASET_FEED_SCHEMA,
-        "spaces": SPACE_FEED_SCHEMA,
-        "commits": COMMITS_FEED_SCHEMA,
-        "discussions": DISCUSSIONS_FEED_SCHEMA,
-    }
+    return dict(FEED_SCHEMAS)
 
 
 def _convert(value, dtype):
-    """JSON value → the tuple/typed value Spark expects for ``dtype``."""
+    """JSON value → the tuple/typed value Spark expects for ``dtype``.
+
+    Malformed shapes null out instead of crashing the task: real
+    dumps carry a non-list ``conflicting_files`` (the P11 guard in the
+    plain-reader path exists for exactly that row shape), and a plain
+    string reaching an ArrayType would otherwise silently explode into
+    per-character elements (round-6 review finding)."""
     if value is None:
         return None
     if isinstance(dtype, T.StructType):
+        if not isinstance(value, dict):
+            return None
         return tuple(_convert(value.get(f.name), f.dataType) for f in dtype.fields)
     if isinstance(dtype, T.ArrayType):
+        if not isinstance(value, (list, tuple)):
+            return None
         return [_convert(v, dtype.elementType) for v in value]
     if isinstance(dtype, T.TimestampType):
         return dt.datetime.fromisoformat(str(value).replace("Z", "+00:00"))
@@ -123,9 +125,25 @@ class HubFeedReader(DataSourceReader):
 
     def _keep(self, obj: dict) -> bool:
         for f in self.pushed:
-            v = obj.get(f.attribute[0])
-            if isinstance(f, EqualTo) and v != f.value:
-                return False
+            name = f.attribute[0]
+            v = obj.get(name)
+            if isinstance(f, EqualTo):
+                # compare in the COLUMN'S type, not the raw JSON value:
+                # a pushed timestamp literal never equals its ISO string
+                # form, so raw comparison silently dropped every
+                # matching row (round-6 review finding)
+                dtype = self.schema_[name].dataType
+                cv, fv = _convert(v, dtype), f.value
+                if isinstance(cv, dt.datetime) and isinstance(fv, dt.datetime):
+                    # Spark hands TimestampType literals tz-AWARE; a
+                    # naive feed value is UTC by the engine's session
+                    # convention — normalize both before comparing
+                    if cv.tzinfo is None:
+                        cv = cv.replace(tzinfo=dt.timezone.utc)
+                    if fv.tzinfo is None:
+                        fv = fv.replace(tzinfo=dt.timezone.utc)
+                if cv != fv:
+                    return False
             if isinstance(f, IsNotNull) and v is None:
                 return False
         return True
@@ -194,9 +212,36 @@ class HubFeedSimpleStreamReader(SimpleDataSourceStreamReader):
     def _discover(self) -> list[str]:
         target = os.path.join(self.path, f"{self.kind}.jsonl")
         if os.path.isdir(target):
-            return sorted(
+            names = {
                 n for n in os.listdir(target) if n.endswith(".jsonl")
+            }
+            # writer-produced part files are visible ONLY through
+            # their batch manifest: a crash between part-publish and
+            # manifest-write must not expose a partial batch (round-6
+            # review finding).  Hand-written feed files (anything not
+            # matching the writer's part naming) stay directly visible.
+            import re as _re
+
+            part_re = _re.compile(
+                rf"^{_re.escape(self.kind)}-\d{{6}}-\d+\.jsonl$"
             )
+            manifested: set[str] = set()
+            for n in os.listdir(target):
+                if n.startswith("_batch-") and n.endswith(".json"):
+                    try:
+                        with open(os.path.join(target, n),
+                                  encoding="utf-8") as fh:
+                            doc = json.load(fh)
+                        manifested.update(
+                            p["path"] for p in doc.get("parts", [])
+                        )
+                    except (OSError, ValueError, KeyError, TypeError):
+                        continue  # torn manifest: its parts stay hidden
+            visible = {
+                n for n in names
+                if not part_re.match(n) or n in manifested
+            }
+            return sorted(visible)
         return [f"{self.kind}.jsonl"] if os.path.exists(target) else []
 
     def _rows(self, names: list[str]) -> Iterator[tuple]:
@@ -241,12 +286,16 @@ class _PartFile(WriterCommitMessage):
 
 class HubFeedStreamWriter(DataSourceStreamWriter):
     """Streaming sink face of the hubfeed source: each micro-batch
-    lands as JSONL part files written task-side, made visible ONLY by
-    the driver-side ``commit`` (write-ahead into ``_tmp``, then a
-    manifest per batch) — the two-phase pattern every exactly-once
-    Spark sink uses.  ``abort`` removes the orphaned parts, and a
-    replayed batchId overwrites its own manifest idempotently, so
-    retries cannot double-publish.
+    lands as JSONL part files written task-side (write-ahead into
+    ``_tmp``), published by the driver-side ``commit``, and made
+    CONSUMER-visible only by the batch manifest — readers gate
+    writer-part files on their manifest (see
+    ``HubFeedSimpleStreamReader._discover``), the manifest itself is
+    published atomically (temp + rename) after every part is in
+    place, and a replayed batchId rewrites the same dest names before
+    any reader could have recorded them.  ``abort`` removes the
+    orphaned parts.  Together: a crash anywhere in the commit window
+    exposes nothing partial and retries cannot double-publish.
 
     Executor-parallel IO (one part per task, like the reference's
     row-at-a-time mysql INSERTs turned set-oriented); the manifest is
@@ -285,9 +334,19 @@ class HubFeedStreamWriter(DataSourceStreamWriter):
             )
             os.replace(m.path, dest)
             final.append({"path": os.path.basename(dest), "rows": m.rows})
+        # atomic manifest publish AFTER every part is in place: readers
+        # gate writer-part visibility on the manifest, so a crash in
+        # this window leaves the batch invisible (not partial), and the
+        # retried batch rewrites the same dest names before any reader
+        # could have recorded them (round-6 review finding)
         manifest = os.path.join(self.path, f"_batch-{batchId:06d}.json")
-        with open(manifest, "w", encoding="utf-8") as fh:
+        tmp_manifest = os.path.join(
+            self._tmp_dir(), f"_batch-{batchId:06d}.json"
+        )
+        os.makedirs(self._tmp_dir(), exist_ok=True)
+        with open(tmp_manifest, "w", encoding="utf-8") as fh:
             json.dump({"batchId": batchId, "parts": final}, fh)
+        os.replace(tmp_manifest, manifest)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -54,6 +54,30 @@ def test_filter_pushdown_matches_post_filter(spark, feed_dir):
     assert [r.name for r in pushed.collect()] == ["org/m9"]
 
 
+def test_pushed_filters_compare_in_column_type(spark, feed_dir):
+    """Round-6 review finding: a pushed EqualTo used to compare the
+    COLUMN's typed literal against the RAW JSON value, so equality on
+    a timestamp (literal vs ISO string) or an int-typed literal vs
+    JSON number silently dropped every matching row.  Both must match
+    the plain JSON reader's answer."""
+    df = _load(spark, feed_dir)
+    ts = df.filter(F.col("name") == "org/m1").collect()[0].last_modified
+    by_ts = df.filter(F.col("last_modified") == F.lit(ts))
+    assert {r.name for r in by_ts.collect()} >= {"org/m1"}
+    by_likes = df.filter(F.col("likes") == 42)
+    assert [r.name for r in by_likes.collect()] == ["org/m9"]
+    # malformed shapes null out instead of crashing (P11 parity):
+    # a non-list for an array column and a non-dict for a struct
+    from hfcommunity_spark.sources.hubfeed_datasource import _convert
+    from pyspark.sql import types as T
+
+    arr = T.ArrayType(T.StringType())
+    assert _convert(False, arr) is None
+    assert _convert("README.md", arr) is None
+    st = T.StructType([T.StructField("a", T.LongType())])
+    assert _convert("oops", st) is None
+
+
 def test_unknown_kind_rejected(spark, feed_dir):
     with pytest.raises(Exception, match="unknown kind"):
         spark.read.format("hubfeed").option("path", feed_dir).option(
@@ -158,3 +182,38 @@ def test_stream_writer_two_phase_commit(spark, tmp_path):
         with open(p) as fh:
             rows += [json.loads(l) for l in fh if l.strip()]
     assert {r["name"] for r in rows} >= {m["name"] for m in MODELS} | {"org/m-w2"}
+
+
+def test_writer_parts_gated_by_manifest(tmp_path):
+    """Round-6 review finding, locked: a writer-produced part file is
+    visible to the streaming reader ONLY once its batch manifest
+    exists — a crash between part-publish and manifest-write exposes
+    nothing — while hand-written feed files remain directly visible
+    and a torn (truncated) manifest hides its parts instead of
+    crashing discovery."""
+    import json as _json
+    import os
+
+    from hfcommunity_spark.sources.hubfeed_datasource import (
+        HubFeedSimpleStreamReader,
+        _feed_schemas,
+    )
+
+    d = tmp_path / "models.jsonl"
+    d.mkdir()
+    (d / "hand-written.jsonl").write_text("{}\n")
+    (d / "models-000000-0.jsonl").write_text("{}\n")  # no manifest yet
+    r = HubFeedSimpleStreamReader(
+        _feed_schemas()["models"], {"path": str(tmp_path), "kind": "models"}
+    )
+    assert r._discover() == ["hand-written.jsonl"]
+
+    (d / "_batch-000000.json").write_text(_json.dumps(
+        {"batchId": 0, "parts": [{"path": "models-000000-0.jsonl",
+                                  "rows": 1}]}
+    ))
+    assert r._discover() == ["hand-written.jsonl", "models-000000-0.jsonl"]
+
+    (d / "models-000001-0.jsonl").write_text("{}\n")
+    (d / "_batch-000001.json").write_text("{\"batchId\": 1,")  # torn
+    assert r._discover() == ["hand-written.jsonl", "models-000000-0.jsonl"]
