@@ -31,10 +31,11 @@ from hfcommunity_spark.registry import query
 from hfcommunity_spark.session_cache import SessionCache
 from hfcommunity_spark.operators.dedup import (
     JACCARD_CLUSTER_THRESHOLD,
+    JACCARD_THRESHOLD_CTES,
     MINHASH_K,
     MINHASH_CAPPED_CTES,
     NGRAM,
-    _MINHASH_MATCHES_SQL,
+    minhash_matches_sql,
     ngram_jaccard_pair_index,
     shingle_hash_index,
     shingle_unnest_sql,
@@ -67,20 +68,7 @@ CURATION_FINAL_CTES = f"""
            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))),
     -- stage 3: near-dup clusters over the jaccard pair graph,
     -- restricted to stage-2 survivors; component label = min member
-    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (SELECT DISTINCT doc_id, {shingle_unnest_sql(NGRAM)} AS shingle
-           FROM toks WHERE len(w) >= {NGRAM}),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     COUNT(*) AS shared
-              FROM sh a JOIN sh b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY doc_a, doc_b),
-    jac AS (SELECT doc_a, doc_b FROM pairs
-            JOIN counts ca ON ca.doc_id = doc_a
-            JOIN counts cb ON cb.doc_id = doc_b
-            WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared)
-                  >= {JACCARD_CLUSTER_THRESHOLD}),
+    {JACCARD_THRESHOLD_CTES},
     edges AS (SELECT doc_a, doc_b FROM jac
               WHERE doc_a IN (SELECT doc_id FROM ex)
                 AND doc_b IN (SELECT doc_id FROM ex)),
@@ -238,7 +226,7 @@ NEARDUP_REJECT_EST = 0.5  # MinHash estimate at/above which arrivals drop
 
 _INC = f"doc_id % {INCOMING_MOD} = {INCOMING_REM}"
 _CORP = f"doc_id % {INCOMING_MOD} <> {INCOMING_REM}"
-_X11_MATCHES = _MINHASH_MATCHES_SQL.replace("a.m", "i.m").replace("b.m", "c.m")
+_X11_MATCHES = minhash_matches_sql("i", "c")
 
 _X11_ORACLE = f"""
     WITH {MINHASH_CAPPED_CTES},
@@ -359,11 +347,23 @@ def curation_admission(incoming: DataFrame, corp_fp: DataFrame,
         .select("doc_id")
         .withColumn("is_exact_dup", F.lit(True))
     )
-    gate = neardup_gate(incoming, band_index, hash_mode=hash_mode).select(
-        "doc_id", "max_est_similarity"
-    )
+    # ONE shingle explode per micro-batch: the signature aggregation
+    # and the contamination probe both consume the same (doc_id, h)
+    # frame (DECONTAM_NGRAM equals the dedup NGRAM), materialized once
+    # — the hot path used to pay the explode+distinct twice (round-6
+    # review finding)
+    from hfcommunity_spark.operators.dedup import NGRAM as _DEDUP_NGRAM
+
+    inc_sh = doc_shingle_hashes(incoming, DECONTAM_NGRAM)
+    shared_sh = None
+    if DECONTAM_NGRAM == _DEDUP_NGRAM and hash_mode == "xxhash64":
+        inc_sh = inc_sh.localCheckpoint()
+        shared_sh = inc_sh
+    gate = neardup_gate(
+        incoming, band_index, hash_mode=hash_mode, shingles=shared_sh
+    ).select("doc_id", "max_est_similarity")
     contam = (
-        doc_shingle_hashes(incoming, DECONTAM_NGRAM)
+        inc_sh
         .join(holdout_sh.select("h"), "h", "left_semi")
         .select("doc_id")
         .distinct()

@@ -122,10 +122,15 @@ def dd_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd_ngram_jaccard_pairs",
-    f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+JACCARD_CLUSTER_THRESHOLD = 0.5
+
+# The toks->sh->counts->pairs shingle/pair-count CTE chain, and its
+# threshold extension — ONE definition shared by the pair oracle, the
+# cluster oracle, and the curation composite's oracle
+# (operators/curation.py), so the near-dup model cannot drift between
+# them (the MINHASH_CAPPED_CTES rule; round-6 review finding: the
+# curation composite carried a byte-for-byte hand copy).
+JACCARD_PAIR_COUNT_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT DISTINCT doc_id, {shingle_unnest_sql(NGRAM)} AS shingle
            FROM toks WHERE len(w) >= {NGRAM}),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -133,7 +138,20 @@ def dd_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                      COUNT(*) AS shared
               FROM sh a JOIN sh b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY doc_a, doc_b)
+              GROUP BY doc_a, doc_b)"""
+
+JACCARD_THRESHOLD_CTES = f"""{JACCARD_PAIR_COUNT_CTES},
+    jac AS (SELECT doc_a, doc_b FROM pairs
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared)
+                  >= {JACCARD_CLUSTER_THRESHOLD})"""
+
+
+@query(
+    "dd_ngram_jaccard_pairs",
+    f"""
+    WITH {JACCARD_PAIR_COUNT_CTES}
     SELECT doc_a, doc_b, shared,
            CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
     FROM pairs
@@ -248,7 +266,8 @@ MAX_BUCKET = 64
 
 def minhash_signatures(docs: DataFrame,
                        n_hashes: int = MINHASH_K,
-                       hash_mode: str = "xxhash64") -> DataFrame:
+                       hash_mode: str = "xxhash64",
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, sig array<long>) — k minhashes as k codegen'd
     ``min(hash(seed, ·))`` aggregates over the exploded distinct
     shingles.  Map-side partial aggregation collapses each partition to
@@ -304,7 +323,10 @@ def minhash_signatures(docs: DataFrame,
                 ).alias("sig"),
             )
         )
-    sh = doc_shingle_hashes(docs, NGRAM)
+    # callers holding the (doc_id, h) shingle frame already (the
+    # admission hot path computes it for the contamination probe too)
+    # pass it in rather than paying the explode+distinct twice
+    sh = shingles if shingles is not None else doc_shingle_hashes(docs, NGRAM)
     mins = [
         F.min(F.xxhash64(F.lit(seed), F.col("h"))).alias(f"m{seed}")
         for seed in range(n_hashes)
@@ -443,7 +465,8 @@ def minhash_lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
 
 
 def neardup_gate(incoming: DataFrame, band_index: DataFrame,
-                 hash_mode: str = "xxhash64") -> DataFrame:
+                 hash_mode: str = "xxhash64",
+                 shingles: DataFrame | None = None) -> DataFrame:
     """Admission gate for new documents against an existing corpus:
     each incoming doc is signed, banded, and probed against the
     (capped) corpus band index; returns one row per signable incoming
@@ -457,7 +480,9 @@ def neardup_gate(incoming: DataFrame, band_index: DataFrame,
     NOT capped: capping exists to stop quadratic blowup inside the
     corpus join, while an arriving doc must still see candidates even
     if its bucket is hot."""
-    inc_sigs = minhash_signatures(incoming, hash_mode=hash_mode)
+    inc_sigs = minhash_signatures(
+        incoming, hash_mode=hash_mode, shingles=shingles
+    )
     inc_bands = _minhash_bands(inc_sigs, hash_mode)
     idx = band_index.select(
         F.col("doc_id").alias("c_doc"),
@@ -529,10 +554,18 @@ _MINHASH_BAND_SELECTS = "\n          UNION ALL\n          ".join(
     for band in range(MINHASH_BANDS)
 )
 
-_MINHASH_MATCHES_SQL = " + ".join(
-    f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)"
-    for k in range(MINHASH_K)
-)
+def minhash_matches_sql(a: str = "a", b: str = "b") -> str:
+    """Signature-agreement count as SQL, parameterized by the two side
+    aliases — generated, never alias-surgered by string replace (a
+    rename here would make a caller's .replace() silently no-op;
+    round-6 review finding)."""
+    return " + ".join(
+        f"(CASE WHEN {a}.m{k} = {b}.m{k} THEN 1 ELSE 0 END)"
+        for k in range(MINHASH_K)
+    )
+
+
+_MINHASH_MATCHES_SQL = minhash_matches_sql()
 
 # The shingle→signature→bands→capped CTE chain (sha2 oracle mode) —
 # shared by the pair oracle below and the LSH-fed SemDeDup composite's
@@ -575,27 +608,11 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-JACCARD_CLUSTER_THRESHOLD = 0.5
-
-
 @query(
     "dd_dup_clusters",
     f"""
     WITH RECURSIVE
-    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (SELECT DISTINCT doc_id, {shingle_unnest_sql(NGRAM)} AS shingle
-           FROM toks WHERE len(w) >= {NGRAM}),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     COUNT(*) AS shared
-              FROM sh a JOIN sh b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY doc_a, doc_b),
-    jac AS (SELECT doc_a, doc_b FROM pairs
-            JOIN counts ca ON ca.doc_id = doc_a
-            JOIN counts cb ON cb.doc_id = doc_b
-            WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared)
-                  >= {JACCARD_CLUSTER_THRESHOLD}),
+    {JACCARD_THRESHOLD_CTES},
     und AS (SELECT doc_a AS a, doc_b AS b FROM jac
             UNION SELECT doc_b, doc_a FROM jac),
     reach AS (

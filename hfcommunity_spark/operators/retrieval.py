@@ -145,10 +145,8 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored_t.groupBy("doc_id").agg(
         F.round(total, 4).alias("score_rounded")
     )
-    top = scored.orderBy(
-        F.desc("score_rounded"), F.asc("doc_id")
-    ).limit(BM25_TOP_K)
-    w = Window.orderBy(F.desc("score_rounded"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    from hfcommunity_spark.operators.lm import ranked_topk
+
+    return ranked_topk(scored, "score_rounded", BM25_TOP_K).select(
         "doc_id", "rank", "score_rounded"
     )

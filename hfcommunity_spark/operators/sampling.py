@@ -330,7 +330,7 @@ def samp_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / PACK_BLOCK).cast("long").alias("blk"),
+        F.expr(f"doc_id DIV {PACK_BLOCK}").alias("blk"),
     )
     blk_sums = t.groupBy("blk").agg(F.sum("n_tokens").alias("blk_tokens"))
     w_blk = Window.orderBy("blk").rowsBetween(
@@ -566,10 +566,12 @@ def samp_length_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("bucket").orderBy(
         F.desc("n_tokens"), F.asc("doc_id")
     )
-    p = b.withColumn(
-        "batch_id",
-        ((F.row_number().over(w) - F.lit(1)) / BATCH_DOCS)
-        .cast("int"),
+    p = (
+        b.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "batch_id", F.expr(f"int((rn - 1) DIV {BATCH_DOCS})")
+        )
+        .drop("rn")
     )
     padded = F.col("n_docs") * F.col("max_tokens")
     return (
