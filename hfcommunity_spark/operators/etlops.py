@@ -531,6 +531,34 @@ _GIT_FIXTURE_DOCS = 6
 _GIT_FIXTURE_CACHE: dict[str, str] = {}
 
 
+def _stable_scratch_dir(prefix: str, sf_dir: str) -> tuple[str, bool]:
+    """Deterministic per-(prefix, sf_dir) scratch location under the
+    system temp dir, REUSED across processes — mkdtemp-per-process
+    leaked a fresh git repo / snapshot / feed dump into /tmp on every
+    driver invocation (round-6 review finding).  Returns (path,
+    already_built); builders create content in a unique tmp dir and
+    publish it with the atomic :func:`_publish_scratch_dir` so a
+    concurrent builder cannot observe a half-built fixture."""
+    import hashlib
+
+    digest = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    final = os.path.join(tempfile.gettempdir(), f"{prefix}{digest}")
+    return final, os.path.exists(os.path.join(final, "_COMPLETE"))
+
+
+def _publish_scratch_dir(tmp: str, final: str) -> str:
+    """Atomically promote a fully-built tmp dir to its final name; on
+    a lost race, discard ours and use the winner's."""
+    import shutil
+
+    open(os.path.join(tmp, "_COMPLETE"), "w").close()
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def _fixture_git_repo(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir per process) a deterministic git repo
     whose history derives from the first ``_GIT_FIXTURE_DOCS`` rows of
@@ -540,6 +568,10 @@ def _fixture_git_repo(spark: SparkSession, sf_dir: str) -> str:
     cached = _GIT_FIXTURE_CACHE.get(sf_dir)
     if cached and os.path.isdir(cached):
         return cached
+    final, built = _stable_scratch_dir("hfc_git_fixture_", sf_dir)
+    if built:
+        _GIT_FIXTURE_CACHE[sf_dir] = final
+        return final
     rows = (
         read_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") > 0)
@@ -579,6 +611,7 @@ def _fixture_git_repo(spark: SparkSession, sf_dir: str) -> str:
         check=True,
         capture_output=True,
     )
+    base = _publish_scratch_dir(base, final)
     _GIT_FIXTURE_CACHE[sf_dir] = base
     return base
 
@@ -728,13 +761,20 @@ def s14_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout + read, not just the in-memory aggregate."""
     path = _SNAPSHOT_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
-        agg = _s14_aggregate(spark, sf_dir)
-        base = tempfile.mkdtemp(prefix="hfc_snapshot_")
-        for _ in range(2):  # D4: idempotent monthly re-run
-            path = write_snapshot(
-                agg, base, "customer_stats", "2026-08",
-                partition_by=["regionkey"],
-            )
+        final, built = _stable_scratch_dir("hfc_snapshot_", sf_dir)
+        rel = os.path.join("customer_stats", "release=2026-08")
+        if built:
+            path = os.path.join(final, rel)
+        else:
+            agg = _s14_aggregate(spark, sf_dir)
+            base = tempfile.mkdtemp(prefix="hfc_snapshot_")
+            for _ in range(2):  # D4: idempotent monthly re-run
+                path = write_snapshot(
+                    agg, base, "customer_stats", "2026-08",
+                    partition_by=["regionkey"],
+                )
+            published = _publish_scratch_dir(base, final)
+            path = os.path.join(published, rel)
         _SNAPSHOT_CACHE[sf_dir] = path
     return spark.read.parquet(path).select(
         F.col("regionkey").cast("int").alias("regionkey"),
@@ -781,6 +821,10 @@ def _models_feed_dir(spark: SparkSession, sf_dir: str) -> str:
         ).alias("value"),
         F.col("doc_id"),
     )
+    final, built = _stable_scratch_dir("hfc_feed_", sf_dir)
+    if built:
+        _FEED_CACHE[sf_dir] = final
+        return final
     out = tempfile.mkdtemp(prefix="hfc_feed_")
     tmp = os.path.join(out, "_spark_text")
     (
@@ -795,6 +839,7 @@ def _models_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     os.replace(
         os.path.join(tmp, parts[0]), os.path.join(out, "models.jsonl")
     )
+    out = _publish_scratch_dir(out, final)
     _FEED_CACHE[sf_dir] = out
     return out
 

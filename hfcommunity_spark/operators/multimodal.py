@@ -113,7 +113,7 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            CAST(LENGTH(text) AS BIGINT) AS n_bytes
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     survey="X-UD5,UD2,UD4",
 )
@@ -123,8 +123,10 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     octet length == char length); the float features ride along in the
     rows-only twin ``mm_byte_features_full``."""
     media = media_from_documents(spark, sf_dir)
-    feats = media.select("media_id", "payload").mapInPandas(
-        byte_features_batches, schema=FEATURE_SCHEMA
+    feats = (
+        media.filter(F.col("payload").isNotNull())
+        .select("media_id", "payload")
+        .mapInPandas(byte_features_batches, schema=FEATURE_SCHEMA)
     )
     return feats.select("media_id", "n_bytes")
 
@@ -146,6 +148,7 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            agg.byte_mean, agg.distinct_bytes,
            lower(hex(left(d.text, 8))) AS head_hex
     FROM documents d JOIN agg ON agg.doc_id = d.doc_id
+    WHERE LENGTH(d.text) > 0
     """,
     survey="X-UD5,UD2,UD4",
 )
@@ -160,8 +163,13 @@ def mm_byte_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy's pairwise mean is safe because a uint8 sum stays exact in
     float64 far beyond any payload size here."""
     media = media_from_documents(spark, sf_dir)
-    return media.select("media_id", "payload").mapInPandas(
-        byte_features_batches, schema=FEATURE_SCHEMA
+    # empty/NULL payloads are excluded on BOTH sides: the oracle's
+    # char-split aggregate has no rows for them, so the inner join
+    # would drop them from one side only (round-6 review finding)
+    return (
+        media.filter(F.col("payload").isNotNull() & (F.length("payload") > 0))
+        .select("media_id", "payload")
+        .mapInPandas(byte_features_batches, schema=FEATURE_SCHEMA)
     )
 
 
@@ -189,7 +197,12 @@ def frame_sample_batches(
                 frame = payload[i * FRAME_BYTES: (i + 1) * FRAME_BYTES]
                 ids.append(media_id)
                 idxs.append(i)
-                heads.append(bytes(frame[:FRAME_HEAD]).decode("utf-8"))
+                # hex, not UTF-8 decode: a generic binary frame head
+                # (real media bytes, or a multi-byte char split at the
+                # cut) would crash the task otherwise — the sibling
+                # extractors emit hex for the same reason (round-6
+                # review finding)
+                heads.append(bytes(frame[:FRAME_HEAD]).hex())
         yield pd.DataFrame(
             {"media_id": ids, "frame_idx": idxs, "frame_head": heads}
         )
@@ -199,8 +212,8 @@ def frame_sample_batches(
     "mm_frame_sample",
     f"""
     SELECT doc_id AS media_id, frame_idx,
-           substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_HEAD})
-             AS frame_head
+           lower(hex(substr(text, frame_idx * {FRAME_BYTES} + 1,
+                            {FRAME_HEAD}))) AS frame_head
     FROM documents,
          LATERAL unnest(range(0, CAST(ceil(LENGTH(text) / {FRAME_BYTES}.0)
                                        AS BIGINT), {FRAME_STRIDE}))

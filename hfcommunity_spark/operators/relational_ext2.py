@@ -186,8 +186,9 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_customers,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer c
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                    AS DOUBLE) / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY name_digit
     """,
@@ -206,8 +207,9 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                  AS total_bal
         FROM customer c
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0)
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                        AS DOUBLE) / COUNT(*)
+                               FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey)
         GROUP BY name_digit
@@ -283,7 +285,8 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = orders.join(
         li,
         (orders["o_orderkey"] == li["l_orderkey"])
-        & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)),
+        & (li["l_shipdate"]
+           > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(
@@ -318,10 +321,9 @@ def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag") == "R"
     )
     n = read_table(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)")
-        - F.col("l_discount").cast("decimal(18,2)")
-    )
+    from hfcommunity_spark.operators.relational import DEC, dec
+
+    rev = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -354,10 +356,9 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine.  part is the broadcast side."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)")
-        - F.col("l_discount").cast("decimal(18,2)")
-    )
+    from hfcommunity_spark.operators.relational import DEC, dec
+
+    rev = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])

@@ -52,8 +52,15 @@ def salted_two_phase_agg(
             phase2.append(fn(alias).alias(alias))
         else:  # pragma: no cover
             raise ValueError(f"non-mergeable agg: {agg}")
+    # salt from the row's PHYSICAL position, not its content: a hot
+    # key whose volume comes from replicated identical rows would hash
+    # every duplicate to one salt value and the mitigation would
+    # silently do nothing (round-6 review finding).  The id is stable
+    # within a task attempt, and any assignment is correct — the
+    # phase-1/phase-2 split is associative.
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in df.columns]), F.lit(salt))
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)),
     )
     partial = salted.groupBy(*keys, "__salt").agg(*phase1)
     return partial.groupBy(*keys).agg(*phase2)
@@ -72,8 +79,11 @@ def salted_join(
     plain join, but the hot key's probe work spreads over ``salt``
     tasks.  (Prefer AQE skew-join; use this when a single key exceeds
     what one task can hold.)"""
+    # positional salt for the same reason as salted_agg: identical
+    # replicated hot rows must still spread across salt partitions
     salted_left = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)),
     )
     replicated_right = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
