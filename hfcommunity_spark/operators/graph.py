@@ -152,7 +152,15 @@ def connected_components(edges: DataFrame, src: str = "src",
     )
     e, e_ids = _eager_checkpoint(e0.distinct())
     n_edges = e.count()
-    if n_edges <= local_edge_limit:
+    # the single-task path vectorizes over int64 ids; non-integral
+    # vertex types (string shas) take the star path at ANY size —
+    # otherwise the adaptive switch made the supported input types
+    # data-size-dependent (round-6 review finding)
+    integral = all(
+        f.dataType.simpleString() in ("bigint", "int", "smallint", "tinyint")
+        for f in e.schema.fields
+    )
+    if integral and n_edges <= local_edge_limit:
         return _local_union_find(e)
     labels, _rounds, converged = _star_rounds(
         spark, e, e_ids, n_edges, max_iters
@@ -336,7 +344,12 @@ def _min_label_components(edges: DataFrame, src: str, dst: str,
     labelled with itself; each round takes the min of its own label
     and its neighbors' (one edge⋈label equi join + one min aggregation
     per round) until a fixpoint.  Rounds needed = graph diameter."""
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # drop self-loops like connected_components does, so the two
+    # public CC faces compute the same result relation on the same
+    # input (round-6 review finding)
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
     # cache the symmetrized edge list: every propagation round joins
     # against it, and its lineage may be arbitrarily expensive
     # (e.g. the shingle join feeding dd_dup_clusters)
@@ -476,6 +489,12 @@ def components_delta(assign: DataFrame, new_edges: DataFrame,
             F.col("component").alias("merged"),
         )
     )
+    # the relabel map is small (merged components only): pin it, then
+    # free the quotient checkpoint blocks — the merge path used to
+    # leak them for the session, exactly the storage growth
+    # _free_checkpoint exists to prevent (round-6 review finding)
+    relabel, _relabel_ids = _eager_checkpoint(relabel)
+    _free_checkpoint(assign.sparkSession, quot_ids)
     return (
         assign_all.join(F.broadcast(relabel), "component", "left")
         .select(

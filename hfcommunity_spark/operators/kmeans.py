@@ -68,6 +68,15 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 5,
     init = (
         emb.orderBy(id_col).limit(k).select(emb_col).collect()
     )
+    if len(init) < k:
+        # fail loudly: a silently truncated codebook would hand IVF
+        # consumers a different cell-id space than they asked for, and
+        # an empty frame would IndexError below with no useful message
+        # (round-6 review finding)
+        raise ValueError(
+            f"kmeans_fit: need at least k={k} rows to seed centroids, "
+            f"got {len(init)}"
+        )
     centroids = [list(map(float, r[0])) for r in init]
     dim = len(centroids[0])
     for _ in range(iters):

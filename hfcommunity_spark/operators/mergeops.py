@@ -82,8 +82,15 @@ def upsert(existing: DataFrame, updates: DataFrame, pk: Sequence[str],
     ``updates`` (``order_by`` descending-first should be arranged by
     the caller via the ordering columns).
     """
-    update_cols = list(update_cols or
-                       [c for c in updates.columns if c not in pk])
+    # `is None`, not truthiness: an EXPLICIT empty list means "match
+    # but update nothing" (insert-only upsert), which `or` would
+    # silently expand into a full-row overwrite (round-6 review
+    # finding)
+    update_cols = list(
+        update_cols
+        if update_cols is not None
+        else [c for c in updates.columns if c not in pk]
+    )
     fresh = _first_per_key(updates, pk, order_by)
     e = existing.withColumn(_E, F.lit(True)).alias("e")
     u = fresh.withColumn(_U, F.lit(True)).alias("u")
@@ -291,12 +298,9 @@ def d2_upsert_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = ["ts", "event_id"]
 
     def latest_per_key(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(*pk).orderBy(*[F.desc(c) for c in latest])
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        # the module's _first_per_key under a descending order — one
+        # dedup idiom, not two copies that can drift tie-breaks
+        return _first_per_key(df, pk, [F.desc(c) for c in latest])
 
     existing = latest_per_key(ev.filter(F.col("ts") < split))
     updates = latest_per_key(ev.filter(F.col("ts") >= split))

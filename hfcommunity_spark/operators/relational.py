@@ -732,8 +732,14 @@ def f1_sha2_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        # F.concat, not concat_ws: '||' in the oracle NULL-propagates,
+        # concat_ws silently drops NULLs — a NULL lang would hash to a
+        # non-NULL key on one side only (round-6 review finding)
         F.sha2(
-            F.concat_ws("_", F.col("lang"), F.col("doc_id").cast("string")), 256
+            F.concat(
+                F.col("lang"), F.lit("_"), F.col("doc_id").cast("string")
+            ),
+            256,
         ).alias("surrogate_id"),
     )
 

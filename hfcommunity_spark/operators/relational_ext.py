@@ -181,7 +181,8 @@ def f4_json_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (o_orderdate >= TIMESTAMP '1998-01-01') AS is_fresh,
            COUNT(*) AS n_orders,
            COUNT(DISTINCT o_custkey) AS n_customers
-    FROM orders GROUP BY is_fresh
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY is_fresh
     """,
     survey="P2,U3",
 )
@@ -191,15 +192,26 @@ def p2_watermark_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-update path; databaseImport.py:608)."""
     from hfcommunity_spark.etl.incremental import split_by_watermark
 
-    orders = read_table(spark, sf_dir, "orders")
+    # NULL order dates are excluded on BOTH sides (the etl utility
+    # classifies them fresh, the oracle's GROUP BY would give them a
+    # NULL group), and an empty split emits NO row — GROUP BY
+    # semantics, so a degenerate all-fresh dataset agrees too
+    # (round-6 review finding)
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     wm = F.lit("1998-01-01").cast("timestamp")
     fresh, stale = split_by_watermark(orders, wm, ts_col="o_orderdate")
 
     def _count(df: DataFrame, flag: bool) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.count_distinct("o_custkey").alias("n_customers"),
-        ).select(F.lit(flag).alias("is_fresh"), "n_orders", "n_customers")
+        return (
+            df.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.count_distinct("o_custkey").alias("n_customers"),
+            )
+            .select(F.lit(flag).alias("is_fresh"), "n_orders", "n_customers")
+            .filter(F.col("n_orders") > 0)
+        )
 
     return _count(fresh, True).unionByName(_count(stale, False))
 
@@ -208,7 +220,9 @@ def p2_watermark_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sub_correlated_scalar",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                                    AS DOUBLE) / COUNT(*)
+                       FROM customer c2
                        WHERE c2.c_nationkey = c.c_nationkey)
     """,
     survey="J2,A7,P12",
@@ -222,7 +236,9 @@ def sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_custkey, c_name FROM customer c
-        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                                        AS DOUBLE) / COUNT(*)
+                           FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
