@@ -10,9 +10,19 @@ reference's IF NOT EXISTS DDL.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from hfcommunity_spark.schema import SCHEMAS
+
+
+def _strip_scheme(path: str) -> str:
+    """Local-filesystem view of a table location: drop a ``file:``
+    scheme if present.  The existence pre-check below is only
+    meaningful for local paths; remote schemes (s3://, hdfs://) are
+    left untouched and the repair runs unconditionally for them."""
+    return path[len("file:"):] if path.startswith("file:") else path
 
 
 def table_exists(spark: SparkSession, name: str) -> bool:
@@ -50,12 +60,15 @@ def create_schema(spark: SparkSession, base_dir: str,
             f"USING PARQUET PARTITIONED BY (`release`) "
             f"LOCATION '{base_dir}/{name}'"
         )
-        try:
+        # the location may not exist yet (-c before any load) — an
+        # empty table needs no partition discovery; but a REAL repair
+        # failure (permissions, corrupt layout) must propagate, or
+        # on-disk releases stay silently unqueryable (ADVICE r6)
+        loc = os.path.join(base_dir, name)
+        local = _strip_scheme(loc)
+        remote = "://" in loc and not loc.startswith("file:")
+        if remote or os.path.exists(local):
             spark.sql(f"MSCK REPAIR TABLE `{name}`")
-        except Exception:
-            # the location may not exist yet (-c before any load) —
-            # an empty table needs no partition discovery
-            pass
         created.append(name)
     return created
 

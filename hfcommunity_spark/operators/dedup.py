@@ -1121,8 +1121,17 @@ def dd_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned"),
     )
+    # NULL-text guard: split(NULL) is NULL and size(NULL) is -1 with
+    # ANSI off, while the oracle's len(string_split(NULL)) is NULL —
+    # keep both engines on NULL for a token count that doesn't exist
     return (
-        docs.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        docs.select(
+            "doc_id",
+            F.when(F.col("w").isNull(), F.lit(None))
+            .otherwise(F.size("w"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
         .join(ka, "doc_id", "left")
         .select(
             "doc_id",

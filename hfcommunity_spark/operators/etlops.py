@@ -532,17 +532,43 @@ _GIT_FIXTURE_CACHE: dict[str, str] = {}
 
 
 def _stable_scratch_dir(prefix: str, sf_dir: str) -> tuple[str, bool]:
-    """Deterministic per-(prefix, sf_dir) scratch location under the
-    system temp dir, REUSED across processes — mkdtemp-per-process
-    leaked a fresh git repo / snapshot / feed dump into /tmp on every
-    driver invocation (round-6 review finding).  Returns (path,
-    already_built); builders create content in a unique tmp dir and
-    publish it with the atomic :func:`_publish_scratch_dir` so a
-    concurrent builder cannot observe a half-built fixture."""
+    """Deterministic per-(prefix, sf_dir) scratch location, REUSED
+    across processes — mkdtemp-per-process leaked a fresh git repo /
+    snapshot / feed dump into /tmp on every driver invocation
+    (round-6 review finding).  Returns (path, already_built); builders
+    create content in a unique tmp dir and publish it with the atomic
+    :func:`_publish_scratch_dir` so a concurrent builder cannot
+    observe a half-built fixture.
+
+    Two hardenings (ADVICE r6): scratch roots live under a 0700
+    per-user directory whose ownership is verified (a fixed name in
+    the shared world-writable temp dir let any local user pre-create
+    it with a ``_COMPLETE`` marker and poison the fixture), and the
+    digest includes a (size, mtime) fingerprint of the source parquet
+    files, so regenerated testdata at the same path gets a fresh
+    fixture instead of silently reusing a stale one."""
     import hashlib
 
-    digest = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    final = os.path.join(tempfile.gettempdir(), f"{prefix}{digest}")
+    h = hashlib.sha256(sf_dir.encode())
+    try:
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fn))
+                h.update(f"|{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass  # missing sf_dir: builders fail later with a clear error
+    digest = h.hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"hfc-scratch-{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"scratch root {root} is owned by uid {st.st_uid}, not "
+            f"{os.getuid()} — refusing to trust its contents"
+        )
+    final = os.path.join(root, f"{prefix}{digest}")
     return final, os.path.exists(os.path.join(final, "_COMPLETE"))
 
 

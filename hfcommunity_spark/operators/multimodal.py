@@ -210,12 +210,20 @@ def frame_sample_batches(
 
 @query(
     "mm_frame_sample",
+    # BYTE-based oracle: the Python side cuts and heads the payload in
+    # BYTES, so the oracle must too — DuckDB's substring is VARCHAR-
+    # only (characters), but hex(encode(text)) is a 2-chars-per-byte
+    # string, so a byte slice [a, a+k) is exactly substr(hex, 2a+1, 2k)
+    # and frame count comes from octet_length.  Agrees with the Python
+    # slice on any UTF-8 text, multi-byte included (ADVICE r6).
     f"""
     SELECT doc_id AS media_id, frame_idx,
-           lower(hex(substr(text, frame_idx * {FRAME_BYTES} + 1,
-                            {FRAME_HEAD}))) AS frame_head
+           lower(substr(hex(encode(text)),
+                        frame_idx * {FRAME_BYTES} * 2 + 1,
+                        {FRAME_HEAD} * 2)) AS frame_head
     FROM documents,
-         LATERAL unnest(range(0, CAST(ceil(LENGTH(text) / {FRAME_BYTES}.0)
+         LATERAL unnest(range(0, CAST(ceil(octet_length(encode(text))
+                                           / {FRAME_BYTES}.0)
                                        AS BIGINT), {FRAME_STRIDE}))
            AS t(frame_idx)
     WHERE LENGTH(text) > 0
@@ -224,8 +232,8 @@ def frame_sample_batches(
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the fake media table (payload = UTF-8 text
-    bytes, so the oracle can express the same cut as substr arithmetic
-    — text is ASCII, so byte offsets == char offsets)."""
+    bytes; the oracle slices the SAME bytes via hex(encode(text)), so
+    frame boundaries and heads agree even on multi-byte text)."""
     media = media_from_documents(spark, sf_dir)
     return media.select("media_id", "payload").mapInPandas(
         frame_sample_batches,

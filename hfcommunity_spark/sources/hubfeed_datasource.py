@@ -334,6 +334,18 @@ class HubFeedStreamWriter(DataSourceStreamWriter):
             )
             os.replace(m.path, dest)
             final.append({"path": os.path.basename(dest), "rows": m.rows})
+        # a retried batch may produce FEWER parts than a crashed prior
+        # attempt left behind; those higher-numbered strays are
+        # manifest-invisible but would sit on disk forever — remove
+        # every part of this batchId beyond the new list (ADVICE r6)
+        import glob
+
+        for stale in glob.glob(
+            os.path.join(self.path, f"{self.kind}-{batchId:06d}-*.jsonl")
+        ):
+            idx = os.path.basename(stale).rsplit("-", 1)[-1].split(".")[0]
+            if idx.isdigit() and int(idx) >= len(final):
+                os.remove(stale)
         # atomic manifest publish AFTER every part is in place: readers
         # gate writer-part visibility on the manifest, so a crash in
         # this window leaves the batch invisible (not partial), and the

@@ -310,3 +310,16 @@ def test_mmr_plan_shape(spark):
     assert plan.count("FlatMapGroupsInPandas (") == 1  # tree node form
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # rank comes from the grouped map
+
+
+def test_w1_ntile_no_global_window(spark):
+    """Round-7 fix of the last scale-weak plan: ntile/percent_rank
+    are computed from a histogram-decomposed rank, so the plan must
+    carry NO SinglePartition exchange (the old global-window sort)
+    — the only Window left is the per-bucket tie-break, partitioned
+    by the whole-dollar cell."""
+    plan = _formatted_plan(spark, "w1_ntile_percent_rank")
+    assert "SinglePartition" not in plan
+    # the tie-break window must be partitioned: its Exchange is
+    # hashpartitioning on bkt, never a global order-by exchange
+    assert "rangepartitioning(c_acctbal" not in plan
