@@ -66,8 +66,24 @@ def create_schema(spark: SparkSession, base_dir: str,
         # on-disk releases stay silently unqueryable (ADVICE r6)
         loc = os.path.join(base_dir, name)
         local = _strip_scheme(loc)
-        remote = "://" in loc and not loc.startswith("file:")
-        if remote or os.path.exists(local):
+        # the os.path.exists short-circuit is only sound when the
+        # table location really resolves to the DRIVER's filesystem:
+        # explicit file: scheme, or schemeless with a local/unset
+        # fs.defaultFS.  A schemeless path under an hdfs/s3a default
+        # FS must NOT be probed locally — the probe would fail and
+        # silently skip the repair, leaving on-disk releases
+        # unqueryable (ADVICE r7)
+        if loc.startswith("file:"):
+            resolves_locally = True
+        elif "://" in loc:
+            resolves_locally = False
+        else:
+            default_fs = (
+                spark.sparkContext._jsc.hadoopConfiguration()
+                .get("fs.defaultFS", "file:///")
+            )
+            resolves_locally = default_fs.startswith("file:")
+        if not resolves_locally or os.path.exists(local):
             spark.sql(f"MSCK REPAIR TABLE `{name}`")
         created.append(name)
     return created

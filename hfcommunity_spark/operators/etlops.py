@@ -562,12 +562,26 @@ def _stable_scratch_dir(prefix: str, sf_dir: str) -> tuple[str, bool]:
         tempfile.gettempdir(), f"hfc-scratch-{os.getuid()}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
-    st = os.stat(root)
+    # lstat, not stat: an attacker pre-creating the fixed name as a
+    # symlink to a victim-owned world-writable dir would pass a
+    # follow-symlinks uid check; and a pre-existing REAL dir must be
+    # private (0700) before its _COMPLETE markers are trusted
+    # (ADVICE r7)
+    import stat as _stat
+
+    st = os.lstat(root)
+    if _stat.S_ISLNK(st.st_mode) or not _stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"scratch root {root} is not a plain directory "
+            "(symlink or other) — refusing to trust its contents"
+        )
     if st.st_uid != os.getuid():
         raise RuntimeError(
             f"scratch root {root} is owned by uid {st.st_uid}, not "
             f"{os.getuid()} — refusing to trust its contents"
         )
+    if _stat.S_IMODE(st.st_mode) != 0o700:
+        os.chmod(root, 0o700)
     final = os.path.join(root, f"{prefix}{digest}")
     return final, os.path.exists(os.path.join(final, "_COMPLETE"))
 

@@ -80,12 +80,23 @@ def w1_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket), so cross-bucket ties cannot exist."""
     customer = read_table(spark, sf_dir, "customer")
     bkt_col = F.floor(F.col("c_acctbal")).cast("long")
-    hist = sorted(
-        (r.bkt, r.cnt)
-        for r in customer.groupBy(bkt_col.alias("bkt"))
+    rows = (
+        customer.groupBy(bkt_col.alias("bkt"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()  # bounded: ≤11k whole-dollar cells by value domain
     )
+    # TPC-H c_acctbal is NOT NULL; the decomposition leans on that
+    # (a NULL bkt would TypeError in sorted() and silently drop rows
+    # at the inner join below) — fail loudly if the domain assumption
+    # ever breaks instead of corrupting ranks (ADVICE r7)
+    null_cnt = sum(r.cnt for r in rows if r.bkt is None)
+    if null_cnt:
+        raise ValueError(
+            f"w1_ntile_percent_rank: {null_cnt} rows with NULL "
+            "c_acctbal — histogram rank decomposition requires a "
+            "NOT NULL order key"
+        )
+    hist = sorted((r.bkt, r.cnt) for r in rows)
     n = sum(c for _, c in hist)
     below_rows, acc = [], 0
     for b, c in hist:

@@ -248,6 +248,20 @@ class HubFeedSimpleStreamReader(SimpleDataSourceStreamReader):
         target = os.path.join(self.path, f"{self.kind}.jsonl")
         base = target if os.path.isdir(target) else self.path
         for name in names:
+            # a checkpointed offset can reference a part that a later
+            # retried batch (with fewer parts) legitimately cleaned up;
+            # replaying it must skip-and-warn, not crash-loop the
+            # stream on FileNotFoundError (ADVICE r7)
+            if not os.path.exists(os.path.join(base, name)):
+                import warnings
+
+                warnings.warn(
+                    f"hubfeed replay: part {name!r} no longer on disk "
+                    "(superseded by a retried batch) — skipping",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                continue
             with open(os.path.join(base, name), encoding="utf-8") as fh:
                 for line in fh:
                     if not line.strip():
@@ -334,18 +348,6 @@ class HubFeedStreamWriter(DataSourceStreamWriter):
             )
             os.replace(m.path, dest)
             final.append({"path": os.path.basename(dest), "rows": m.rows})
-        # a retried batch may produce FEWER parts than a crashed prior
-        # attempt left behind; those higher-numbered strays are
-        # manifest-invisible but would sit on disk forever — remove
-        # every part of this batchId beyond the new list (ADVICE r6)
-        import glob
-
-        for stale in glob.glob(
-            os.path.join(self.path, f"{self.kind}-{batchId:06d}-*.jsonl")
-        ):
-            idx = os.path.basename(stale).rsplit("-", 1)[-1].split(".")[0]
-            if idx.isdigit() and int(idx) >= len(final):
-                os.remove(stale)
         # atomic manifest publish AFTER every part is in place: readers
         # gate writer-part visibility on the manifest, so a crash in
         # this window leaves the batch invisible (not partial), and the
@@ -359,6 +361,21 @@ class HubFeedStreamWriter(DataSourceStreamWriter):
         with open(tmp_manifest, "w", encoding="utf-8") as fh:
             json.dump({"batchId": batchId, "parts": final}, fh)
         os.replace(tmp_manifest, manifest)
+        # a retried batch may produce FEWER parts than a crashed prior
+        # attempt left behind; those higher-numbered strays are
+        # manifest-invisible but would sit on disk forever.  Remove
+        # them ONLY NOW, after the new manifest is live: deleting
+        # before the os.replace left a window where a crash kept the
+        # OLD manifest pointing at already-deleted part files
+        # (ADVICE r7)
+        import glob
+
+        for stale in glob.glob(
+            os.path.join(self.path, f"{self.kind}-{batchId:06d}-*.jsonl")
+        ):
+            idx = os.path.basename(stale).rsplit("-", 1)[-1].split(".")[0]
+            if idx.isdigit() and int(idx) >= len(final):
+                os.remove(stale)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
