@@ -1163,7 +1163,11 @@ def jaccard_pair_delta(postings: DataFrame, pairs: DataFrame,
     (batch x corpus shared-shingle matches) ∪ (within-batch matches),
     each scored from the two sides' own set sizes.  Exactness locked
     by the delta-vs-rebuild property test."""
-    sh_new = doc_shingle_hashes(arriving_docs)
+    # both delivery-bounded frames below fan out to several consumers
+    # (sh_new: cross/within/merged; delta: touched twice + scored) —
+    # eager checkpoints keep each computed once instead of once per
+    # reference (the components_delta discipline)
+    sh_new = doc_shingle_hashes(arriving_docs).localCheckpoint()
     merged = postings.unionByName(sh_new)
 
     cross = (
@@ -1190,7 +1194,7 @@ def jaccard_pair_delta(postings: DataFrame, pairs: DataFrame,
         cross.unionByName(within)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    ).localCheckpoint()
     touched = (
         delta.select(F.col("doc_a").alias("doc_id"))
         .unionByName(delta.select(F.col("doc_b").alias("doc_id")))
@@ -1245,7 +1249,9 @@ def minhash_band_delta(bands: DataFrame, pairs: DataFrame,
     (cap the batch's bucket fan-out) where it bounds work without
     un-emitting history."""
     new_sigs = minhash_signatures(arriving_docs, hash_mode=hash_mode)
-    new_bands = _minhash_bands(new_sigs, hash_mode)
+    # delivery-bounded; referenced by both the merged index and the
+    # probe side of the candidate join — compute the signatures once
+    new_bands = _minhash_bands(new_sigs, hash_mode).localCheckpoint()
     merged = bands.unionByName(new_bands)
     n, m = new_bands.alias("n"), merged.alias("m")
     new_is_lower = F.col("n.doc_id") < F.col("m.doc_id")
@@ -1273,6 +1279,200 @@ def minhash_band_delta(bands: DataFrame, pairs: DataFrame,
         est_sig_similarity("sig_a", "sig_b").alias("est_similarity"),
     ).distinct()
     return merged, pairs.unionByName(delta)
+
+
+# --- maintained-index delta family: driver faces (round 8) ----------
+
+# Deterministic corpus/delivery split for the delta parity queries: a
+# ~1/8 slice of documents "arrives" after the base index is built.
+# The predicate never appears in the oracle — the oracle states the
+# FULL REBUILD over all documents, which the delta path must equal
+# exactly (the maintained-index family's defining property, locked
+# locally by the delta-vs-rebuild capstone tests and now driver-
+# hash-checked here).
+_DELTA_SPLIT_MOD = 8
+
+
+def _delta_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    arriving = docs.filter(F.col("doc_id") % _DELTA_SPLIT_MOD == 0)
+    base = docs.filter(F.col("doc_id") % _DELTA_SPLIT_MOD != 0)
+    return base, arriving
+
+
+def _delta_base_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _delta_split(docs)[0]
+
+
+def _delta_arriving_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _delta_split(docs)[1]
+
+
+# The maintained artifacts over the BASE slice are session-persisted
+# like every other index in this module: at 100 TB they are standing
+# tables beside the corpus (that is the whole point of the delta
+# family), so the parity queries measure the DELIVERY PROBE, not a
+# re-derivation of the standing state — and a diamond-shaped plan
+# cannot re-run the base self-join once per consumer.
+
+def _delta_base_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        return _minhash_bands(
+            minhash_signatures(
+                _delta_base_docs(spark, sf_dir), hash_mode="sha2"
+            ),
+            "sha2",
+        )
+    return _sig_index(spark, sf_dir, "delta_base_bands", "sha2", build)
+
+
+def _delta_base_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        return minhash_lsh_pairs_from_bands(_delta_base_bands(spark, sf_dir))
+    return _sig_index(
+        spark, sf_dir, "delta_base_band_pairs", "sha2", build
+    )
+
+
+def _delta_base_jaccard_postings(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        return doc_shingle_hashes(_delta_base_docs(spark, sf_dir))
+    return _sig_index(
+        spark, sf_dir, "delta_base_postings", "xxhash64", build
+    )
+
+
+def _delta_base_jaccard_pairs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        spark_ = spark
+        empty_postings = spark_.createDataFrame([], "doc_id long, h long")
+        empty_pairs = spark_.createDataFrame(
+            [], "doc_a long, doc_b long, shared long, jaccard double"
+        )
+        # bootstrap THROUGH the delta operator (empty index + base
+        # slice as the first delivery) so the maintained path builds
+        # its own standing state
+        _postings, pairs0 = jaccard_pair_delta(
+            empty_postings, empty_pairs, _delta_base_docs(spark, sf_dir)
+        )
+        return pairs0
+    return _sig_index(spark, sf_dir, "delta_base_pairs", "xxhash64", build)
+
+
+def _delta_base_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from hfcommunity_spark.operators.graph import connected_components
+
+        pairs0 = _delta_base_jaccard_pairs(spark, sf_dir)
+        return connected_components(
+            pairs0.filter(
+                F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
+            ).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        )
+    return _sig_index(spark, sf_dir, "delta_base_assign", "xxhash64", build)
+
+
+_MAINTAINED_PAIRS_ORACLE = f"""
+    WITH {_MINHASH_SHINGLE_CTE},
+    sig AS (SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+           FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BAND_SELECTS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_MINHASH_MATCHES_SQL} AS DOUBLE) / {MINHASH_K}
+               AS est_similarity
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    """
+
+
+@query("dd_maintained_pairs_parity", _MAINTAINED_PAIRS_ORACLE,
+       survey="X-UD5,J6,J9,D3")
+def dd_maintained_pairs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained MinHash-LSH candidate index under a delivery —
+    the incremental path a 100 TB deployment runs per batch instead of
+    rebuilding the index from the full corpus (the reference re-runs
+    its whole extraction per dump; ``databaseImport.py`` has no
+    incremental story — this family is the scale extension).
+
+    Spark side: build the band + pair index over a ~7/8 base slice,
+    then apply :func:`minhash_band_delta` with the remaining slice as
+    the arriving batch and return the POST-DELIVERY pair set.  The
+    oracle is the full uncapped LSH rebuild over ALL documents — the
+    delta path must be value-identical, turning the local
+    delta-vs-rebuild capstone property into driver hash evidence.
+    ``sha2`` hash mode so DuckDB mirrors the signatures exactly
+    (the ``dd_minhash_lsh_pairs`` convention).
+
+    Per-delivery work is the batch's band rows probing the maintained
+    index — bounded by the delivery, never a corpus self-join.  The
+    base band/pair frames are session-persisted standing state
+    (``_delta_base_bands``); the query's marginal cost IS the probe."""
+    _merged, pairs = minhash_band_delta(
+        _delta_base_bands(spark, sf_dir),
+        _delta_base_band_pairs(spark, sf_dir),
+        _delta_arriving_docs(spark, sf_dir),
+        hash_mode="sha2",
+    )
+    return pairs
+
+
+@query(
+    "dd_maintained_components_parity",
+    f"""
+    WITH RECURSIVE
+    {JACCARD_THRESHOLD_CTES},
+    und AS (SELECT doc_a AS a, doc_b AS b FROM jac
+            UNION SELECT doc_b, doc_a FROM jac),
+    reach AS (
+      SELECT DISTINCT a AS vertex, a AS component FROM und
+      UNION
+      SELECT u.b, r.component FROM reach r JOIN und u ON u.a = r.vertex
+    )
+    SELECT vertex AS doc_id, MIN(component) AS component
+    FROM reach GROUP BY vertex
+    """,
+    survey="X-UD5,J5,D3",
+)
+def dd_maintained_components_parity(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The maintained near-dup CLUSTER assignment under a delivery —
+    the full incremental dedup loop: :func:`jaccard_pair_delta`
+    produces the delivery's new τ-pairs, :func:`graph.components_delta`
+    folds them into the standing component assignment without
+    re-running CC over the edge history.
+
+    The base index itself is bootstrapped THROUGH the delta operator
+    (empty index + base slice as the first delivery), so both
+    deliveries exercise the maintained path; the oracle is the
+    from-scratch recursive-CTE closure over ALL documents (the
+    ``dd_dup_clusters`` oracle verbatim).  The base postings / pairs /
+    assignment are session-persisted standing state; per-delivery
+    compute is bounded by the delivery: batch-postings probe the
+    inverted index, quotient-graph CC over delivery-sized edges,
+    broadcast relabel."""
+    from hfcommunity_spark.operators.graph import components_delta
+
+    thr = F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
+    _postings, pairs = jaccard_pair_delta(
+        _delta_base_jaccard_postings(spark, sf_dir),
+        _delta_base_jaccard_pairs(spark, sf_dir),
+        _delta_arriving_docs(spark, sf_dir),
+    )
+    # delta edges = exactly the τ-pairs touching the delivery (base
+    # doc_ids never satisfy the split predicate, so the filter is the
+    # precise complement of the standing pair set — no anti-join)
+    new_edges = pairs.filter(thr).filter(
+        (F.col("doc_a") % _DELTA_SPLIT_MOD == 0)
+        | (F.col("doc_b") % _DELTA_SPLIT_MOD == 0)
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    assign = components_delta(_delta_base_assign(spark, sf_dir), new_edges)
+    return assign.select(F.col("vertex").alias("doc_id"), "component")
 
 
 # --- source/domain hygiene gate (round 6) ---------------------------

@@ -699,6 +699,168 @@ def s7_git_history_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J5 — commit-DAG ancestry over the commit_parents edge list
+# ---------------------------------------------------------------------------
+
+# Branch/merge structure of the DAG fixture, as (child_rank,
+# parent_rank) pairs over the first _GIT_FIXTURE_DOCS documents ranked
+# by doc_id.  ONE definition feeds both the fast-import builder and
+# the generated recursive-CTE oracle, so the two cannot drift.  The
+# shape exercises what a linear chain cannot: two merge commits, and a
+# short-cut edge (rank 5 → rank 2 directly AND via 4→3→2) so BFS
+# min-hop disambiguation is load-bearing.
+_DAG_EDGES_BY_RANK: tuple[tuple[int, int], ...] = (
+    (1, 0), (2, 0), (3, 1), (3, 2), (4, 3), (5, 4), (5, 2),
+)
+_ANCESTOR_MAX_HOPS = 3
+
+
+def _fixture_dag_repo(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a deterministic BRANCHING git repo:
+    commit at rank i adds ``dag_<doc_id>.txt`` and has the parents
+    ``_DAG_EDGES_BY_RANK`` prescribes (merge commits via fast-import
+    ``from``/``merge`` marks).  Same scratch-dir discipline as
+    ``_fixture_git_repo``."""
+    cached = _GIT_FIXTURE_CACHE.get(("dag", sf_dir))
+    if cached and os.path.isdir(cached):
+        return cached
+    final, built = _stable_scratch_dir("hfc_dag_fixture_", sf_dir)
+    if built:
+        _GIT_FIXTURE_CACHE[("dag", sf_dir)] = final
+        return final
+    rows = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .orderBy("doc_id")
+        .limit(_GIT_FIXTURE_DOCS)
+        .select("doc_id", "text")
+        .collect()  # bounded: _GIT_FIXTURE_DOCS rows
+    )
+    parents_of: dict[int, list[int]] = {}
+    for child, parent in _DAG_EDGES_BY_RANK:
+        parents_of.setdefault(child, []).append(parent)
+    base = tempfile.mkdtemp(prefix="hfc_dag_fixture_")
+    repo = os.path.join(base, "fixture")
+    os.makedirs(repo)
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    subprocess.run(
+        ["git", "-C", repo, "symbolic-ref", "HEAD", "refs/heads/main"],
+        check=True,
+    )
+    stream = bytearray()
+    commit_mark = {}
+    for i, row in enumerate(rows):
+        content = row.text.replace(" ", "\n").encode("utf-8") + b"\n"
+        msg = f"dag doc {row.doc_id}".encode()
+        ident = f"Fixture Bot <bot@example.invalid> {1 + i} +0000"
+        blob_mark = 2 * i + 1
+        commit_mark[i] = 2 * i + 2
+        stream += b"blob\nmark :%d\ndata %d\n%s\n" % (
+            blob_mark, len(content), content,
+        )
+        ps = parents_of.get(i, [])
+        parent_lines = b""
+        if ps:
+            parent_lines += b"from :%d\n" % commit_mark[ps[0]]
+            for extra in ps[1:]:
+                parent_lines += b"merge :%d\n" % commit_mark[extra]
+        stream += (
+            b"commit refs/heads/main\n"
+            + b"mark :%d\n" % commit_mark[i]
+            + b"author %s\n" % ident.encode()
+            + b"committer %s\n" % ident.encode()
+            + b"data %d\n%s\n" % (len(msg), msg)
+            + parent_lines
+            + b"M 100644 :%d dag_%d.txt\n\n" % (blob_mark, row.doc_id)
+        )
+    subprocess.run(
+        ["git", "-C", repo, "fast-import", "--quiet"],
+        input=bytes(stream),
+        check=True,
+        capture_output=True,
+    )
+    base = _publish_scratch_dir(base, final)
+    _GIT_FIXTURE_CACHE[("dag", sf_dir)] = base
+    return base
+
+
+_DAG_EDGE_VALUES = ", ".join(
+    f"({c}, {p})" for c, p in _DAG_EDGES_BY_RANK
+)
+
+_ANCESTORS_ORACLE = f"""
+    WITH RECURSIVE first_docs AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM (SELECT doc_id FROM documents WHERE n_chars > 0
+            ORDER BY doc_id LIMIT {_GIT_FIXTURE_DOCS})
+    ),
+    edges(crk, prk) AS (VALUES {_DAG_EDGE_VALUES}),
+    anc AS (
+      SELECT crk AS rk, prk AS ark, 1 AS hops FROM edges
+      UNION ALL
+      SELECT a.rk, e.prk, a.hops + 1
+      FROM anc a JOIN edges e ON e.crk = a.ark
+      WHERE a.hops < {_ANCESTOR_MAX_HOPS}
+    )
+    SELECT 'dag doc ' || CAST(c.doc_id AS VARCHAR) AS message,
+           'dag doc ' || CAST(p.doc_id AS VARCHAR) AS ancestor_message,
+           CAST(MIN(a.hops) AS INTEGER) AS hops
+    FROM anc a
+    JOIN first_docs c ON c.rk = a.rk
+    JOIN first_docs p ON p.rk = a.ark
+    GROUP BY 1, 2
+    """
+
+
+@query("g_commit_ancestors", _ANCESTORS_ORACLE, survey="J5,S7")
+def g_commit_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-DAG ancestry (J5): the reference materializes the
+    ``commit_parents`` edge list (databaseImport.py:236-239) precisely
+    so ancestry questions can be asked of it; this is that traversal —
+    :func:`graph.ancestors` BFS with minimal hop counts, bounded depth.
+
+    The real ``git log`` adapter (``%P`` parents via
+    ``etl.fetch.git_log_rows``) scans a BRANCHING fixture whose merge
+    structure is prescribed by ``_DAG_EDGES_BY_RANK``; the oracle
+    re-derives the DAG from the same rank structure as a recursive CTE
+    with MIN(hops) — so the BFS's min-hop-per-ancestor guarantee is
+    value-checked, including through the rank-5 short-cut edge where
+    paths of length 1 and 3 coexist.  Shas never cross the comparison
+    boundary (DuckDB cannot compute them): both sides speak commit
+    MESSAGES, joined from the same scan."""
+    base = _fixture_dag_repo(spark, sf_dir)
+    keys = spark.createDataFrame([("fixture",)], "repo_name string")
+    commits = map_fetch(
+        keys, "repo_name", make_git_fetcher(base), GIT_COMMIT_SCHEMA
+    ).select("sha", "parents", "message").localCheckpoint()
+    edges = commits.select(
+        F.col("sha").alias("commit_sha"),
+        F.explode("parents").alias("parent_sha"),
+    )
+    from hfcommunity_spark.operators.graph import ancestors
+
+    anc = ancestors(
+        edges, commits.select("sha"), max_hops=_ANCESTOR_MAX_HOPS
+    )
+    msgs = commits.select("sha", "message")
+    return (
+        anc.join(msgs, "sha")
+        .join(
+            msgs.select(
+                F.col("sha").alias("ancestor_sha"),
+                F.col("message").alias("ancestor_message"),
+            ),
+            "ancestor_sha",
+        )
+        .select(
+            "message",
+            "ancestor_message",
+            F.col("hops").cast("int").alias("hops"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # S11 — catalog introspection (databaseImport.py:70-75)
 # ---------------------------------------------------------------------------
 

@@ -453,8 +453,16 @@ def components_delta(assign: DataFrame, new_edges: DataFrame,
     writer rewrites only the merged components' partitions.  Exactness
     (any base + delivery split equals the from-scratch build) is
     locked by ``tests/test_graph.py``."""
-    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
+    # the delivery edge frame is referenced by FOUR downstream plans
+    # (both verts legs, both endpoint-resolution joins); an unpersisted
+    # delta plan upstream (e.g. a pair-delta join pipeline) would
+    # re-execute once per reference — eagerly checkpoint it up front,
+    # which is cheap BY CONTRACT (the frame is delivery-bounded).
+    # Blocks stay live: the returned assignment derives from them.
+    e, _e_ids = _eager_checkpoint(
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a") != F.col("b")
+        )
     )
     verts = (
         e.select(F.col("a").alias("vertex"))

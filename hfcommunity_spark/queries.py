@@ -163,8 +163,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # plan is re-locked by tests/test_oracle_parity.py at the driver's
     # comparison scale.  Their slots go to the two round-6 quality
     # operators below.)
-    "t_filter_cascade_audit",  # X-UD5, A5, A7, P12, F12 —
-    # Gopher/C4-style rule cascade with per-rule drop accounting
+    # (Round-8 rotation: t_filter_cascade_audit, samp_repeat_schedule
+    # and emb_centroid_outlier_prune rotate out with their r6+r7
+    # stamps intact — every id they carry keeps another oracle-
+    # equipped window member (set cover recomputed) — making room for
+    # the maintained-index delta family faces and the commit-DAG
+    # ancestry query below, the round-6/7 verdicts' top ask.)
     "t_source_relative_quality_filter",  # X-UD5, W1, A6, A7, J9 —
     # FineWeb-style per-source adaptive quartile gate (histogram-
     # decomposed rank, no per-source whole-partition sort)
@@ -195,19 +199,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r5 window was spent)
     "samp_dsir_resample",  # X-UD5, A10, O2, J9, F1 — Gumbel-top-k
     "samp_epoch_shard_plan",  # X-UD5, W1, F1, A5 — epoch deal
-    "emb_centroid_outlier_prune",  # X-UD5, W1, J9, A7
     "pipe_curate_select_pack_shard",  # X-UD5, J2, O2, W1, W3, F1,
     # A10 — round-6 final mile: curate -> select -> shard -> pack
-    # --- round-6 operators #2: source hygiene + repeat schedule -----
+    # --- round-6 operators #2: source hygiene -----------------------
     "dd_source_hygiene_audit",  # X-UD5, A6, A7, J2, F11 — domain gate
-    "samp_repeat_schedule",  # X-UD5, W1, A10, F11, J9 —
-    # data-constrained epoch repetition manifest
     "dd_strip_dup_spans",  # X-UD5, J2, F12, A7 — the exact-substring
     # dedup TRANSFORM (cleaned text value-hashed, not a proxy stat)
     "samp_length_batch_plan",  # X-UD5, W1, A5, F11, A10 —
     # length-bucketed batching with exact integer log2 buckets
     "x13_stream_source_hygiene",  # X7, J8, A6, A10, X-UD5 — the
     # hygiene verdict re-evaluated under an arriving batch
+    # --- round-8 entrants: maintained-index deltas + commit DAG -----
+    "dd_maintained_pairs_parity",  # X-UD5, J6, J9, D3 — MinHash band
+    # + pair index under a delivery, hash-equal to the full rebuild
+    "dd_maintained_components_parity",  # X-UD5, J5, D3 — standing
+    # cluster assignment folded forward by components_delta
+    "g_commit_ancestors",  # J5, S7 — commit-DAG BFS ancestry with
+    # min-hops over a branching fixture, recursive-CTE oracle
 )
 
 
