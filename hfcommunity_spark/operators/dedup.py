@@ -930,6 +930,62 @@ def span_stats_frame(docs: DataFrame) -> DataFrame:
     return span_stats_from_postings(span_postings_frame(docs))
 
 
+def _span_delta_changed_stats(probe: DataFrame,
+                              batch_postings: DataFrame,
+                              stats: DataFrame) -> DataFrame:
+    """The span delta's arithmetic, given the ONE probe the delivery
+    needs: ``probe`` = the corpus postings rows whose ``h`` occurs in
+    the batch.  Everything per-h the update requires derives from it:
+
+    - ``nd_old(h)`` (cross-doc count among OLD docs, for exactly the
+      batch's hashes) = row count of ``probe`` per h — no second scan
+      and no maintained count table;
+    - a BATCH doc's n_dup_spans sums c where nd_old + nd_batch ≥ 2
+      (every hash of a batch doc is in the batch's h set by
+      definition, so the probe covers them all);
+    - an OLD doc's n_dup_spans can only GROW, and only via hashes that
+      transition nd 1 → ≥2: exactly its probe rows with nd_old == 1
+      (nd_old ≥ 2 was already counted; h ∉ batch_h is unchanged).
+      Docs whose shared hashes were all already duplicated drop out —
+      narrower than "shares any hash" and value-identical.
+
+    Returns ONLY the changed stats rows (batch docs + old docs with an
+    increment); the caller carries the rest forward untouched."""
+    nd_old = probe.groupBy("h").agg(F.count(F.lit(1)).alias("nd_old"))
+    nd_batch = batch_postings.groupBy("h").agg(
+        F.count(F.lit(1)).alias("nd_batch")
+    )
+    batch_stats = (
+        batch_postings.join(F.broadcast(nd_batch), "h")
+        .join(F.broadcast(nd_old), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("nd_old"), F.lit(0))
+                    + F.col("nd_batch")
+                    >= 2,
+                    F.col("c"),
+                ).otherwise(0)
+            ).alias("n_dup_spans"),
+        )
+    )
+    inc = (
+        probe.join(
+            F.broadcast(nd_old.filter(F.col("nd_old") == 1)), "h"
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("inc"))
+    )
+    old_changed = stats.join(inc, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        (F.col("n_dup_spans") + F.col("inc")).alias("n_dup_spans"),
+    )
+    return batch_stats.unionByName(old_changed)
+
+
 def span_index_delta(postings: DataFrame, stats: DataFrame,
                      arriving_docs: DataFrame,
                      ) -> tuple[DataFrame, DataFrame]:
@@ -943,49 +999,80 @@ def span_index_delta(postings: DataFrame, stats: DataFrame,
 
     - new postings = old ∪ batch postings (disjoint doc_ids — append,
       no rewrite);
-    - only docs sharing at least one span hash with the batch can
-      change classification (a doc's n_spans never changes; its
-      n_dup_spans depends on per-h cross-doc counts, which moved only
-      for the batch's h set), so AFFECTED old docs are found by one
-      semi-join on h, their stats recomputed from their own postings
-      against the union, and everything else carried forward
-      untouched.
+    - changed stats come from ONE probe of the maintained postings,
+      keyed by the batch's span hashes (broadcast semi-join — the
+      round-8 restructure; the previous shape ran THREE corpus-wide
+      passes: affected-docs semi-join, touched-postings re-read, and a
+      touched-h cross-doc recount).  All per-h arithmetic derives from
+      that probe — see :func:`_span_delta_changed_stats`.
 
-    Exactness is locked by the delta-vs-rebuild property test
-    (``tests/test_llmops.py``): any split of a corpus into base +
-    deliveries, applied sequentially, must equal the from-scratch
-    build on the union."""
-    batch_postings = span_postings_frame(arriving_docs)
-    merged = postings.unionByName(batch_postings)
+    Against a PERSISTED bucketed postings table, use
+    :func:`span_index_delta_bucketed` — same arithmetic with the probe
+    partition-pruned to the batch's h-buckets.  Exactness is locked by
+    the delta-vs-rebuild property test (``tests/test_llmops.py``): any
+    split of a corpus into base + deliveries, applied sequentially,
+    must equal the from-scratch build on the union."""
+    batch_postings = span_postings_frame(arriving_docs).localCheckpoint()
     batch_h = batch_postings.select("h").distinct()
-    affected_old = (
-        postings.join(batch_h, "h", "left_semi")
-        .select("doc_id")
-        .distinct()
+    # the one probe: corpus rows sharing a hash with the batch —
+    # referenced twice (nd_old + the increment join), so materialize
+    probe = postings.join(
+        F.broadcast(batch_h), "h", "left_semi"
+    ).localCheckpoint()
+    changed = _span_delta_changed_stats(probe, batch_postings, stats)
+    merged = postings.unionByName(batch_postings)
+    carried = stats.join(
+        changed.select("doc_id"), "doc_id", "left_anti"
     )
-    touched = affected_old.unionByName(
-        batch_postings.select("doc_id")
-    ).distinct()
-    # recompute ONLY touched docs: their postings, with cross-doc
-    # counts taken over the union restricted to those docs' hashes
-    touched_postings = merged.join(touched, "doc_id", "left_semi")
-    touched_h = touched_postings.select("h").distinct()
-    nd_frame = (
-        merged.join(touched_h, "h", "left_semi")
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
+    return merged, carried.unionByName(changed)
+
+
+def span_index_delta_bucketed(spark: SparkSession, postings_dir: str,
+                              stats: DataFrame,
+                              arriving_docs: DataFrame,
+                              buckets: int = None,
+                              ) -> tuple[DataFrame, DataFrame]:
+    """The span delta against the MATERIALIZED bucketed postings
+    layout (:func:`write_span_postings`) — the measured deployment
+    path: the single probe reads only the parquet partitions whose
+    ``h_bucket`` the batch's hashes land in (Catalyst partition
+    pruning) and broadcast-semi-joins on h, so probe IO is the touched
+    fraction of the table and all downstream arithmetic is bounded by
+    the delivery + the (tiny) probe result.
+
+    Returns ``(batch_postings, changed_stats)`` — the two frames a
+    deployment actually MATERIALIZES per delivery (the batch partition
+    appended to the postings table; the changed rows upserted into the
+    doc-partitioned stats table).  Untouched postings/stats rows are
+    never read, rewritten, or recounted."""
+    if buckets is None:
+        buckets = SPAN_H_BUCKETS
+    batch_postings = span_postings_frame(arriving_docs).localCheckpoint()
+    hs = batch_postings.select("h").distinct().localCheckpoint()
+    hit = sorted(
+        r.b
+        for r in hs.select(
+            F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
+        ).distinct().collect()
     )
-    recomputed = (
-        touched_postings.join(nd_frame, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_spans"),
-            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
-            .alias("n_dup_spans"),
-        )
+    pruned = spark.read.parquet(postings_dir).filter(
+        F.col("h_bucket").isin(hit)
     )
-    carried = stats.join(touched, "doc_id", "left_anti")
-    return merged, carried.unionByName(recomputed)
+    n_h = hs.count()
+    if n_h <= _SPAN_PROBE_INSET_MAX:
+        # delivery-bounded hash set: evaluate it AS a scan predicate
+        # (Catalyst InSet, whole-stage codegen — a per-row hash-set
+        # probe during the scan) instead of a broadcast semi-join,
+        # whose exchange + join operator cost what the whole probe
+        # costs at this selectivity.  The list is driver-bounded by
+        # the same construction as the bucket IN-list above.
+        h_list = [r.h for r in hs.collect()]
+        probe = pruned.filter(F.col("h").isin(h_list))
+    else:  # very large delivery: fall back to the broadcast semi-join
+        probe = pruned.join(F.broadcast(hs), "h", "left_semi")
+    probe = probe.select("doc_id", "h", "c").localCheckpoint()
+    changed = _span_delta_changed_stats(probe, batch_postings, stats)
+    return batch_postings, changed
 
 
 @query("dd_dup_span_ratio", _DUP_SPAN_ORACLE, survey="X-UD5,J2,A7")
@@ -1782,6 +1869,9 @@ def dd_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- bucketed span-postings layout (round 6) ------------------------
 
 SPAN_H_BUCKETS = 64
+# above this many distinct batch hashes the probe's scan predicate
+# falls back from a driver-side InSet literal to a broadcast semi-join
+_SPAN_PROBE_INSET_MAX = 100_000
 
 
 def write_span_postings(postings: DataFrame, out_dir: str,
@@ -1793,11 +1883,21 @@ def write_span_postings(postings: DataFrame, out_dir: str,
     reads ONLY the partitions whose buckets the batch's hashes land
     in (Catalyst partition pruning, asserted in
     ``tests/test_llmops.py``), instead of scanning the full postings
-    table the in-memory harness scans (DELTA_BENCH.json's note)."""
+    table the in-memory harness scans (DELTA_BENCH.json's note).
+
+    The frame is repartitioned ON the bucket key before the write so
+    each bucket directory holds ONE file per job, not one per writer
+    task: a W-partition writer × B buckets otherwise fans out to W×B
+    shard files, and the probe's cost becomes footer/open overhead
+    that grows with the WRITER's parallelism (measured: the 2048-file
+    sf1.0 layout made the probe track the corpus at ~1.3x; the
+    64-file layout is flat).  At deployment scale the same rule holds
+    per delivery append — file count tracks buckets, not tasks."""
     (
         postings.withColumn(
             "h_bucket", F.pmod(F.col("h"), F.lit(buckets)).cast("int")
         )
+        .repartition(F.col("h_bucket"))
         .write.mode("overwrite")
         .partitionBy("h_bucket")
         .parquet(out_dir)

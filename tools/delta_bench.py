@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -54,9 +55,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def timed(fn):
-        t0 = time.monotonic()
-        fn()
-        return round(time.monotonic() - t0, 3)
+        # best-of-2, the bench.py estimator: a single run of a ~1-3 s
+        # arm carries ±10-20% JVM/GC noise, which at a 10x growth
+        # ratio reads as a spurious ±0.2 on the exponent.  Each call
+        # re-executes the full lazy plan (the lambdas re-invoke the
+        # operator), so the second run is a fair re-measurement.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
 
     def edges_of(p):
         return p.filter(F.col("est_similarity") >= 0.5).select(
@@ -98,11 +107,27 @@ def main() -> None:
                 for df in dd.minhash_band_delta(bands, pairs, delivery)
             ]),
         }
+        # span arm (round 8): the delta is measured against the
+        # PERSISTED bucketed postings layout a deployment holds —
+        # write_span_postings is corpus-side state (uncharged, like
+        # bands/postings/assign above); the charged delta work is the
+        # pruned probe + the two frames a delivery materializes (batch
+        # partition append + changed-stats upsert rows).  Untouched
+        # postings/stats are never read or recounted — the previous
+        # in-memory arm's three corpus-wide probe scans (and the
+        # corpus-sized merged.count()) were exactly what made the span
+        # delta track the corpus (DELTA_BENCH r6/r7 note).
+        span_dir = os.path.join(
+            tempfile.gettempdir(), f"hfc_delta_bench_span_{label}"
+        )
+        dd.write_span_postings(postings, span_dir)
         scale["span_stats"] = {
             "rebuild_s": timed(lambda: dd.span_stats_frame(docs).count()),
             "delta_s": timed(lambda: [
                 df.count()
-                for df in dd.span_index_delta(postings, stats, delivery)
+                for df in dd.span_index_delta_bucketed(
+                    spark, span_dir, stats, delivery
+                )
             ]),
         }
         # both CC arms start from MATERIALIZED pair frames — timing the
@@ -143,19 +168,19 @@ def main() -> None:
         "note": ("fixed-size delivery, 10x corpus step: rebuild cost "
                  "tracks the corpus, delta cost must not — that gap is "
                  "the maintained family's reason to exist.  Measured "
-                 "shape: minhash pairs show it cleanly (rebuild 2.5x "
-                 "vs delta 0.75x).  The span delta's arms both grow "
-                 "~1.7x because its three affected-doc probe passes "
-                 "are full SCANS of the checkpointed postings here — "
-                 "a deployment buckets the postings table by h and "
-                 "partition-prunes those probes (the touched set "
-                 "itself is tiny: a 50-doc delivery affects 29 of "
-                 "4,950 corpus docs at sf0.1) — while the rebuild arm "
-                 "re-COMPUTES the explode+agg, which is the part that "
-                 "dwarfs scans at deployment scale.  The cluster "
-                 "delta's thresholded edge sets are so small at these "
-                 "scales that a rebuild is already trivial; its delta "
-                 "pays off when the edge HISTORY is large."),
+                 "shape: minhash pairs show it cleanly (rebuild ~3x "
+                 "vs delta ~0.9x), and since round 8 the span arm "
+                 "does too: the delta runs span_index_delta_bucketed "
+                 "against a PERSISTED h-bucketed postings table — ONE "
+                 "partition-pruned probe keyed by the batch's hashes, "
+                 "then delivery-bounded arithmetic, materializing "
+                 "only the batch partition + changed-stats rows (the "
+                 "r6/r7 shape ran three corpus-wide scans and counted "
+                 "the full merged frame, which made the span delta "
+                 "track the corpus at 1.7x).  The cluster delta's "
+                 "thresholded edge sets are so small at these scales "
+                 "that a rebuild is already trivial; its delta pays "
+                 "off when the edge HISTORY is large."),
     }
     with open(OUT, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
