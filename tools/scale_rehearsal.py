@@ -90,7 +90,32 @@ QUERIES = [
     ("t_filter_cascade_audit", "single-pass-agg", 1.0),
     ("t_source_relative_quality_filter", "histogram-window", 1.0),
     ("sim_mmr_diversify_topk", "coarse-prune-rerank", 1.0),
+    # round 8: the histogram-decomposed global rank (the round-7 w1
+    # fix traded 0.5s at sf0.1 for scale safety — this row is the
+    # payoff evidence: the replaced plan was a single-task sort of the
+    # WHOLE table, this one's per-task work is bounded by the ≤11k
+    # whole-dollar histogram cells at any scale).
+    ("w1_ntile_percent_rank", "histogram-window", 1.0),
+    # round 8: the maintained-index delta faces — cold builds the
+    # base-slice standing state (linear, charged to the build like
+    # every session index), warm is the delivery probe, which must
+    # stay flat-ish (it is bounded by the delivery, not the corpus).
+    ("dd_maintained_pairs_parity", "delta-probe", 1.0),
+    ("dd_maintained_components_parity", "delta-probe", 1.0),
 ]
+
+# The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
+# adaptive-quartile 0.63, unigram-ppl 0.59) get a SECOND growth step
+# (sf1.0 → sf3.0, documents-only corpus at 30x sf0.1) so the fitted
+# law rests on two independent steps instead of one possibly
+# overhead-skewed point (VERDICT r6 ask #5 / r7 ask #5).
+TRIO = (
+    "t_filter_cascade_audit",
+    "t_source_relative_quality_filter",
+    "t_unigram_ppl_buckets",
+)
+FACTOR3 = 30
+OUT3 = os.path.join(REPO, ".rehearsal", "sf3.0")
 
 
 def _gen_embeddings(con: duckdb.DuckDBPyConnection, n_base: int) -> None:
@@ -210,6 +235,31 @@ def generate() -> None:
         )
 
 
+def generate_sf3_documents() -> None:
+    """Documents-only 30x corpus for the trio's second growth step —
+    same word-salt replica scheme as the sf1.0 generator (intra-replica
+    structure preserved, cross-replica shingles disjoint)."""
+    os.makedirs(OUT3, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    n_doc = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM read_parquet('{BASE}/documents.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+        COPY (
+          SELECT doc_id + k * {n_doc} AS doc_id,
+                 CASE WHEN k = 0 THEN text
+                      ELSE array_to_string(
+                        list_transform(string_split(text, ' '),
+                                       w -> w || '_r' || k::VARCHAR), ' ')
+                 END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{BASE}/documents.parquet'),
+               (SELECT unnest(range({FACTOR3})) AS k)
+        ) TO '{OUT3}/documents.parquet' (FORMAT PARQUET)
+    """)
+
+
 def lsh_bucket_saturation(spark) -> dict:
     """The 100 TB knob the rehearsal is designed to expose: with fixed
     8-bit tables, 10× the corpus saturates the MAX_BUCKET cap and the
@@ -305,6 +355,53 @@ def main() -> None:
               f"(exp {rec['measured_exponent_cold']:+.2f}) "
               f"warm exp {rec['measured_exponent_warm']:+.2f}", flush=True)
 
+    # --- steep-warm trio: second growth step (sf1.0 -> sf3.0) ------
+    if "--regen" in sys.argv or not os.path.exists(
+        os.path.join(OUT3, "documents.parquet")
+    ):
+        t0 = time.monotonic()
+        generate_sf3_documents()
+        print(f"generated {OUT3} in {time.monotonic() - t0:.1f}s",
+              flush=True)
+    from hfcommunity_spark.io import read_table as _rt
+
+    _rt(spark, OUT3, "documents").count()  # footer/scan warmup
+    trio: dict[str, dict] = {}
+    for name in TRIO:
+        spec = specs[name]
+        times = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            spec.spark(spark, OUT3).count()
+            times.append(time.monotonic() - t0)
+        sf3 = {"cold": round(times[0], 3), "warm": round(min(times[1:]), 3)}
+        ent: dict = {"sf3.0": sf3}
+        for mode in ("cold", "warm"):
+            if name in results:
+                t01 = results[name]["sf0.1"][mode]
+                t10 = results[name]["sf1.0"][mode]
+            else:  # t_unigram_ppl_buckets rides only the trio section
+                t01 = t10 = None
+            if t10:
+                ent[f"step2_exponent_{mode}"] = round(
+                    float(np.log10(max(sf3[mode] / t10, 1e-9))
+                          / np.log10(3.0)), 2
+                )
+            if t01:
+                # least-squares log-log slope over the three points
+                xs = np.log10([1.0, 10.0, 30.0])
+                ys = np.log10([t01, t10, sf3[mode]])
+                ent[f"fitted_exponent_{mode}"] = round(
+                    float(np.polyfit(xs, ys, 1)[0]), 2
+                )
+        trio[name] = ent
+        print(f"trio {name:35s} sf3.0 cold {sf3['cold']:.2f}s "
+              f"warm {sf3['warm']:.2f}s "
+              f"{ {k: v for k, v in ent.items() if 'exponent' in k} }",
+              flush=True)
+    # t_unigram_ppl_buckets is in QUERIES, so all three have the full
+    # 3-point fit; keep the per-step numbers either way.
+
     saturation = lsh_bucket_saturation(spark)
     payload = {
         "factor": FACTOR,
@@ -317,6 +414,17 @@ def main() -> None:
             "overhead that deflates small exponents."
         ),
         "queries": results,
+        "steep_warm_trio_sf3": {
+            "factor_vs_base": FACTOR3,
+            "scaled_dir": OUT3,
+            "note": (
+                "second growth step for the steepest warm exponents: "
+                "documents-only 30x corpus; step2 exponent is the "
+                "sf1.0->sf3.0 slope, fitted is the least-squares "
+                "log-log slope over all three points"
+            ),
+            "queries": trio,
+        },
         "lsh_bucket_saturation": saturation,
     }
     with open(OUT_JSON, "w") as f:
