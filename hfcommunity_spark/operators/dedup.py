@@ -1055,24 +1055,33 @@ def span_index_delta_bucketed(spark: SparkSession, postings_dir: str,
             F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
         ).distinct().collect()
     )
+    probe = _bucketed_span_probe(
+        spark, postings_dir, hs, hit
+    ).localCheckpoint()
+    changed = _span_delta_changed_stats(probe, batch_postings, stats)
+    return batch_postings, changed
+
+
+def _bucketed_span_probe(spark: SparkSession, postings_dir: str,
+                         hs: DataFrame, hit: list) -> DataFrame:
+    """The ONE read the bucketed span delta performs: partition-pruned
+    to the batch's h-buckets, then filtered to the batch's exact hash
+    set — as a pushed InSet scan predicate when the set is
+    delivery-bounded (a per-row hash-set probe inside the scan; a
+    broadcast semi-join's exchange + join operator would cost what the
+    whole probe costs at this selectivity), with the semi-join as the
+    fallback for very large deliveries.  Plan shape locked by
+    ``tests/test_llmops.py`` (PartitionFilters on h_bucket + a pushed
+    In(h, ...) data filter)."""
     pruned = spark.read.parquet(postings_dir).filter(
         F.col("h_bucket").isin(hit)
     )
-    n_h = hs.count()
-    if n_h <= _SPAN_PROBE_INSET_MAX:
-        # delivery-bounded hash set: evaluate it AS a scan predicate
-        # (Catalyst InSet, whole-stage codegen — a per-row hash-set
-        # probe during the scan) instead of a broadcast semi-join,
-        # whose exchange + join operator cost what the whole probe
-        # costs at this selectivity.  The list is driver-bounded by
-        # the same construction as the bucket IN-list above.
+    if hs.count() <= _SPAN_PROBE_INSET_MAX:
         h_list = [r.h for r in hs.collect()]
         probe = pruned.filter(F.col("h").isin(h_list))
-    else:  # very large delivery: fall back to the broadcast semi-join
+    else:
         probe = pruned.join(F.broadcast(hs), "h", "left_semi")
-    probe = probe.select("doc_id", "h", "c").localCheckpoint()
-    changed = _span_delta_changed_stats(probe, batch_postings, stats)
-    return batch_postings, changed
+    return probe.select("doc_id", "h", "c")
 
 
 @query("dd_dup_span_ratio", _DUP_SPAN_ORACLE, survey="X-UD5,J2,A7")

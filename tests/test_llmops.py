@@ -631,3 +631,71 @@ def test_span_index_delta_bucketed_equals_rebuild(spark, tmp_path):
     # the changed set is genuinely narrow: strictly fewer rows than
     # the corpus has docs (untouched docs are never rewritten)
     assert changed.count() < stats.count() + delivery.count()
+
+
+def test_span_postings_layout_file_count_bounded(spark, tmp_path):
+    """Physics lock for the round-8 layout fix: write_span_postings
+    must emit file count tracking BUCKETS, not the writer's task
+    parallelism.  A W-partition writer x B buckets used to fan out to
+    W*B shard files (2048 at the rehearsal's sf1.0), and the delta
+    probe's cost became footer/open overhead growing with W — the
+    very corpus-tracking growth the bucketed layout exists to kill."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    postings = dd.span_postings_frame(docs).repartition(16)  # wide writer
+    out = str(tmp_path / "layout")
+    dd.write_span_postings(postings, out)
+    files = glob.glob(f"{out}/h_bucket=*/*.parquet")
+    dirs = glob.glob(f"{out}/h_bucket=*")
+    assert len(dirs) > 0
+    # one data file per bucket directory, regardless of writer width
+    assert len(files) <= dd.SPAN_H_BUCKETS, (len(files), len(dirs))
+    per_dir = {}
+    for f in files:
+        d = f.rsplit("/", 2)[-2]
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert max(per_dir.values()) == 1, per_dir
+
+
+def test_span_delta_bucketed_probe_pushes_inset_predicate(spark, tmp_path):
+    """The bucketed probe's second pruning stage: the delivery-bounded
+    hash set must reach the scan as a data filter (InSet on h) next to
+    the bucket PartitionFilter — not as a join above it.  Guards the
+    round-8 probe shape against a silent regression to a corpus-wide
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delivery = docs.filter(F.col("doc_id") % 5 == 0).limit(5)
+    out = str(tmp_path / "probe_layout")
+    dd.write_span_postings(dd.span_postings_frame(corpus), out)
+    batch_postings = dd.span_postings_frame(delivery).localCheckpoint()
+    hs = batch_postings.select("h").distinct().localCheckpoint()
+    hit = sorted(
+        r.b
+        for r in hs.select(
+            F.pmod(F.col("h"), F.lit(dd.SPAN_H_BUCKETS)).cast("int")
+            .alias("b")
+        ).distinct().collect()
+    )
+    probe = dd._bucketed_span_probe(spark, out, hs, hit)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # non-empty partition filter naming h_bucket AND a pushed h
+    # predicate in the data filters (InSet renders as "h#... IN" /
+    # "in(h#...")
+    assert re.search(r"PartitionFilters: \[[^\]]*h_bucket", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*In\(h", plan), plan
