@@ -523,6 +523,28 @@ def test_maintained_index_deltas_tolerate_empty_deliveries(spark):
     assert {(r.vertex, r.component) for r in a3.collect()} == want
 
 
+def test_span_index_delta_bucketed_tolerates_empty_delivery(spark, tmp_path):
+    """The bucketed span delta under an empty drop: no changed stats,
+    no batch postings, and the empty bucket/hash lists must not break
+    the pruned-scan construction (isin over empty lists)."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    postings = dd.span_postings_frame(docs)
+    stats = dd.span_stats_from_postings(postings).localCheckpoint()
+    out = str(tmp_path / "layout")
+    dd.write_span_postings(postings, out)
+    bp, changed = dd.span_index_delta_bucketed(
+        spark, out, stats, docs.filter(F.lit(False))
+    )
+    assert bp.count() == 0
+    assert changed.count() == 0
+
+
 def test_bucketed_span_postings_probe_is_partition_pruned(spark, tmp_path):
     """The deployment seam DELTA_BENCH.json's note promises: span
     postings written partitionBy(h_bucket) let the delta's
