@@ -15,6 +15,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Below this many distinct quotient edges, components_delta resolves
+# the merge map with a driver-side min-label union-find (bounded
+# collect) instead of the distributed CC loop — the quotient is
+# delivery-bounded by the operator's contract, and the distributed
+# machinery costs seconds of fixed per-round overhead at any size.
+QUOTIENT_LOCAL_EDGE_MAX = 100_000
 
 
 def _eager_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
@@ -486,23 +494,69 @@ def components_delta(assign: DataFrame, new_edges: DataFrame,
         .select(F.col("comp_a").alias("src"), F.col("comp_b").alias("dst"))
     )
     quot, quot_ids = _eager_checkpoint(quot.distinct())
-    if quot.isEmpty():
+    n_quot = quot.count()
+    if n_quot == 0:
         _free_checkpoint(assign.sparkSession, quot_ids)
         return assign_all
-    relabel = (
-        connected_components(quot)
-        .filter(F.col("vertex") != F.col("component"))
-        .select(
-            F.col("vertex").alias("component"),
-            F.col("component").alias("merged"),
+    spark = assign.sparkSession
+    if n_quot <= QUOTIENT_LOCAL_EDGE_MAX:
+        # the quotient is delivery-bounded BY CONTRACT, and here it is
+        # tiny: a driver-side min-label union-find replaces the full
+        # distributed CC machinery (its per-round shuffles + eager
+        # checkpoints + probe jobs cost ~2 s of fixed overhead at any
+        # data size).  Bounded collect, the histogram/codebook
+        # discipline; the distributed path remains the fallback and is
+        # exercised by tests that pin this threshold to 0.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in quot.collect():
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels: dict = {}
+        for v in set(parent):
+            labels.setdefault(find(v), []).append(v)
+        pairs = [
+            (v, root)
+            for root, members in labels.items()
+            for v in members
+            if v != root
+        ]
+        _free_checkpoint(spark, quot_ids)
+        if not pairs:
+            return assign_all
+        vt = quot.schema["src"].dataType
+        relabel = spark.createDataFrame(
+            pairs,
+            T.StructType([
+                T.StructField("component", vt),
+                T.StructField("merged", vt),
+            ]),
         )
-    )
-    # the relabel map is small (merged components only): pin it, then
-    # free the quotient checkpoint blocks — the merge path used to
-    # leak them for the session, exactly the storage growth
-    # _free_checkpoint exists to prevent (round-6 review finding)
-    relabel, _relabel_ids = _eager_checkpoint(relabel)
-    _free_checkpoint(assign.sparkSession, quot_ids)
+    else:
+        relabel = (
+            connected_components(quot)
+            .filter(F.col("vertex") != F.col("component"))
+            .select(
+                F.col("vertex").alias("component"),
+                F.col("component").alias("merged"),
+            )
+        )
+        # the relabel map is small (merged components only): pin it,
+        # then free the quotient checkpoint blocks — the merge path
+        # used to leak them for the session, exactly the storage
+        # growth _free_checkpoint exists to prevent (round-6 review
+        # finding)
+        relabel, _relabel_ids = _eager_checkpoint(relabel)
+        _free_checkpoint(spark, quot_ids)
     return (
         assign_all.join(F.broadcast(relabel), "component", "left")
         .select(

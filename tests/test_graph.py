@@ -274,3 +274,31 @@ def test_components_delta_equals_rebuild(spark):
     # the merged mega-component keeps the min-id invariant
     comp_of = dict(got)
     assert comp_of[12] == 0 and comp_of[31] == 20 and comp_of[40] == 40
+
+
+def test_components_delta_distributed_fallback_matches_local(spark,
+                                                             monkeypatch):
+    """The quotient merge map has two resolution paths: the bounded
+    driver-side union-find (quotients up to QUOTIENT_LOCAL_EDGE_MAX)
+    and the distributed CC loop above it.  Pinning the threshold to 0
+    forces the distributed path over the same deliveries; both must
+    produce the identical assignment."""
+    from hfcommunity_spark.operators import graph as G
+
+    base_edges = [(0, 1), (1, 2), (10, 11), (11, 12), (20, 21)]
+    d1 = [(30, 31), (2, 10)]
+    d2 = [(21, 30), (40, 41)]
+
+    def df_of(pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def run():
+        assign = G.connected_components(df_of(base_edges))
+        for delivery in (d1, d2):
+            assign = G.components_delta(assign, df_of(delivery))
+            assign = assign.localCheckpoint()
+        return {(r.vertex, r.component) for r in assign.collect()}
+
+    local = run()
+    monkeypatch.setattr(G, "QUOTIENT_LOCAL_EDGE_MAX", 0)
+    assert run() == local
