@@ -564,3 +564,125 @@ def components_delta(assign: DataFrame, new_edges: DataFrame,
             F.coalesce("merged", "component").alias("component"),
         )
     )
+
+
+# --- fixed-iteration PageRank (integer arithmetic) -------------------
+
+# Node-id encoding for the bipartite supplier⇄part graph: parts are
+# offset into a disjoint id range so one BIGINT key serves both
+# partitions of the graph (no string concat in the join keys).
+PR_PART_OFFSET = 1_000_000_000
+PR_ITERS = 3
+PR_SCALE = 1_000_000          # pr is held in integer micro-units
+PR_JUMP = 150_000             # (1 - 0.85) * PR_SCALE
+PR_TOP_K = 20
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """``iters`` synchronous PageRank rounds over a directed edge list
+    (src, dst), entirely in integer micro-units: contribution =
+    ``pr DIV out_degree``, fold = ``jump + (85 * Σcontrib) DIV 100``.
+    Integer division is exact and order-free, so the result is
+    bit-identical across engines and partitionings — the float-sum
+    nondeterminism that usually keeps iterative algorithms out of a
+    hash-checked gate never arises.
+
+    Scale shape: each round is ONE shuffle (group contributions by
+    dst); the degree side is a per-src aggregate joined back on src.
+    The rank frame is node-sized, never edge-history-sized.  Callers
+    guarantee every node has out-degree ≥ 1 (the bipartite face feeds
+    both edge directions), so no dangling-mass correction is needed."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = deg.select("src").withColumn(
+        "pr", F.lit(PR_SCALE).cast("bigint")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranked, "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr DIV deg").alias("c"),
+            )
+        )
+        ranked = (
+            contrib.groupBy("node")
+            .agg(
+                (
+                    F.lit(PR_JUMP)
+                    + F.expr("(85 * sum(c)) DIV 100")
+                ).alias("pr")
+            )
+            .select(F.col("node").alias("src"), "pr")
+        )
+    return ranked.select(F.col("src").alias("node"), "pr")
+
+
+def _pr_iter_cte(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+      SELECT e.dst AS node,
+             CAST({PR_JUMP} + (85 * SUM(p.pr // d.deg)) // 100
+                  AS BIGINT) AS pr
+      FROM edges e
+      JOIN {prev} p ON p.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+
+
+_PAGERANK_ORACLE = f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS src,
+             l_partkey + {PR_PART_OFFSET} AS dst
+      FROM lineitem
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    p0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg),
+    {_pr_iter_cte('p0', 'p1')},
+    {_pr_iter_cte('p1', 'p2')},
+    {_pr_iter_cte('p2', 'p3')},
+    top AS (SELECT * FROM p3 ORDER BY pr DESC, node LIMIT {PR_TOP_K})
+    SELECT node, pr,
+           CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS INTEGER)
+             AS rank
+    FROM top
+    """
+
+
+def _pr_query(name: str):
+    from hfcommunity_spark.registry import query
+
+    return query(name, _PAGERANK_ORACLE, survey="J5,A10,O2,J9")
+
+
+@_pr_query("g_pagerank_fixed_iter")
+def g_pagerank_fixed_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the supplier⇄part supply graph
+    (the J5 iterative-algorithm face beyond BFS/CC): which suppliers
+    and parts sit at the hubs of the supply network after 3 rounds of
+    integer-exact rank propagation.
+
+    The edge list is the DISTINCT (supplier, part) relation from
+    lineitem, fed in BOTH directions so the bipartite graph has no
+    dangling nodes; the oracle unrolls the same 3 rounds as chained
+    CTEs with the identical integer expressions (`//` = `DIV`), so
+    hash equality checks every round, not just the fixed point."""
+    from pyspark.sql import Window
+
+    from hfcommunity_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).cast("bigint").alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank_fixed(edges)
+    top = pr.orderBy(F.desc("pr"), F.asc("node")).limit(PR_TOP_K)
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("node", "pr", "rank")

@@ -1,5 +1,7 @@
-"""Lexical retrieval over the ``documents`` corpus (SURVEY §2.11
-X-UD5 north star): inverted-index term statistics → BM25 ranking.
+"""Lexical + hybrid retrieval over the ``documents`` corpus (SURVEY
+§2.11 X-UD5 north star): inverted-index term statistics → BM25
+ranking, reciprocal-rank fusion with the dense ANN ranking, and the
+delta-maintained index parity face.
 
 The reference has no retrieval surface (its query layer is delegated
 to MariaDB — reference/extractor/databaseImport.py:1); this is part of
@@ -29,14 +31,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
-from hfcommunity_spark.operators.textops import token_count
 from hfcommunity_spark.registry import query
+from hfcommunity_spark.session_cache import SessionCache
 
 K1 = 1.2
 B = 0.75
 BM25_TOP_K = 10
 # Fixed query terms (present in the synthetic vocabulary at every SF).
 BM25_TERMS = ("spark", "table", "join")
+
+# Reciprocal-rank fusion: the standard k=60 damping; pools are the
+# per-ranker top-100 (bounded — every window after the pool cut runs
+# over ≤pool rows).
+RRF_K = 60
+RRF_POOL = 100
+RRF_TOP_K = 10
 
 
 def _bm25_term_cases() -> str:
@@ -50,8 +59,11 @@ def _bm25_term_cases() -> str:
     return " + ".join(parts)
 
 
-_BM25_ORACLE = f"""
-    WITH dl AS (
+# The scored-corpus CTE chain (doc_id, score_rounded), shared verbatim
+# by the BM25 top-k, the RRF fusion, and the maintained-index parity
+# oracle — ONE definition so the scoring model cannot drift between
+# faces.
+_BM25_SCORED_CTES = f"""dl AS (
       SELECT doc_id,
              LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS dl
       FROM documents
@@ -80,7 +92,11 @@ _BM25_ORACLE = f"""
     scored AS (
       SELECT doc_id, ROUND({_bm25_term_cases()}, 4)::DOUBLE AS score_rounded
       FROM scored_t GROUP BY doc_id
-    ),
+    )"""
+
+
+_BM25_ORACLE = f"""
+    WITH {_BM25_SCORED_CTES},
     top AS (SELECT * FROM scored
             ORDER BY score_rounded DESC, doc_id LIMIT {BM25_TOP_K})
     SELECT doc_id,
@@ -91,17 +107,18 @@ _BM25_ORACLE = f"""
     """
 
 
-@query("sim_bm25_topk", _BM25_ORACLE, survey="X-UD5,A4,O2,J9")
-def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k retrieval for a fixed bag-of-words query.
+def _bm25_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three index artifacts a standing BM25 index materializes:
+    query-term postings ``tf(doc_id, term, tf)``, doc lengths
+    ``dl(doc_id, dl)``, and the 1-row corpus stats ``st(n, sum_dl)``.
+    All three are associative under corpus union — the property the
+    maintained-index face exploits."""
+    from hfcommunity_spark.operators.textops import token_count
 
-    Plan: postings filter before the (doc_id, term) partial agg, df and
-    corpus stats as broadcast k-row/1-row sides, one doc_id equi-join,
-    fixed-order per-term sum (pivot), TakeOrderedAndProject top-k."""
-    docs = read_table(spark, sf_dir, "documents")
     dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
     st = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
     )
     tf = (
         docs.select(
@@ -111,8 +128,16 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf, dl, st
 
+
+def _bm25_scored_from(tf: DataFrame, dl: DataFrame,
+                      st: DataFrame) -> DataFrame:
+    """(doc_id, score_rounded) from prepared index frames — the Spark
+    twin of the ``scored`` CTE.  ``dfreq`` and ``st`` are broadcast
+    k-row/1-row sides; the one data-sized shuffle is the tf ⋈ dl
+    equi-join."""
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n")
     idf = F.log(
         (F.col("n").cast("double") - F.col("df") + 0.5)
@@ -142,9 +167,217 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_term[0]
     for p in per_term[1:]:
         total = total + p
-    scored = scored_t.groupBy("doc_id").agg(
+    return scored_t.groupBy("doc_id").agg(
         F.round(total, 4).alias("score_rounded")
     )
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_rounded) over a document frame, one shot."""
+    tf, dl, st = _bm25_frames(docs)
+    return _bm25_scored_from(tf, dl, st)
+
+
+@query("sim_bm25_topk", _BM25_ORACLE, survey="X-UD5,A4,O2,J9")
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed bag-of-words query.
+
+    Plan: postings filter before the (doc_id, term) partial agg, df and
+    corpus stats as broadcast k-row/1-row sides, one doc_id equi-join,
+    fixed-order per-term sum (pivot), TakeOrderedAndProject top-k."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = bm25_scored(docs)
+    from hfcommunity_spark.operators.lm import ranked_topk
+
+    return ranked_topk(scored, "score_rounded", BM25_TOP_K).select(
+        "doc_id", "rank", "score_rounded"
+    )
+
+
+def _pool_ranks(scored: DataFrame, key_col: str, id_col: str,
+                rank_name: str, pool: int) -> DataFrame:
+    """Top-``pool`` cut (TakeOrderedAndProject) then a rank window over
+    the ≤pool survivors — the ``similarity._rank_topk`` discipline, so
+    fusing two rankers never needs a global sort of either corpus."""
+    top = scored.orderBy(F.desc(key_col), F.asc(id_col)).limit(pool)
+    w = Window.orderBy(F.desc(key_col), F.asc(id_col))
+    return top.withColumn(rank_name, F.row_number().over(w)).select(
+        F.col(id_col).alias("doc_id"), rank_name
+    )
+
+
+_RRF_ORACLE = f"""
+    WITH {_BM25_SCORED_CTES},
+    lexpool AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_rounded DESC, doc_id)
+               AS r_lex
+      FROM (SELECT * FROM scored
+            ORDER BY score_rounded DESC, doc_id LIMIT {RRF_POOL})
+    ),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    dscored AS (
+      SELECT vec_id, list_cosine_similarity(embedding, q_emb) AS sim
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    densepool AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS r_dense
+      FROM (SELECT * FROM dscored ORDER BY sim DESC, vec_id
+            LIMIT {RRF_POOL})
+    ),
+    fused AS (
+      SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id,
+             ROUND(COALESCE((1.0::DOUBLE) / ({RRF_K} + r_dense), 0.0)
+                   + COALESCE((1.0::DOUBLE) / ({RRF_K} + r_lex), 0.0),
+                   6)::DOUBLE AS rrf_rounded
+      FROM densepool d FULL OUTER JOIN lexpool l ON d.doc_id = l.doc_id
+    ),
+    top AS (SELECT * FROM fused
+            ORDER BY rrf_rounded DESC, doc_id LIMIT {RRF_TOP_K})
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_rounded DESC, doc_id)
+                AS INTEGER) AS rank,
+           rrf_rounded
+    FROM top
+    """
+
+
+@query("sim_hybrid_rrf_topk", _RRF_ORACLE, survey="X-UD5,O2,J8,J9,A12")
+def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the dense cosine
+    ranking and the lexical BM25 ranking — the standard production
+    shape for RAG retrieval (dense recalls paraphrase, lexical recalls
+    exact terms; RRF needs no score calibration between them).
+
+    Each ranker contributes its top-``RRF_POOL`` as (id, rank); the
+    fusion is a FULL OUTER join of two ≤pool-row frames (a ranker
+    missing a doc contributes 0 — the J8 null path is load-bearing),
+    ``rrf = Σ 1/(k + rank)`` summed in fixed literal order, rounded to
+    6 decimals, ranked with a doc_id tie-break.  Both pool ranks are
+    exact integers, so the only float work is two divisions and one
+    addition per fused row — identical IEEE doubles in both engines."""
+    from hfcommunity_spark.operators.similarity import (
+        _cosine_to_query_udf,
+        _query_vector,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lexpool = _pool_ranks(
+        bm25_scored(docs), "score_rounded", "doc_id", "r_lex", RRF_POOL
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(emb, cache_key=sf_dir)
+    dscored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", _cosine_to_query_udf(qv)(F.col("embedding")).alias("sim")
+    )
+    densepool = _pool_ranks(dscored, "sim", "vec_id", "r_dense", RRF_POOL)
+
+    fused = densepool.join(lexpool, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (RRF_K + F.col("r_dense")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (RRF_K + F.col("r_lex")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_rounded"),
+    )
+    top = fused.orderBy(F.desc("rrf_rounded"), F.asc("doc_id")).limit(
+        RRF_TOP_K
+    )
+    w = Window.orderBy(F.desc("rrf_rounded"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("doc_id", "rank", "rrf_rounded")
+
+
+# --- delta-maintained BM25 index (the retrieval member of the
+# --- maintained-index family, next to dd_maintained_*_parity) -------
+
+# Standing BM25 index artifacts over the dedup family's BASE slice,
+# session-persisted like every other index (at 100 TB: standing tables
+# beside the corpus, refreshed per delivery — never rebuilt from it).
+_BM25_BASE_CACHE = SessionCache(persist=True)
+
+
+def _bm25_base_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    from hfcommunity_spark.operators.dedup import _delta_base_docs
+
+    def build_tf() -> DataFrame:
+        return _bm25_frames(_delta_base_docs(spark, sf_dir))[0]
+
+    def build_dl() -> DataFrame:
+        return _bm25_frames(_delta_base_docs(spark, sf_dir))[1]
+
+    def build_st() -> DataFrame:
+        return _bm25_frames(_delta_base_docs(spark, sf_dir))[2]
+
+    tf = _BM25_BASE_CACHE.get_or_build(spark, ("tf", sf_dir), build_tf)
+    dl = _BM25_BASE_CACHE.get_or_build(spark, ("dl", sf_dir), build_dl)
+    st = _BM25_BASE_CACHE.get_or_build(spark, ("st", sf_dir), build_st)
+    return tf, dl, st
+
+
+def bm25_index_delta(
+    base_tf: DataFrame, base_dl: DataFrame, base_st: DataFrame,
+    arriving: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold a delivery into a standing BM25 index.  Every artifact is
+    associative under corpus union: postings and doc lengths append
+    (a delivery-bounded scan — the standing frames are never re-read
+    beyond the final union), and the corpus stats fold by scalar
+    addition of two 1-row frames.  No per-delivery work scales with
+    the standing corpus — the incremental property the parity query
+    turns into driver hash evidence."""
+    d_tf, d_dl, d_st = _bm25_frames(arriving)
+    st = base_st.select(
+        F.col("n").alias("n0"), F.col("sum_dl").alias("s0")
+    ).crossJoin(
+        F.broadcast(
+            d_st.select(F.col("n").alias("n1"), F.col("sum_dl").alias("s1"))
+        )
+    ).select(
+        (F.col("n0") + F.col("n1")).alias("n"),
+        (F.col("s0") + F.col("s1")).alias("sum_dl"),
+    )
+    return (
+        base_tf.unionByName(d_tf),
+        base_dl.unionByName(d_dl),
+        st,
+    )
+
+
+@query("ret_maintained_bm25_parity", _BM25_ORACLE,
+       survey="X-UD5,D3,A10,O2,J9")
+def ret_maintained_bm25_parity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The maintained BM25 index under a delivery — the search-index
+    member of the maintained-index family: a 100 TB deployment appends
+    the delivery's postings/doclens and adds two scalars to the corpus
+    stats instead of re-tokenizing the corpus, then serves the same
+    ranking.
+
+    Spark side: fold the arriving slice into the session-persisted
+    base index with :func:`bm25_index_delta` and rank from the FOLDED
+    artifacts.  The oracle is the full-rebuild BM25 over ALL documents
+    (``_BM25_ORACLE`` verbatim) — hash equality proves the fold is
+    value-identical to a rebuild, including the global idf/avgdl
+    statistics that make BM25 non-trivially incremental (df, N and
+    avgdl all shift with the delivery, so stale-stat serving would
+    hash-mismatch)."""
+    from hfcommunity_spark.operators.dedup import _delta_arriving_docs
+
+    tf, dl, st = bm25_index_delta(
+        *_bm25_base_frames(spark, sf_dir),
+        _delta_arriving_docs(spark, sf_dir),
+    )
+    scored = _bm25_scored_from(tf, dl, st)
     from hfcommunity_spark.operators.lm import ranked_topk
 
     return ranked_topk(scored, "score_rounded", BM25_TOP_K).select(

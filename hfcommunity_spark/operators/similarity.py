@@ -1382,3 +1382,134 @@ def sim_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .applyInPandas(mmr, "vec_id long, mmr_rank int, rel_rank int")
     )
+
+
+# --- scalar-quantized (int8) approximate scan + exact re-rank --------
+
+# SQ8: per-dimension min/max scalar quantization to 8-bit codes — the
+# memory-bandwidth scale path for a first-pass ANN scan (4× smaller
+# than float32, integer dot products).  The candidate pool from the
+# quantized scan is re-ranked EXACTLY from the full-precision
+# embeddings, so quantization error can only cost recall inside the
+# pool margin, never corrupt the final ordering.
+SQ8_POOL = 50
+SQ8_LEVELS = 255
+
+_SQ8_INDEX_CACHE = SessionCache(persist=True)
+
+
+def sq8_quantize(emb: DataFrame) -> DataFrame:
+    """The quantized code table (vec_id, pos, q) for an embedding
+    frame: per-dimension min/max over the corpus (a DIM-row broadcast
+    side), then ``q = floor((x - mn) * 255 / (mx - mn))`` — every op
+    an IEEE double primitive, so both engines derive identical
+    codes."""
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    st = ex.groupBy("pos").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    return ex.join(F.broadcast(st), "pos").select(
+        "vec_id",
+        "pos",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                ((F.col("val") - F.col("mn")) * SQ8_LEVELS * 1.0)
+                / (F.col("mx") - F.col("mn"))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("q"),
+    )
+
+
+def sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted code table for the sf_dir corpus (at 100 TB:
+    a materialized int8-packed column beside the corpus, refreshed
+    with the stats on delivery)."""
+    return _SQ8_INDEX_CACHE.get_or_build(
+        spark,
+        (sf_dir,),
+        lambda: sq8_quantize(read_table(spark, sf_dir, "embeddings")),
+    )
+
+
+_SQ8_ORACLE = f"""
+    WITH pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+    ex AS (
+      SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+      FROM embeddings, pos
+    ),
+    st AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM ex GROUP BY pos),
+    qz AS (
+      SELECT vec_id, e.pos,
+             CASE WHEN mx > mn THEN
+               CAST(FLOOR(((val - mn) * {SQ8_LEVELS} * 1.0) / (mx - mn))
+                    AS BIGINT)
+             ELSE 0 END AS q
+      FROM ex e JOIN st USING (pos)
+    ),
+    qv AS (SELECT pos, q FROM qz WHERE vec_id = 0),
+    iscore AS (
+      SELECT c.vec_id, SUM(c.q * qv.q) AS s
+      FROM qz c JOIN qv USING (pos) WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+    ),
+    pool AS (SELECT vec_id FROM iscore
+             ORDER BY s DESC, vec_id LIMIT {SQ8_POOL}),
+    qemb AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    rer AS (
+      SELECT e.vec_id, list_cosine_similarity(e.embedding, q_emb) AS sim
+      FROM embeddings e JOIN pool USING (vec_id), qemb
+    ),
+    top AS (SELECT * FROM rer ORDER BY sim DESC, vec_id LIMIT {TOP_K})
+    SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id)
+                        AS INTEGER) AS rank
+    FROM top
+    """
+
+
+@query("sim_sq8_rerank_topk", _SQ8_ORACLE, survey="A12,X-UD5,F11,O1,J9")
+def sim_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize-scan-rerank ANN: int8 scalar-quantized first pass over
+    the code table, exact cosine re-rank of the surviving pool.
+
+    The quantized scan is the only corpus-sized pass (integer dot
+    products against a broadcast 64-row quantized query); the pool cut
+    is TakeOrderedAndProject; the exact re-rank touches ≤{pool} rows.
+    Rank-only output (the ``sim_bruteforce_topk`` convention): the
+    integer approximate scores are bit-exact cross-engine, and the
+    re-rank similarities agree far below neighbor spacing."""
+    return sq8_rerank_topk(
+        read_table(spark, sf_dir, "embeddings"),
+        sq8_codes(spark, sf_dir),
+        query_cache_key=sf_dir,
+    )
+
+
+def sq8_rerank_topk(emb: DataFrame, codes: DataFrame,
+                    query_cache_key: str | None = None) -> DataFrame:
+    """The quantize-scan-rerank pipeline over prepared frames (the
+    query face binds them to the sf_dir corpus + session-cached code
+    table; tests bind ad-hoc slices to check the covering-pool
+    property)."""
+    qv = codes.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("q").alias("qq")
+    )
+    iscore = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("qq")).alias("s"))
+    )
+    pool = iscore.orderBy(F.desc("s"), F.asc("vec_id")).limit(
+        SQ8_POOL
+    ).select("vec_id")
+    q = _query_vector(emb, cache_key=query_cache_key)
+    rer = emb.join(F.broadcast(pool), "vec_id").select(
+        "vec_id", _cosine_to_query_udf(q)(F.col("embedding")).alias("sim")
+    )
+    return _rank_topk(rer)

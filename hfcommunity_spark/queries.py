@@ -80,6 +80,14 @@ try:
     from hfcommunity_spark.operators import layout  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from hfcommunity_spark.operators import linkage  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from hfcommunity_spark.operators import graph  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # The first 50 registry entries — the driver's correctness window.
@@ -124,7 +132,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "samp_hash_split_counts",  # A5, P8, X-UD5
     # --- round-5 addition #1: production SemDeDup composite --------
     "dd_semantic_dup_clusters_lsh",  # X-UD5, J5, J6, J9
-    "d3_partial_update_stale",  # D3, P2
+    # (Second round-8 rotation: d3_partial_update_stale, dd_strip_dup_spans
+    # and samp_dsir_resample rotate out with their r6+r7 stamps intact —
+    # D3 moves to the two maintained-index parity faces, P2 to
+    # f7_epoch_default_watermark, J2/F12/A7 and A10/O2/J9/F1 each keep
+    # several oracle-equipped window members — making room for the
+    # round-8 record-linkage, hybrid-RRF and maintained-BM25 queries.)
     "d5_scd2_user_state",  # D2, D4, W2
     "u1_priority_union_sources",  # U1, U2
     "p10_oversize_text_guard",  # F5, P10
@@ -194,22 +207,31 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s14_snapshot_roundtrip",  # S14, D4, S15
     "s1_hub_listing_scan",  # S1, S2, S3, O1, S15
     # --- round-6 entrants: the never-stamped five -------------------
-    "pipe_curation_dsir_topk",  # X-UD5, J2, A10, O2, J9 — the
-    # curate-then-select composite (round-5 flagship, landed after the
-    # r5 window was spent)
-    "samp_dsir_resample",  # X-UD5, A10, O2, J9, F1 — Gumbel-top-k
-    "samp_epoch_shard_plan",  # X-UD5, W1, F1, A5 — epoch deal
+    # (Third round-8 rotation: pipe_curation_dsir_topk and
+    # samp_epoch_shard_plan rotate out with their r6+r7 stamps intact —
+    # J2/A10/O2/J9 and W1/F1/A5 each keep several oracle-equipped
+    # window members — making room for the round-8 quantized-ANN and
+    # integer PageRank queries.)
+    "sim_sq8_rerank_topk",  # A12, X-UD5, F11, O1, J9 — int8 scalar-
+    # quantized first pass + exact cosine re-rank of the pool
+    "g_pagerank_fixed_iter",  # J5, A10, O2, J9 — 3-round integer
+    # PageRank over the supplier-part supply graph, unrolled-CTE oracle
     "pipe_curate_select_pack_shard",  # X-UD5, J2, O2, W1, W3, F1,
     # A10 — round-6 final mile: curate -> select -> shard -> pack
     # --- round-6 operators #2: source hygiene -----------------------
     "dd_source_hygiene_audit",  # X-UD5, A6, A7, J2, F11 — domain gate
-    "dd_strip_dup_spans",  # X-UD5, J2, F12, A7 — the exact-substring
-    # dedup TRANSFORM (cleaned text value-hashed, not a proxy stat)
     "samp_length_batch_plan",  # X-UD5, W1, A5, F11, A10 —
     # length-bucketed batching with exact integer log2 buckets
     "x13_stream_source_hygiene",  # X7, J8, A6, A10, X-UD5 — the
     # hygiene verdict re-evaluated under an arriving batch
     # --- round-8 entrants: maintained-index deltas + commit DAG -----
+    "j12_fuzzy_blocked_join",  # J6, J9, F12, A9 — blocked fuzzy
+    # record linkage (distinct-first, noun blocking, codegen
+    # levenshtein on in-block pairs)
+    "sim_hybrid_rrf_topk",  # X-UD5, O2, J8, J9, A12 — reciprocal-rank
+    # fusion of the dense cosine and lexical BM25 rankers
+    "ret_maintained_bm25_parity",  # X-UD5, D3, A10, O2, J9 — the
+    # maintained BM25 index under a delivery, full-rebuild oracle
     "dd_maintained_pairs_parity",  # X-UD5, J6, J9, D3 — MinHash band
     # + pair index under a delivery, hash-equal to the full rebuild
     "dd_maintained_components_parity",  # X-UD5, J5, D3 — standing

@@ -80,15 +80,17 @@ def test_no_declared_query_escapes_driver_evidence():
 
 def test_north_star_families_inside_window():
     window = set(DRIVER_WINDOW)
-    # d3/d5 carry the merge-family evidence (d1/d2 keep their r1-r3
-    # stamps; skew_salted_agg_parity keeps its r4 stamp after the
-    # second round-5 rotation); "x1" pins the stream-static gate slot
-    # (x10 in round 4, the x12 DSIR gate since round 6); "pipe_"
-    # pins the curation composites.  ("layout_" and "mm_" rotated out
-    # in round 6 with their r5 stamps intact — UD2/UD4 driver evidence
-    # now rides ud2_chunk_udtf and the MMR grouped map; the no-orphan
-    # test above guards every rotated query's cumulative evidence.)
-    for prefix in ("dd_", "sim_", "t_", "ud", "d3", "d5",
-                   "u1", "samp_", "pipe_",
+    # d5 carries the merge-family evidence (d1/d2/d3 keep their
+    # earlier stamps; D3's window slot moved to the two maintained-
+    # index parity faces in round 8); "x1" pins the stream-static gate
+    # slot (x10 in round 4, the x12 DSIR gate since round 6); "pipe_"
+    # pins the curation composites; "ret_" the maintained BM25 index,
+    # "j12" the record-linkage face, "g_" the commit-DAG ancestry.
+    # ("layout_" and "mm_" rotated out in round 6 with their r5 stamps
+    # intact — UD2/UD4 driver evidence now rides ud2_chunk_udtf and
+    # the MMR grouped map; the no-orphan test above guards every
+    # rotated query's cumulative evidence.)
+    for prefix in ("dd_", "sim_", "t_", "ud", "d5",
+                   "u1", "samp_", "pipe_", "ret_", "j12", "g_",
                    "x3", "x4", "x5", "x9", "x1"):
         assert any(n.startswith(prefix) for n in window), prefix

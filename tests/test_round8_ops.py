@@ -1,0 +1,237 @@
+"""Round-8 operator additions: record linkage, hybrid RRF retrieval,
+the maintained BM25 index, int8 scalar-quantized ANN, and
+fixed-iteration integer PageRank.
+
+The oracle parity suite (tests/test_oracle_parity.py) already locks
+each declared face against DuckDB at the driver's comparison scale;
+these tests lock the PROPERTIES the oracles cannot see — plan shapes,
+physical disciplines, and the operator-level invariants (delta ==
+rebuild on arbitrary splits, quantized recall under a covering pool,
+partitioning-independence of the integer PageRank)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# --- j12: blocked fuzzy record linkage -------------------------------
+
+
+def test_fuzzy_blocked_pairs_semantics(spark):
+    from hfcommunity_spark.operators.linkage import (
+        distinct_blocked_names,
+        fuzzy_blocked_pairs,
+    )
+
+    recs = spark.createDataFrame(
+        [("red widget",), ("red widget",), ("bed widget",), ("red gear",),
+         ("blue gear",), (None, )],
+        "name string",
+    ).filter(F.col("name").isNotNull())
+    names = distinct_blocked_names(
+        recs, "name", F.split(F.col("name"), " ")[1]
+    )
+    got = {tuple(r) for r in names.collect()}
+    # distinct-first: multiplicities collapse into n_records
+    assert ("red widget", "widget", 2) in got and len(got) == 4
+
+    pairs = fuzzy_blocked_pairs(names, max_dist=2).collect()
+    for r in pairs:
+        assert r.name_a < r.name_b          # canonical orientation
+        assert r.dist <= 2
+    # cross-block near-names never pair: "red widget" vs "red gear"
+    # share no block even though dist is small for other metrics
+    keys = {(r.name_a, r.name_b) for r in pairs}
+    assert ("bed widget", "red widget") in keys
+    assert all("gear" not in a or "gear" in b for a, b in keys)
+
+
+def test_fuzzy_join_plan_is_blocked(spark):
+    """The pairwise kernel must ride an equi-join on the block key —
+    never a cartesian product with a distance filter."""
+    from hfcommunity_spark.queries import all_queries
+
+    df = all_queries()["j12_fuzzy_blocked_join"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+# --- hybrid RRF fusion -----------------------------------------------
+
+
+def test_rrf_fusion_rank_contract(spark):
+    from hfcommunity_spark.queries import all_queries
+
+    rows = all_queries()["sim_hybrid_rrf_topk"].spark(
+        spark, SF_ORACLE
+    ).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    # fused scores are positive, bounded by the best-possible double
+    # contribution 2/(k+1), and monotone in rank
+    scores = [r.rrf_rounded for r in rows]
+    assert all(0 < s <= 2 / 61 + 1e-9 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_pool_windows_are_bounded(spark):
+    """The rank windows run over pool cuts (≤RRF_POOL rows), never the
+    corpus: both ranker branches end in TakeOrderedAndProject before
+    any Window."""
+    from hfcommunity_spark.queries import all_queries
+
+    df = all_queries()["sim_hybrid_rrf_topk"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+# --- maintained BM25 index -------------------------------------------
+
+
+def test_bm25_delta_equals_rebuild_any_split(spark):
+    """The fold is associative for EVERY split, not just the declared
+    one: folding an arbitrary 3-way split must reproduce the one-shot
+    scored frame exactly (scores are rounded the same way on both
+    paths, so equality is exact)."""
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.retrieval import (
+        _bm25_frames,
+        _bm25_scored_from,
+        bm25_index_delta,
+        bm25_scored,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    part_a = docs.filter(F.col("doc_id") % 3 == 0)
+    part_b = docs.filter(F.col("doc_id") % 3 == 1)
+    part_c = docs.filter(F.col("doc_id") % 3 == 2)
+
+    tf, dl, st = _bm25_frames(part_a)
+    tf, dl, st = bm25_index_delta(tf, dl, st, part_b)
+    tf, dl, st = bm25_index_delta(tf, dl, st, part_c)
+    folded = {tuple(r) for r in _bm25_scored_from(tf, dl, st).collect()}
+    oneshot = {tuple(r) for r in bm25_scored(docs).collect()}
+    assert folded == oneshot and len(oneshot) > 0
+
+
+def test_bm25_delta_empty_delivery_is_identity(spark):
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.retrieval import (
+        _bm25_frames,
+        _bm25_scored_from,
+        bm25_index_delta,
+        bm25_scored,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    empty = docs.filter(F.lit(False))
+    tf, dl, st = bm25_index_delta(*_bm25_frames(docs), empty)
+    folded = {tuple(r) for r in _bm25_scored_from(tf, dl, st).collect()}
+    oneshot = {tuple(r) for r in bm25_scored(docs).collect()}
+    assert folded == oneshot
+
+
+# --- sq8 quantized ANN -----------------------------------------------
+
+
+def test_sq8_codes_are_bytes(spark):
+    from hfcommunity_spark.operators.similarity import (
+        SQ8_LEVELS,
+        sq8_codes,
+    )
+
+    stats = sq8_codes(spark, SF_SMOKE).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).head()
+    assert 0 <= stats.lo and stats.hi <= SQ8_LEVELS
+
+
+def test_sq8_covering_pool_matches_exact(spark):
+    """When the candidate pool covers the whole corpus slice, the
+    quantized first pass cannot drop a true neighbor, so the re-ranked
+    output must equal the exact brute-force ranking — the rerank stage
+    is exact by construction."""
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.similarity import (
+        SQ8_POOL,
+        _cosine_to_query_udf,
+        _query_vector,
+        _rank_topk,
+        sq8_quantize,
+        sq8_rerank_topk,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") <= SQ8_POOL
+    )
+    sq8 = sq8_rerank_topk(emb, sq8_quantize(emb))
+    q = _query_vector(emb)
+    exact = _rank_topk(
+        emb.filter(F.col("vec_id") != 0).select(
+            "vec_id",
+            _cosine_to_query_udf(q)(F.col("embedding")).alias("sim"),
+        )
+    )
+    assert {tuple(r) for r in sq8.collect()} == {
+        tuple(r) for r in exact.collect()
+    }
+
+
+# --- fixed-iteration integer PageRank --------------------------------
+
+
+@pytest.fixture(scope="module")
+def pr_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (3, 2), (1, 3), (4, 1), (1, 4)],
+        "src long, dst long",
+    )
+    return edges
+
+
+def test_pagerank_partitioning_independence(spark, pr_edges):
+    """Integer arithmetic makes the result exactly reproducible under
+    any physical partitioning — the property that lets an iterative
+    algorithm live in a hash-checked gate."""
+    from hfcommunity_spark.operators.graph import pagerank_fixed
+
+    a = {tuple(r) for r in pagerank_fixed(pr_edges).collect()}
+    b = {
+        tuple(r)
+        for r in pagerank_fixed(pr_edges.repartition(7, "dst")).collect()
+    }
+    assert a == b and len(a) == 4
+
+
+def test_pagerank_mass_bounds(spark, pr_edges):
+    """Each round redistributes at most the full mass (integer DIV only
+    truncates), and every node keeps at least the jump floor."""
+    from hfcommunity_spark.operators.graph import (
+        PR_JUMP,
+        PR_SCALE,
+        pagerank_fixed,
+    )
+
+    rows = pagerank_fixed(pr_edges).collect()
+    n = len(rows)
+    total = sum(r.pr for r in rows)
+    assert total <= n * PR_SCALE
+    assert all(r.pr >= PR_JUMP for r in rows)
+
+
+def test_pagerank_favors_high_in_degree(spark, pr_edges):
+    """Node 1 has in-edges from 2, 3 and 4; node 4 only from 1 — the
+    3-round rank must order them accordingly."""
+    from hfcommunity_spark.operators.graph import pagerank_fixed
+
+    pr = {r.node: r.pr for r in pagerank_fixed(pr_edges).collect()}
+    assert pr[1] > pr[4]

@@ -130,6 +130,37 @@ def main() -> None:
                 )
             ]),
         }
+        # bm25 arm (round 8): index maintenance economics for the
+        # retrieval member.  The rebuild arm re-tokenizes the corpus
+        # into all three index artifacts; the delta arm tokenizes the
+        # DELIVERY only and folds the 1-row stats (the base postings /
+        # doclens are appended to, never re-read — so they are not
+        # counted, mirroring the uncharged standing state above).
+        from hfcommunity_spark.operators.retrieval import (
+            _bm25_frames,
+            bm25_index_delta,
+        )
+
+        base_tf, base_dl, base_st = (
+            df.localCheckpoint() for df in _bm25_frames(corpus)
+        )
+
+        def _bm25_rebuild():
+            for df in _bm25_frames(docs):
+                df.count()
+
+        def _bm25_delta():
+            d_tf, d_dl, d_st = _bm25_frames(delivery)
+            d_tf.count()
+            d_dl.count()
+            # the folded stats row is the only base-touching read —
+            # a 1-row frame, the per-delivery cost a deployment pays
+            bm25_index_delta(base_tf, base_dl, base_st, delivery)[2].count()
+
+        scale["bm25_index"] = {
+            "rebuild_s": timed(_bm25_rebuild),
+            "delta_s": timed(_bm25_delta),
+        }
         # both CC arms start from MATERIALIZED pair frames — timing the
         # lazy merged plan would charge the band-delta recomputation to
         # the rebuild arm (review finding); and the delta rows are by
@@ -155,7 +186,8 @@ def main() -> None:
 
     growth = {}
     if "sf0.1" in per_scale and "sf1.0" in per_scale:
-        for idx in ("minhash_pairs", "span_stats", "clusters"):
+        for idx in ("minhash_pairs", "span_stats", "clusters",
+                    "bm25_index"):
             a, b = per_scale["sf0.1"][idx], per_scale["sf1.0"][idx]
             growth[idx] = {
                 "rebuild_x": round(b["rebuild_s"] / a["rebuild_s"], 2),
