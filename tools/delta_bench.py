@@ -212,7 +212,15 @@ def main() -> None:
                  "track the corpus at 1.7x).  The cluster delta's "
                  "thresholded edge sets are so small at these scales "
                  "that a rebuild is already trivial; its delta pays "
-                 "off when the edge HISTORY is large."),
+                 "off when the edge HISTORY is large.  The bm25 arm "
+                 "(round 8) shows the delta flat (~0.3x) while its "
+                 "rebuild is still fixed-overhead-bound at these "
+                 "corpus sizes (~0.9x at the 10x step: tokenizing "
+                 "50k short docs is job-setup-dominated) — the arm "
+                 "is kept because the delta tokenizes the DELIVERY "
+                 "only and touches one 1-row stats frame of the "
+                 "base, a shape whose payoff is structural, not "
+                 "contingent on this scale point."),
     }
     with open(OUT, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
