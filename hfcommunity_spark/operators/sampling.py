@@ -590,3 +590,152 @@ def samp_length_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_rounded"),
         )
     )
+
+
+# --- UniMax epoch-budget allocation (round 8) ------------------------
+
+# Language/source-balanced sampling for LM pretraining: each source's
+# contribution is capped at UNIMAX_EPOCH_CAP passes over its natural
+# data, and the remaining token budget is water-filled equally among
+# the sources the cap doesn't bind (the UniMax rule: closest to
+# uniform without over-repeating small sources).  The budget is a
+# fixed FRACTION of the corpus so the allocation problem is scale-free
+# — at any SF (or 100 TB) roughly the same sources sit above/below the
+# water level.
+UNIMAX_EPOCH_CAP = 2
+# budget = 9/5 of the corpus tokens: between min(cap) and max(cap) at
+# every SF's source spread, so the cap genuinely binds on the smallest
+# sources while the rest sit at the water level — both branches of the
+# allocator carry driver evidence (a budget under min(cap)/n-th of the
+# corpus would degenerate to a uniform split and never exercise the
+# prefix-capping logic).
+UNIMAX_BUDGET_NUM = 9
+UNIMAX_BUDGET_DEN = 5
+
+
+_UNIMAX_ORACLE = f"""
+    WITH nat AS (
+      SELECT source,
+             SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+               AS nat_tokens
+      FROM documents WHERE text IS NOT NULL GROUP BY source
+    ),
+    tot AS (SELECT SUM(nat_tokens) * {UNIMAX_BUDGET_NUM} // {UNIMAX_BUDGET_DEN} AS budget,
+                   COUNT(*) AS n FROM nat),
+    caps AS (
+      SELECT source, nat_tokens,
+             nat_tokens * {UNIMAX_EPOCH_CAP} AS cap_tokens,
+             ROW_NUMBER() OVER (ORDER BY nat_tokens * {UNIMAX_EPOCH_CAP},
+                                source) AS i,
+             COALESCE(SUM(nat_tokens * {UNIMAX_EPOCH_CAP}) OVER (
+               ORDER BY nat_tokens * {UNIMAX_EPOCH_CAP}, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM nat
+    ),
+    -- ascending caps: the capped set is a prefix — source i is capped
+    -- iff giving every remaining source its equal share would still
+    -- leave i at or under its cap (exact integer test, no division)
+    flagged AS (
+      SELECT caps.*, tot.budget, tot.n,
+             cap_tokens * (n - i + 1) <= budget - cum_before AS capped
+      FROM caps, tot
+    ),
+    lvl AS (
+      SELECT COALESCE(SUM(CASE WHEN capped THEN cap_tokens END), 0)
+               AS capped_sum,
+             COUNT(*) FILTER (capped) AS k
+      FROM flagged
+    )
+    SELECT f.source,
+           f.nat_tokens::BIGINT AS nat_tokens,
+           f.cap_tokens::BIGINT AS cap_tokens,
+           (CASE WHEN f.capped THEN f.cap_tokens
+                 ELSE (f.budget - l.capped_sum) // (f.n - l.k)
+            END)::BIGINT AS alloc_tokens,
+           f.capped
+    FROM flagged f, lvl l
+    """
+
+
+@query("samp_unimax_budget", _UNIMAX_ORACLE,
+       survey="X-UD5,A7,A10,F11,W3")
+def samp_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling of a token budget across sources: cap each
+    source at ``UNIMAX_EPOCH_CAP`` epochs of its natural tokens, then
+    split the leftover budget equally among the uncapped sources.
+
+    Scale shape: the ONLY data-scale work is the per-source token
+    aggregate (one partial→final shuffle of ≤|sources| groups); the
+    allocator itself runs as windows over that ≤|sources|-row frame —
+    the bounded-frame discipline (same as every post-top-k rank
+    window).  All arithmetic is exact integers (floor division for the
+    water level), so the hash is engine-independent; the undistributed
+    remainder of the floor division is < n tokens and intentionally
+    left unallocated (documented, deterministic)."""
+    docs = read_table(spark, sf_dir, "documents")
+    nat = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long").alias("nat_tokens")
+        )
+        # ≤|sources| rows, two consumers (the budget scalar and the
+        # allocator) — eagerly checkpoint so the corpus-sized token
+        # aggregate runs ONCE, not once per consumer (the delta-family
+        # diamond discipline)
+        .localCheckpoint()
+    )
+    tot = nat.agg(
+        F.expr(
+            f"sum(nat_tokens) * {UNIMAX_BUDGET_NUM} "
+            f"DIV {UNIMAX_BUDGET_DEN}"
+        ).alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cap = (F.col("nat_tokens") * UNIMAX_EPOCH_CAP).cast("long")
+    w = Window.orderBy(F.col("cap_tokens"), F.col("source"))
+    caps = (
+        nat.withColumn("cap_tokens", cap)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.col("n") - F.col("i") + 1)
+            <= F.col("budget") - F.col("cum_before"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lvl = caps.withColumn(
+        "capped_sum",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))).over(wall),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "k", F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(wall)
+    )
+    return lvl.select(
+        "source",
+        F.col("nat_tokens").cast("long").alias("nat_tokens"),
+        F.col("cap_tokens").cast("long").alias("cap_tokens"),
+        F.when(F.col("capped"), F.col("cap_tokens"))
+        .otherwise(
+            F.expr("(budget - capped_sum) DIV (n - k)")
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+        "capped",
+    )

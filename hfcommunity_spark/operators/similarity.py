@@ -1513,3 +1513,195 @@ def sq8_rerank_topk(emb: DataFrame, codes: DataFrame,
         "vec_id", _cosine_to_query_udf(q)(F.col("embedding")).alias("sim")
     )
     return _rank_topk(rer)
+
+
+# --- delta-maintained IVF index (the ANN member of the maintained-
+# --- index family, next to dd_maintained_* and ret_maintained_bm25) --
+
+# Production IVF maintenance freezes the coarse quantizer between
+# scheduled retrains: deliveries append to the inverted lists and fold
+# the per-cell occupancy counts; nothing re-reads the standing corpus.
+# The DECLARED semantics are therefore codebook-frozen: cells come
+# from the BASE slice's label centroids, and the oracle restates that
+# same frozen-codebook pipeline non-incrementally (one-shot assignment
+# of ALL vectors to the base-trained centroids).  The incremental
+# property under test is NOT pointwise assignment (trivially foldable)
+# but the count-driven multi-probe rule below: the probe set is chosen
+# from the FOLDED per-cell counts, so serving stale counts after a
+# delivery would pick a different cell prefix and hash-mismatch.
+IVF_MIN_CAND = 120  # probe cells nearest-first until ≥ this many
+#                     candidates are covered (the standard nprobe-by-
+#                     occupancy rule, scale-free: more data per cell →
+#                     fewer cells probed, same answer quality floor)
+
+_IVF_DELTA_MOD = 8  # same arriving-slice convention as operators/
+#                     dedup._DELTA_SPLIT_MOD (vec 0 is the query
+#                     vector and always stays in the base slice)
+
+_IVF_BASE_CACHE = SessionCache(persist=True)
+_IVF_CODEBOOK_CACHE = SessionCache(persist=False)
+
+
+def _ivf_emb_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    arr = (F.col("vec_id") % _IVF_DELTA_MOD == 0) & (F.col("vec_id") != 0)
+    return emb.filter(~arr), emb.filter(arr)
+
+
+def _ivf_base_codebook(spark: SparkSession, sf_dir: str,
+                       emb: DataFrame) -> list[list[float]]:
+    def build() -> list[list[float]]:
+        base, _ = _ivf_emb_split(emb)
+        cent = {
+            r.cell: list(map(float, r.centroid))
+            for r in _centroid_rows(base).collect()
+        }
+        return [cent[k] for k in sorted(cent)]
+
+    return _IVF_CODEBOOK_CACHE.get_or_build(
+        spark, ("ivf_base_codebook", sf_dir), build
+    )
+
+
+def _ivf_base_lists(spark: SparkSession, sf_dir: str, emb: DataFrame,
+                    centroids: list[list[float]]) -> DataFrame:
+    """Standing inverted lists over the base slice: (vec_id, cell,
+    embedding), session-persisted — at 100 TB a cell-partitioned table
+    beside the corpus (the equi-filter on ``cell`` partition-prunes)."""
+    from hfcommunity_spark.operators.kmeans import assign_cells
+
+    def build() -> DataFrame:
+        base, _ = _ivf_emb_split(emb)
+        return assign_cells(base, centroids).select(
+            "vec_id", "cell", "embedding"
+        )
+
+    return _IVF_BASE_CACHE.get_or_build(
+        spark, ("ivf_base_lists", sf_dir), build
+    )
+
+
+def ivf_index_delta(
+    base_lists: DataFrame, arriving: DataFrame,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Fold a delivery into the standing IVF lists: assign ONLY the
+    arriving vectors against the frozen codebook (one GEMM over the
+    delivery) and append.  Per-cell counts are derived downstream from
+    the folded lists' k-row aggregate — associative under union, so
+    the fold IS the maintenance."""
+    from hfcommunity_spark.operators.kmeans import assign_cells
+
+    return base_lists.unionByName(
+        assign_cells(arriving, centroids).select(
+            "vec_id", "cell", "embedding"
+        )
+    )
+
+
+_MAINT_IVF_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    -- frozen coarse quantizer: label centroids of the BASE slice only
+    -- (the delivery arrives after training; retraining is a separate
+    -- scheduled event, not part of delivery maintenance)
+    base AS (SELECT * FROM e
+             WHERE vec_id % {_IVF_DELTA_MOD} <> 0 OR vec_id = 0),
+    dims AS (SELECT unnest(range(1, {DIM + 1})) AS dim),
+    per_dim AS (SELECT label, dim, SUM(emb[dim]) / COUNT(*) AS m
+                FROM base, dims GROUP BY label, dim),
+    c AS (SELECT label AS cell, list(m ORDER BY dim) AS centroid
+          FROM per_dim GROUP BY label),
+    -- one-shot assignment of ALL vectors to the frozen centroids:
+    -- what the folded lists (standing + appended delivery) must equal
+    assign AS (
+      SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.emb, c.centroid), c.cell) AS rn
+      FROM e, c),
+    cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    counts AS (SELECT cell, COUNT(*) AS cnt FROM cells
+               WHERE vec_id <> 0 GROUP BY cell),
+    q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+    -- nprobe-by-occupancy: probe cells nearest-first until the
+    -- cumulative FOLDED count reaches the candidate floor
+    cellorder AS (
+      SELECT c.cell, list_distance(c.centroid, q.q_emb) AS d,
+             COALESCE(counts.cnt, 0) AS cnt
+      FROM c LEFT JOIN counts USING (cell), q),
+    probed AS (
+      SELECT cell,
+             COALESCE(SUM(cnt) OVER (
+               ORDER BY d, cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM cellorder),
+    probe AS (SELECT cell FROM probed WHERE cum_before < {IVF_MIN_CAND}),
+    cand AS (SELECT e.vec_id,
+                    list_cosine_similarity(e.emb, q.q_emb) AS sim
+             FROM e JOIN cells USING (vec_id) JOIN probe USING (cell), q
+             WHERE e.vec_id <> 0),
+    top AS (SELECT vec_id, sim FROM cand
+            ORDER BY sim DESC, vec_id LIMIT {TOP_K})
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER)
+             AS rank,
+           ROUND(sim, 4)::DOUBLE AS sim_rounded
+    FROM top
+    """
+
+
+@query("sim_maintained_ivf_parity", _MAINT_IVF_ORACLE,
+       survey="X-UD5,A12,J9,D3")
+def sim_maintained_ivf_parity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The maintained IVF index under a delivery — the ANN member of
+    the maintained-index family: append the delivery's assignments to
+    the standing inverted lists (one GEMM over the DELIVERY, frozen
+    codebook), fold the per-cell occupancy counts, and serve top-k
+    with the count-driven multi-probe.
+
+    Spark side: standing lists + codebook are session-persisted base
+    artifacts (at 100 TB: a cell-partitioned table and a k×dim file
+    beside the corpus); :func:`ivf_index_delta` appends the arriving
+    slice; the probe prefix is computed from two k-row count frames
+    (bounded driver work, the codebook discipline).  The oracle is the
+    one-shot frozen-codebook pipeline over ALL vectors — hash equality
+    proves appended-lists + folded-counts serving is value-identical,
+    including the probe SET itself (stale counts pick a different cell
+    prefix and fail the hash, which is what makes IVF maintenance
+    non-trivially incremental)."""
+    import numpy as np
+
+    from hfcommunity_spark.operators.kmeans import _pairwise_sq_dists
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _ivf_base_codebook(spark, sf_dir, emb)
+    base_lists = _ivf_base_lists(spark, sf_dir, emb, centroids)
+    _, arriving = _ivf_emb_split(emb)
+    folded = ivf_index_delta(base_lists, arriving, centroids)
+
+    # folded per-cell counts: a k-row aggregate of the folded lists
+    counts = {
+        r.cell: r.cnt
+        for r in folded.filter(F.col("vec_id") != 0)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    q = _query_vector(emb, cache_key=sf_dir)
+    d2 = _pairwise_sq_dists(
+        q[None, :].astype(np.float64), np.asarray(centroids, np.float64)
+    )[0]
+    order = sorted(range(len(centroids)), key=lambda i: (d2[i], i))
+    probe, cum = [], 0
+    for cell in order:
+        if cum >= IVF_MIN_CAND:
+            break
+        probe.append(cell)
+        cum += counts.get(cell, 0)
+
+    cand = folded.filter(
+        F.col("cell").isin(probe) & (F.col("vec_id") != 0)
+    ).select(
+        "vec_id", _cosine_to_query_udf(q)(F.col("embedding")).alias("sim")
+    )
+    return _rank_topk(cand, with_sim=True)

@@ -826,3 +826,124 @@ def t_source_relative_quality_filter(
             / F.sum(kept.cast("bigint"))
         ).alias("avg_kept_score"),
     )
+
+
+# --- distributed BPE merge step (round 8) ----------------------------
+
+# One round of byte-pair-encoding vocabulary training, the way a
+# tokenizer is actually trained over a 100 TB corpus: all pair
+# statistics are computed over the WORD-TYPE table (distinct word +
+# occurrence count — vocabulary-bounded, orders of magnitude smaller
+# than the corpus), the winning merge is a 1-row broadcast, and the
+# rewritten word types are re-counted.  Two unrolled rounds, like the
+# fixed-iteration PageRank: round 1 finds the top pair, round 2
+# returns the post-merge pair counts.
+BPE_TOP_PAIRS = 20
+# placeholder symbol for the merged pair inside rewritten words; both
+# engines REPLACE left-to-right non-overlapping, which IS the BPE
+# greedy merge rule ("aaa" + merge "aa" -> ["aa","a"])
+BPE_MARK = "¤"
+
+_BPE_PAIRS_CTES = """wf AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE w <> '' GROUP BY w
+    ),
+    p1 AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+             SUM(n) AS cnt
+      FROM wf, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+      WHERE length(w) >= 2
+      GROUP BY a, b
+    ),
+    top1 AS (SELECT a AS ma, b AS mb FROM p1
+             ORDER BY cnt DESC, a, b LIMIT 1),
+    wf2 AS (
+      SELECT replace(w, ma || mb, '¤') AS w, n FROM wf, top1
+    ),
+    p2 AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+             SUM(n) AS cnt
+      FROM wf2, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+      WHERE length(w) >= 2
+      GROUP BY a, b
+    )"""
+
+_BPE_MERGE_ORACLE = f"""
+    WITH {_BPE_PAIRS_CTES},
+    top AS (SELECT a, b, cnt FROM p2
+            ORDER BY cnt DESC, a, b LIMIT {BPE_TOP_PAIRS})
+    SELECT replace(a, '¤', ma || mb) AS sym_a,
+           replace(b, '¤', ma || mb) AS sym_b,
+           cnt::BIGINT AS pair_count
+    FROM top, top1
+    """
+
+
+def _bpe_pair_counts(wf: DataFrame) -> DataFrame:
+    """(a, b, cnt) adjacent-symbol pair counts over a word-type
+    frame — a narrow generator explode (chars of DISTINCT words, never
+    the corpus) into a two-key partial→final aggregate."""
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.col("n"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substring(w, i, 1) AS a, "
+                    "substring(w, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n")
+    )
+    return pairs.groupBy("a", "b").agg(F.sum("n").alias("cnt"))
+
+
+@query("t_bpe_merge_pairs", _BPE_MERGE_ORACLE,
+       survey="X-UD5,A4,O2,F12,J9")
+def t_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE training round: count adjacent-symbol pairs
+    over the word-type table, apply the single most frequent merge
+    (broadcast 1-row winner; left-to-right ``replace`` == the greedy
+    BPE rule), and return the top post-merge pair counts with the
+    merged symbol expanded back to its character pair.
+
+    Scale shape: the corpus-sized work is ONE word-frequency aggregate
+    (the same shuffle every token-count query pays); everything after
+    runs over the vocabulary-bounded word-type frame.  Counts are
+    exact integers; ordering is (count DESC, symbols ASC) in both
+    engines — no floats anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    wf = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # vocabulary-bounded, three consumers (p1, the rewrite, and
+        # top1's second reference) — eagerly checkpoint so the corpus
+        # is tokenized ONCE, not once per consumer
+        .localCheckpoint()
+    )
+    p1 = _bpe_pair_counts(wf)
+    top1 = (
+        p1.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .select(F.col("a").alias("ma"), F.col("b").alias("mb"))
+    )
+    wf2 = wf.crossJoin(F.broadcast(top1)).select(
+        F.expr(f"replace(w, ma || mb, '{BPE_MARK}')").alias("w"),
+        "n", "ma", "mb",
+    )
+    p2 = _bpe_pair_counts(wf2.select("w", "n"))
+    top = p2.orderBy(
+        F.desc("cnt"), F.asc("a"), F.asc("b")
+    ).limit(BPE_TOP_PAIRS)
+    return top.crossJoin(F.broadcast(top1)).select(
+        F.expr(f"replace(a, '{BPE_MARK}', ma || mb)").alias("sym_a"),
+        F.expr(f"replace(b, '{BPE_MARK}', ma || mb)").alias("sym_b"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    )

@@ -148,8 +148,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ud3_grouped_agg_cents",  # A7, UD3
     "a4_topk_customers_by_orders",  # A4, J3, O2
     "a11_rollup_customers",  # A11, J4
-    "sim_lsh_bucketed_topk",  # A12, J9, X-UD5 — hash-green for the
-    # first time: round-5 oracle inlines the hyperplane constants
+    # (Fourth round-8 rotation: sim_lsh_bucketed_topk,
+    # samp_length_batch_plan and dd_source_hygiene_audit rotate out
+    # with their r5-r7 stamps intact — A12/J9 move to the maintained
+    # IVF face, F11/A10/A5 and A6/A7/J2 each keep several oracle-
+    # equipped window members — making room for the round-8 maintained
+    # ANN index, UniMax allocator and BPE merge step below.)
     "j7_composite_key_first_line",  # J7, W4
     "o3_order_offset_page",  # O3
     "x3_tumbling_hourly",  # F6, X1, X2, X3
@@ -219,9 +223,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipe_curate_select_pack_shard",  # X-UD5, J2, O2, W1, W3, F1,
     # A10 — round-6 final mile: curate -> select -> shard -> pack
     # --- round-6 operators #2: source hygiene -----------------------
-    "dd_source_hygiene_audit",  # X-UD5, A6, A7, J2, F11 — domain gate
-    "samp_length_batch_plan",  # X-UD5, W1, A5, F11, A10 —
-    # length-bucketed batching with exact integer log2 buckets
     "x13_stream_source_hygiene",  # X7, J8, A6, A10, X-UD5 — the
     # hygiene verdict re-evaluated under an arriving batch
     # --- round-8 entrants: maintained-index deltas + commit DAG -----
@@ -238,6 +239,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # cluster assignment folded forward by components_delta
     "g_commit_ancestors",  # J5, S7 — commit-DAG BFS ancestry with
     # min-hops over a branching fixture, recursive-CTE oracle
+    # --- round-8 entrants #2: maintained ANN + LM-pipeline allocs ---
+    "sim_maintained_ivf_parity",  # X-UD5, A12, J9, D3 — the ANN
+    # member of the maintained family: frozen codebook, appended
+    # lists, count-driven multi-probe vs one-shot oracle
+    "samp_unimax_budget",  # X-UD5, A7, A10, F11, W3 — UniMax
+    # water-filling of an epoch-capped token budget across sources
+    "t_bpe_merge_pairs",  # X-UD5, A4, O2, F12, J9 — one distributed
+    # BPE training round over the word-type table, unrolled merge
 )
 
 

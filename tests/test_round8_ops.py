@@ -235,3 +235,233 @@ def test_pagerank_favors_high_in_degree(spark, pr_edges):
 
     pr = {r.node: r.pr for r in pagerank_fixed(pr_edges).collect()}
     assert pr[1] > pr[4]
+
+
+# --- maintained IVF index (round-8 #2) --------------------------------
+
+
+def test_ivf_delta_equals_oneshot_any_split(spark):
+    """Appending deliveries to the standing lists must reproduce the
+    one-shot assignment of the whole frame against the SAME frozen
+    codebook — for an arbitrary 3-way split, not just the declared
+    one."""
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.kmeans import assign_cells
+    from hfcommunity_spark.operators.similarity import (
+        _centroid_rows,
+        ivf_index_delta,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cent = {
+        r.cell: list(map(float, r.centroid))
+        for r in _centroid_rows(emb).collect()
+    }
+    centroids = [cent[k] for k in sorted(cent)]
+
+    parts = [emb.filter(F.col("vec_id") % 3 == k) for k in range(3)]
+    lists = assign_cells(parts[0], centroids).select(
+        "vec_id", "cell", "embedding"
+    )
+    for p in parts[1:]:
+        lists = ivf_index_delta(lists, p, centroids)
+    folded = {
+        (r.vec_id, r.cell)
+        for r in lists.select("vec_id", "cell").collect()
+    }
+    oneshot = {
+        (r.vec_id, r.cell)
+        for r in assign_cells(emb, centroids)
+        .select("vec_id", "cell").collect()
+    }
+    assert folded == oneshot and len(oneshot) > 0
+
+
+def test_ivf_delta_empty_delivery_is_identity(spark):
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.kmeans import assign_cells
+    from hfcommunity_spark.operators.similarity import (
+        _centroid_rows,
+        ivf_index_delta,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cent = {
+        r.cell: list(map(float, r.centroid))
+        for r in _centroid_rows(emb).collect()
+    }
+    centroids = [cent[k] for k in sorted(cent)]
+    base = assign_cells(emb, centroids).select("vec_id", "cell", "embedding")
+    folded = ivf_index_delta(
+        base, emb.filter(F.lit(False)), centroids
+    )
+    assert folded.count() == base.count()
+
+
+def test_ivf_probe_prefix_covers_candidate_floor(spark):
+    """The count-driven multi-probe must pick the minimal nearest-
+    first cell prefix whose folded occupancy reaches IVF_MIN_CAND
+    (or every cell) — the probe SET is what stale counts would get
+    wrong, so its construction is locked here."""
+    import numpy as np
+
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.kmeans import (
+        _pairwise_sq_dists,
+        assign_cells,
+    )
+    from hfcommunity_spark.operators.similarity import (
+        IVF_MIN_CAND,
+        _centroid_rows,
+        _query_vector,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cent = {
+        r.cell: list(map(float, r.centroid))
+        for r in _centroid_rows(emb).collect()
+    }
+    centroids = [cent[k] for k in sorted(cent)]
+    counts = {
+        r.cell: r.cnt
+        for r in assign_cells(emb.filter(F.col("vec_id") != 0), centroids)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    q = _query_vector(emb)
+    d2 = _pairwise_sq_dists(
+        q[None, :].astype(np.float64), np.asarray(centroids, np.float64)
+    )[0]
+    order = sorted(range(len(centroids)), key=lambda i: (d2[i], i))
+    probe, cum = [], 0
+    for cell in order:
+        if cum >= IVF_MIN_CAND:
+            break
+        probe.append(cell)
+        cum += counts.get(cell, 0)
+    covered = sum(counts.get(c, 0) for c in probe)
+    assert covered >= min(IVF_MIN_CAND, sum(counts.values()))
+    # minimality: dropping the last probed cell falls under the floor
+    if len(probe) > 1:
+        assert sum(counts.get(c, 0) for c in probe[:-1]) < IVF_MIN_CAND
+    # argmin margins dwarf cross-engine float noise (the sim_ivf_topk
+    # determinism contract, re-checked for the query→cell ordering)
+    gaps = np.diff(np.sort(d2))
+    assert (gaps[gaps > 0] > 1e-9).all()
+
+
+# --- UniMax budget allocator (round-8 #2) ------------------------------
+
+
+def _unimax_reference(nats: dict, epoch_cap: int, budget: int) -> dict:
+    """Straight-line reference waterfill (ascending caps, prefix
+    capping, floor level) for property checks."""
+    items = sorted(nats.items(), key=lambda kv: (kv[1] * epoch_cap, kv[0]))
+    n = len(items)
+    alloc, rem, m = {}, budget, n
+    for src, nat in items:
+        cap = nat * epoch_cap
+        if cap * m <= rem:
+            alloc[src] = cap
+            rem -= cap
+            m -= 1
+        else:
+            level = rem // m
+            for s2, n2 in items:
+                if s2 not in alloc:
+                    alloc[s2] = level
+            break
+    return alloc
+
+
+def test_unimax_deep_capping_synthetic(spark):
+    """The sf-data spread only caps the smallest sources; this skewed
+    frame drives the cap through most of the prefix so the deep branch
+    (multiple capped sources, late water level) is locked too."""
+    from hfcommunity_spark.operators.sampling import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_EPOCH_CAP,
+        samp_unimax_budget,
+    )
+    import os
+    import tempfile
+
+    rows = []
+    doc_id = 0
+    # sources with 1, 2, 4, ..., 512 ten-token docs: heavy skew
+    for k in range(10):
+        for _ in range(2 ** k):
+            rows.append((doc_id, "t " * 9 + "t", "en", f"s{k:02d}", 19))
+            doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r.source: (r.nat_tokens, r.cap_tokens, r.alloc_tokens, r.capped)
+            for r in samp_unimax_budget(spark, tmp).collect()
+        }
+    nats = {f"s{k:02d}": 10 * 2 ** k for k in range(10)}
+    total = sum(nats.values())
+    budget = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    ref = _unimax_reference(nats, UNIMAX_EPOCH_CAP, budget)
+    assert {s: a for s, (_, _, a, _) in got.items()} == ref
+    capped = [s for s, (_, _, _, c) in got.items() if c]
+    assert len(capped) >= 3  # the deep branch actually fired
+    # budget respected; undershoot bounded by the floor remainders
+    spent = sum(ref.values())
+    assert spent <= budget and budget - spent < len(nats)
+
+
+# --- BPE merge step (round-8 #2) ---------------------------------------
+
+
+def test_bpe_greedy_replace_semantics(spark):
+    """Left-to-right non-overlapping replace IS the BPE greedy rule:
+    'aaaa' with merge (a,a) becomes [aa][aa] (no overlap), 'aaa'
+    becomes [aa][a]."""
+    from hfcommunity_spark.operators.textops import (
+        BPE_MARK,
+        _bpe_pair_counts,
+    )
+
+    wf = spark.createDataFrame(
+        [("aaaa", 1), ("aaa", 1), ("ab", 3)], "w string, n long"
+    )
+    p1 = {(r.a, r.b): r.cnt for r in _bpe_pair_counts(wf).collect()}
+    # 'aaaa' has 3 adjacent aa, 'aaa' has 2 — pair counting sees all
+    assert p1[("a", "a")] == 5 and p1[("a", "b")] == 3
+    merged = wf.select(
+        F.expr(f"replace(w, 'aa', '{BPE_MARK}')").alias("w"), "n"
+    )
+    got = {r.w for r in merged.collect()}
+    assert got == {BPE_MARK * 2, BPE_MARK + "a", "ab"}
+    # post-merge pair counts over the rewritten symbols
+    p2 = {(r.a, r.b): r.cnt for r in _bpe_pair_counts(merged).collect()}
+    assert p2[(BPE_MARK, BPE_MARK)] == 1 and p2[(BPE_MARK, "a")] == 1
+
+
+def test_bpe_word_type_table_bounds_pair_stage(spark):
+    """The pair stage must consume the DISTINCT word-type table, never
+    the corpus: repeating every document must not change pair counts
+    derived per word type beyond the n-weighting."""
+    from hfcommunity_spark.operators.textops import t_bpe_merge_pairs
+    import os
+    import tempfile
+
+    rows = [(i, "spark join spark", "en", "s0", 16) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = t_bpe_merge_pairs(spark, tmp).collect()
+    got = {(r.sym_a, r.sym_b): r.pair_count for r in out}
+    # top-1 merge is (a,r): 'spark'x8 -> s-p,p-a,a-r,r-k; 'join'x4;
+    # pair (a,r) count 8 ties (p,a),(r,k),(s,p) — tie-break ASC picks
+    # (a,r); expanded pairs then carry 'ar' as a symbol
+    assert ("p", "ar") in got and got[("p", "ar")] == 8
+    assert ("ar", "k") in got and got[("ar", "k")] == 8

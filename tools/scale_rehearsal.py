@@ -102,6 +102,22 @@ QUERIES = [
     # stay flat-ish (it is bounded by the delivery, not the corpus).
     ("dd_maintained_pairs_parity", "delta-probe", 1.0),
     ("dd_maintained_components_parity", "delta-probe", 1.0),
+    # round 8 #2: the new driver entrants whose inputs the rehearsal
+    # actually scales (j12_fuzzy_blocked_join reads only the `part`
+    # dimension, which the synthesis copies as-is — excluded).  The
+    # retrieval/ANN maintained faces are delta probes (cold charges
+    # the standing-index build, warm is the delivery fold); RRF/SQ8
+    # are pool-bounded rerank funnels; PageRank is 3 edge-keyed
+    # shuffles over the lineitem-derived edge list; the UniMax
+    # allocator and the BPE merge step are one corpus aggregate each
+    # (everything after runs on source-/vocabulary-bounded frames).
+    ("ret_maintained_bm25_parity", "delta-probe", 1.0),
+    ("sim_maintained_ivf_parity", "delta-probe", 1.0),
+    ("sim_hybrid_rrf_topk", "coarse-prune-rerank", 1.0),
+    ("sim_sq8_rerank_topk", "coarse-prune-rerank", 1.0),
+    ("g_pagerank_fixed_iter", "keyed-agg", 1.0),
+    ("samp_unimax_budget", "single-pass-agg", 1.0),
+    ("t_bpe_merge_pairs", "single-pass-agg", 1.0),
 ]
 
 # The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
