@@ -23,7 +23,7 @@ import os
 import subprocess
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -856,6 +856,174 @@ def g_commit_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "message",
             "ancestor_message",
             F.col("hops").cast("int").alias("hops"),
+        )
+    )
+
+
+# Merge-base (LCA) pairs over the DAG fixture, by rank.  Chosen so
+# the meet exercises every interesting shape: a plain fork (1,2 → 0),
+# ancestor-of (4,2 → 2), and two tie-broken meets where distinct
+# common ancestors share the minimal combined distance ((3,5): both
+# 2 and 3 at total 2; (5,1): both 0 and 1 at total 3).
+_MB_PAIRS_BY_RANK: tuple[tuple[int, int], ...] = (
+    (1, 2), (3, 5), (4, 2), (5, 1),
+)
+
+_MB_PAIR_VALUES = ", ".join(f"({a}, {b})" for a, b in _MB_PAIRS_BY_RANK)
+
+_MERGE_BASE_ORACLE = f"""
+    WITH RECURSIVE first_docs AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM (SELECT doc_id FROM documents WHERE n_chars > 0
+            ORDER BY doc_id LIMIT {_GIT_FIXTURE_DOCS})
+    ),
+    edges(crk, prk) AS (VALUES {_DAG_EDGE_VALUES}),
+    anc AS (
+      SELECT crk AS rk, prk AS ark, 1 AS hops FROM edges
+      UNION ALL
+      SELECT a.rk, e.prk, a.hops + 1
+      FROM anc a JOIN edges e ON e.crk = a.ark
+      WHERE a.hops < {_ANCESTOR_MAX_HOPS}
+    ),
+    reach AS (
+      SELECT rk, ark, MIN(hops) AS hops FROM anc GROUP BY rk, ark
+      UNION ALL
+      SELECT rk, rk AS ark, 0 AS hops FROM first_docs
+    ),
+    pairs(rka, rkb) AS (VALUES {_MB_PAIR_VALUES}),
+    meets AS (
+      SELECT p.rka, p.rkb, a.ark, a.hops AS hops_a, b.hops AS hops_b,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.rka, p.rkb
+               ORDER BY a.hops + b.hops,
+                        'dag doc ' || CAST(fm.doc_id AS VARCHAR)
+             ) AS rn
+      FROM pairs p
+      JOIN reach a ON a.rk = p.rka
+      JOIN reach b ON b.rk = p.rkb AND b.ark = a.ark
+      JOIN first_docs fm ON fm.rk = a.ark
+    )
+    SELECT 'dag doc ' || CAST(fa.doc_id AS VARCHAR) AS message_a,
+           'dag doc ' || CAST(fb.doc_id AS VARCHAR) AS message_b,
+           'dag doc ' || CAST(fm.doc_id AS VARCHAR) AS base_message,
+           CAST(m.hops_a AS INTEGER) AS hops_a,
+           CAST(m.hops_b AS INTEGER) AS hops_b
+    FROM meets m
+    JOIN first_docs fa ON fa.rk = m.rka
+    JOIN first_docs fb ON fb.rk = m.rkb
+    JOIN first_docs fm ON fm.rk = m.ark
+    WHERE m.rn = 1
+    """
+
+
+@query("g_merge_base", _MERGE_BASE_ORACLE, survey="J5,S7,W4")
+def g_merge_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-base over the commit DAG: for each declared pair of
+    commits, the BFS-meet — the common ancestor minimizing combined
+    hop distance, ties broken by message.  Like ``g_commit_ancestors``
+    this consumes the ``commit_parents`` edge list the reference
+    materializes precisely for ancestry questions
+    (extractor/databaseImport.py:236-239).  (Git's own merge-base rule
+    is "common ancestor that is not an ancestor of another common
+    ancestor"; the BFS-meet is the distributed formulation —
+    bidirectional reach-set join — and on ancestor-of pairs the two
+    agree.  The DECLARED semantics here are the meet, stated
+    identically in the oracle.)
+
+    Plan: one bounded :func:`graph.ancestors` walk from ALL fixture
+    commits (the reach sets), self rows unioned at hops 0, then the
+    pair table (a literal, like the probe constants every ANN query
+    carries) joins reach⋈reach on the common ancestor — the same
+    reach-set self-join a 100 TB commit-graph service would run
+    against its MAINTAINED ancestry table, never a per-query
+    re-traversal.  The winner per pair is a rank-1 window over the
+    ≤|reach_a|×|reach_b| meet rows of that pair (bounded by the hop
+    cap)."""
+    base = _fixture_dag_repo(spark, sf_dir)
+    keys = spark.createDataFrame([("fixture",)], "repo_name string")
+    commits = map_fetch(
+        keys, "repo_name", make_git_fetcher(base), GIT_COMMIT_SCHEMA
+    ).select("sha", "parents", "message").localCheckpoint()
+    edges = commits.select(
+        F.col("sha").alias("commit_sha"),
+        F.explode("parents").alias("parent_sha"),
+    )
+    from hfcommunity_spark.operators.graph import ancestors
+
+    anc = ancestors(
+        edges, commits.select("sha"), max_hops=_ANCESTOR_MAX_HOPS
+    )
+    reach = anc.unionByName(
+        commits.select(
+            "sha", F.col("sha").alias("ancestor_sha"),
+            F.lit(0).alias("hops"),
+        )
+    )
+    # rank ↔ message binding, same derivation as the fixture builder:
+    # a bounded window over the ≤_GIT_FIXTURE_DOCS first docs
+    fd = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .orderBy("doc_id")
+        .limit(_GIT_FIXTURE_DOCS)
+        .select("doc_id")
+    )
+    rk_msg = fd.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("doc_id")) - 1,
+    ).select(
+        "rk", F.concat(F.lit("dag doc "), F.col("doc_id")).alias("message")
+    )
+    msgs = commits.select("sha", "message")
+    sha_of_rank = rk_msg.join(msgs, "message").select("rk", "sha", "message")
+
+    pairs = spark.createDataFrame(
+        list(_MB_PAIRS_BY_RANK), "rka int, rkb int"
+    )
+    a_side = pairs.join(
+        F.broadcast(sha_of_rank).select(
+            F.col("rk").alias("rka"), F.col("sha").alias("sha_a"),
+            F.col("message").alias("message_a"),
+        ),
+        "rka",
+    ).join(
+        reach.select(
+            F.col("sha").alias("sha_a"),
+            F.col("ancestor_sha").alias("meet"),
+            F.col("hops").alias("hops_a"),
+        ),
+        "sha_a",
+    )
+    b_reach = reach.select(
+        F.col("sha").alias("sha_b"),
+        F.col("ancestor_sha").alias("meet"),
+        F.col("hops").alias("hops_b"),
+    )
+    meets = a_side.join(
+        F.broadcast(sha_of_rank).select(
+            F.col("rk").alias("rkb"), F.col("sha").alias("sha_b"),
+            F.col("message").alias("message_b"),
+        ),
+        "rkb",
+    ).join(b_reach, ["sha_b", "meet"]).join(
+        F.broadcast(
+            msgs.select(
+                F.col("sha").alias("meet"),
+                F.col("message").alias("base_message"),
+            )
+        ),
+        "meet",
+    )
+    w = Window.partitionBy("rka", "rkb").orderBy(
+        F.col("hops_a") + F.col("hops_b"), F.col("base_message")
+    )
+    return (
+        meets.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "message_a", "message_b", "base_message",
+            F.col("hops_a").cast("int").alias("hops_a"),
+            F.col("hops_b").cast("int").alias("hops_b"),
         )
     )
 

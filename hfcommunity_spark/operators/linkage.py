@@ -99,8 +99,14 @@ def j12_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate → blocked equi-join (no CartesianProduct) →
     codegen ``levenshtein`` on in-block pairs only."""
     part = read_table(spark, sf_dir, "part")
+    # NULL-safe block extraction: under ANSI mode (the Spark 4
+    # default, and the driver's vanilla session) an out-of-bounds
+    # array index THROWS, so a one-word name would crash the query;
+    # F.get() returns NULL instead, coalesced to '' to match the
+    # oracle's split_part semantics so both engines join the same rows
     names = distinct_blocked_names(
-        part, "p_name", F.split(F.col("p_name"), " ")[1]
+        part, "p_name",
+        F.coalesce(F.get(F.split(F.col("p_name"), " "), 1), F.lit("")),
     )
     return fuzzy_blocked_pairs(names).select(
         "name_a",

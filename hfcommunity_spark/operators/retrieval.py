@@ -48,51 +48,54 @@ RRF_POOL = 100
 RRF_TOP_K = 10
 
 
-def _bm25_term_cases() -> str:
-    """Fixed-order per-term sum for the oracle: float addition is not
-    associative, so both engines add the per-term partials in the same
-    literal order."""
-    parts = [
+# The scored-corpus CTE chain (doc_id, score_rounded), shared verbatim
+# by the BM25 top-k, the RRF fusion, the maintained-index parity
+# oracle, and (suffixed per delivery prefix) the streamed-delivery
+# serving face — ONE definition so the scoring model cannot drift
+# between faces.
+def _bm25_scored_ctes(src: str = "documents", sfx: str = "") -> str:
+    """The BM25 scoring chain over source CTE/view ``src``, CTE names
+    suffixed ``sfx`` so several prefixes can coexist in one oracle.
+    The per-term sum is in fixed literal order: float addition is not
+    associative, so both engines add the partials identically."""
+    cases = " + ".join(
         f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0)"
         for t in BM25_TERMS
-    ]
-    return " + ".join(parts)
-
-
-# The scored-corpus CTE chain (doc_id, score_rounded), shared verbatim
-# by the BM25 top-k, the RRF fusion, and the maintained-index parity
-# oracle — ONE definition so the scoring model cannot drift between
-# faces.
-_BM25_SCORED_CTES = f"""dl AS (
+    )
+    return f"""dl{sfx} AS (
       SELECT doc_id,
              LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS dl
-      FROM documents
+      FROM {src}
     ),
-    st AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl),
-    toks AS (
+    st{sfx} AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl{sfx}),
+    toks{sfx} AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      FROM documents
+      FROM {src}
     ),
-    tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+    tf{sfx} AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks{sfx}
       WHERE term IN {BM25_TERMS!r}
       GROUP BY doc_id, term
     ),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    scored_t AS (
-      SELECT tf.doc_id, tf.term,
-             LN((CAST(st.n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+    dfreq{sfx} AS (SELECT term, COUNT(*) AS df FROM tf{sfx}
+                   GROUP BY term),
+    scored_t{sfx} AS (
+      SELECT tf{sfx}.doc_id, tf{sfx}.term,
+             LN((CAST(st{sfx}.n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
                * (tf * ({K1} + 1.0))
                / (tf + {K1} * (1.0 - {B} + {B} * (dl /
-                    (CAST(sum_dl AS DOUBLE) / st.n)))) AS s
-      FROM tf
-      JOIN dl USING (doc_id)
-      JOIN dfreq USING (term), st
+                    (CAST(sum_dl AS DOUBLE) / st{sfx}.n)))) AS s
+      FROM tf{sfx}
+      JOIN dl{sfx} USING (doc_id)
+      JOIN dfreq{sfx} USING (term), st{sfx}
     ),
-    scored AS (
-      SELECT doc_id, ROUND({_bm25_term_cases()}, 4)::DOUBLE AS score_rounded
-      FROM scored_t GROUP BY doc_id
+    scored{sfx} AS (
+      SELECT doc_id, ROUND({cases}, 4)::DOUBLE AS score_rounded
+      FROM scored_t{sfx} GROUP BY doc_id
     )"""
+
+
+_BM25_SCORED_CTES = _bm25_scored_ctes()
 
 
 _BM25_ORACLE = f"""
@@ -383,3 +386,91 @@ def ret_maintained_bm25_parity(spark: SparkSession,
     return ranked_topk(scored, "score_rounded", BM25_TOP_K).select(
         "doc_id", "rank", "score_rounded"
     )
+
+
+# --- streamed deliveries: the maintained index served at every point
+# --- of the delivery stream (round 8 #3) -----------------------------
+
+# The arriving slice (doc_id % 8 == 0, the family convention) plays a
+# STREAM of three micro-batch deliveries, split by (doc_id DIV 8) % 3.
+X14_DELIVERIES = 3
+
+
+def _x14_batch(arriving: DataFrame, k: int) -> DataFrame:
+    from hfcommunity_spark.operators.dedup import _DELTA_SPLIT_MOD
+
+    return arriving.filter(
+        F.expr(f"(doc_id DIV {_DELTA_SPLIT_MOD}) % {X14_DELIVERIES}") == k
+    )
+
+
+def _x14_oracle() -> str:
+    from hfcommunity_spark.operators.dedup import _DELTA_SPLIT_MOD
+
+    prefixes = []
+    ranked = []
+    for k in range(X14_DELIVERIES):
+        prefixes.append(
+            f"""docs_d{k} AS (
+      SELECT * FROM documents
+      WHERE doc_id % {_DELTA_SPLIT_MOD} <> 0
+         OR (doc_id % {_DELTA_SPLIT_MOD} = 0
+             AND (doc_id // {_DELTA_SPLIT_MOD}) % {X14_DELIVERIES} <= {k})
+    ),
+    {_bm25_scored_ctes(f"docs_d{k}", f"_d{k}")}"""
+        )
+        ranked.append(
+            f"""SELECT {k} AS delivery_id, doc_id, score_rounded,
+             ROW_NUMBER() OVER (ORDER BY score_rounded DESC, doc_id)
+               AS rn
+      FROM scored_d{k}"""
+        )
+    union = "\n      UNION ALL\n      ".join(ranked)
+    return f"""
+    WITH {", ".join(prefixes)},
+    ranked AS (
+      {union}
+    )
+    SELECT CAST(delivery_id AS INTEGER) AS delivery_id, doc_id,
+           CAST(rn AS INTEGER) AS rank, score_rounded
+    FROM ranked WHERE rn <= {BM25_TOP_K}
+    """
+
+
+@query("x14_stream_maintained_index", _x14_oracle(),
+       survey="X7,D3,A10,O2,X-UD5")
+def x14_stream_maintained_index(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The maintained BM25 index served at EVERY point of a delivery
+    stream: the arriving slice plays three sequential micro-batch
+    deliveries; each is folded into the standing index with
+    :func:`bm25_index_delta` and the top-k ranking is served from the
+    folded artifacts after each fold.  The oracle restates each prefix
+    corpus as a from-scratch rebuild — hash equality proves the fold
+    chain is value-identical to a rebuild AT EVERY DELIVERY, not just
+    the final state (the monotone global-stats shifts per batch are
+    what make this stronger than the single-delivery parity face).
+
+    The same fold body runs under a REAL Structured Streaming
+    ``foreachBatch`` in ``tests/test_round8_ops.py`` — this face is
+    the batch twin of that job, the x10-x13 twin convention."""
+    from hfcommunity_spark.operators.dedup import _delta_arriving_docs
+    from hfcommunity_spark.operators.lm import ranked_topk
+
+    arriving = _delta_arriving_docs(spark, sf_dir)
+    tf, dl, st = _bm25_base_frames(spark, sf_dir)
+    served = []
+    for k in range(X14_DELIVERIES):
+        tf, dl, st = bm25_index_delta(tf, dl, st, _x14_batch(arriving, k))
+        served.append(
+            ranked_topk(
+                _bm25_scored_from(tf, dl, st), "score_rounded", BM25_TOP_K
+            ).select(
+                F.lit(k).cast("int").alias("delivery_id"),
+                "doc_id", "rank", "score_rounded",
+            )
+        )
+    out = served[0]
+    for s in served[1:]:
+        out = out.unionByName(s)
+    return out

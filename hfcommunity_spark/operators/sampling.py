@@ -611,6 +611,11 @@ UNIMAX_EPOCH_CAP = 2
 # prefix-capping logic).
 UNIMAX_BUDGET_NUM = 9
 UNIMAX_BUDGET_DEN = 5
+# Invariant: NUM/DEN < UNIMAX_EPOCH_CAP, so the budget is strictly
+# under the total capacity Σcaps = EPOCH_CAP·total — at least one
+# source always sits at the water level and the `(budget - capped_sum)
+# DIV (n - k)` divisor is never zero (ANSI division-by-zero would
+# throw in both engines).
 
 
 _UNIMAX_ORACLE = f"""

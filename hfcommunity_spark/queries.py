@@ -130,8 +130,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # canonicalization -> decontamination)
     "ud2_chunk_udtf",  # P1, UD2 (real Python UDTF under LATERAL)
     "samp_hash_split_counts",  # A5, P8, X-UD5
-    # --- round-5 addition #1: production SemDeDup composite --------
-    "dd_semantic_dup_clusters_lsh",  # X-UD5, J5, J6, J9
+    # (Fifth round-8 rotation: dd_semantic_dup_clusters_lsh (r5-r7
+    # stamps) and t_source_relative_quality_filter (r6-r7 stamps)
+    # rotate out — J5/J6/J9 and W1/A6/A7 all keep several oracle-
+    # equipped window members — making room for the merge-base and
+    # streamed-maintained-index faces below.)
     # (Second round-8 rotation: d3_partial_update_stale, dd_strip_dup_spans
     # and samp_dsir_resample rotate out with their r6+r7 stamps intact —
     # D3 moves to the two maintained-index parity faces, P2 to
@@ -186,9 +189,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # equipped window member (set cover recomputed) — making room for
     # the maintained-index delta family faces and the commit-DAG
     # ancestry query below, the round-6/7 verdicts' top ask.)
-    "t_source_relative_quality_filter",  # X-UD5, W1, A6, A7, J9 —
-    # FineWeb-style per-source adaptive quartile gate (histogram-
-    # decomposed rank, no per-source whole-partition sort)
     # --- round-5 additions #2: ETL/runtime ids, never stamped ------
     # (rotated out with r1-r4 stamps intact: a15, q4, q18, w6,
     # t_token_stats, t_stopword_ratio, t_bpe_token_count,
@@ -247,6 +247,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # water-filling of an epoch-capped token budget across sources
     "t_bpe_merge_pairs",  # X-UD5, A4, O2, F12, J9 — one distributed
     # BPE training round over the word-type table, unrolled merge
+    # --- round-8 entrants #3: graph meet + streamed deliveries ------
+    "g_merge_base",  # J5, S7, W4 — merge-base as the BFS-meet over
+    # maintained reach sets, recursive-CTE oracle with tie-broken LCAs
+    "x14_stream_maintained_index",  # X7, D3, A10, O2, X-UD5 — the
+    # maintained BM25 index served after EACH of three sequential
+    # deliveries; per-prefix full-rebuild oracle
 )
 
 

@@ -465,3 +465,171 @@ def test_bpe_word_type_table_bounds_pair_stage(spark):
     # (a,r); expanded pairs then carry 'ar' as a symbol
     assert ("p", "ar") in got and got[("p", "ar")] == 8
     assert ("ar", "k") in got and got[("ar", "k")] == 8
+
+
+# --- streamed maintained index (round-8 #3) ----------------------------
+
+
+def test_x14_fold_body_under_real_micro_batches(spark, tmp_path):
+    """The x14 fold body runs under a REAL Structured Streaming
+    foreachBatch: deliveries land as parquet files, each micro-batch
+    folds into the running index, and the final folded artifacts must
+    score identically to the one-shot rebuild over base+deliveries."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.retrieval import (
+        _bm25_frames,
+        _bm25_scored_from,
+        bm25_index_delta,
+        bm25_scored,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    deliveries = [
+        docs.filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 3 == k))
+        for k in range(3)
+    ]
+    state = [df.localCheckpoint() for df in _bm25_frames(base)]
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "deliveries_in")
+
+    def fold_batch(batch_df, batch_id):
+        tf, dl, st = bm25_index_delta(*state, batch_df)
+        # materialize the fold like a maintained table would be
+        state[0] = tf.localCheckpoint()
+        state[1] = dl.localCheckpoint()
+        state[2] = st.localCheckpoint()
+
+    for k, d in enumerate(deliveries):
+        d.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", f"{tmp_path}/ckpt_x14")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    folded = {
+        tuple(r) for r in _bm25_scored_from(*state).collect()
+    }
+    oneshot = {tuple(r) for r in bm25_scored(docs).collect()}
+    assert folded == oneshot and len(oneshot) > 0
+
+
+def test_x14_serves_every_prefix(spark):
+    """Each delivery's served ranking must equal the from-scratch
+    ranking of that PREFIX corpus (not just the final state)."""
+    from hfcommunity_spark.operators.dedup import (
+        _delta_arriving_docs,
+        _delta_base_docs,
+    )
+    from hfcommunity_spark.operators.lm import ranked_topk
+    from hfcommunity_spark.operators.retrieval import (
+        BM25_TOP_K,
+        _x14_batch,
+        bm25_scored,
+        x14_stream_maintained_index,
+    )
+
+    got = {
+        (r.delivery_id, r.doc_id, r.rank, r.score_rounded)
+        for r in x14_stream_maintained_index(spark, SF_SMOKE).collect()
+    }
+    base = _delta_base_docs(spark, SF_SMOKE)
+    arriving = _delta_arriving_docs(spark, SF_SMOKE)
+    prefix = base
+    want = set()
+    for k in range(3):
+        prefix = prefix.unionByName(_x14_batch(arriving, k))
+        for r in ranked_topk(
+            bm25_scored(prefix), "score_rounded", BM25_TOP_K
+        ).collect():
+            want.add((k, r.doc_id, r.rank, r.score_rounded))
+    assert got == want
+
+
+# --- merge-base BFS-meet (round-8 #3) ----------------------------------
+
+
+def test_merge_base_agrees_with_git_on_fixture_pairs(spark):
+    """On ancestor-of pairs the BFS-meet equals git's own merge-base;
+    run the real `git merge-base` against the fixture repo and compare
+    every declared pair where git reports a unique base that is one of
+    the pair (the ancestor-of case) or the unique fork point."""
+    import subprocess
+
+    from hfcommunity_spark.operators.etlops import (
+        _MB_PAIRS_BY_RANK,
+        _fixture_dag_repo,
+        g_merge_base,
+    )
+
+    base_dir = _fixture_dag_repo(spark, SF_ORACLE)
+    repo = f"{base_dir}/fixture"
+    # map rank -> sha via commit messages (fixture order)
+    log = subprocess.run(
+        ["git", "-C", repo, "log", "--format=%H %s", "--all"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip().splitlines()
+    sha_of_msg = {}
+    for line in log:
+        sha, msg = line.split(" ", 1)
+        sha_of_msg[msg] = sha
+    got = {
+        (r.message_a, r.message_b): (r.base_message, r.hops_a, r.hops_b)
+        for r in g_merge_base(spark, SF_ORACLE).collect()
+    }
+    assert len(got) == len(_MB_PAIRS_BY_RANK)
+    for (ma, mb), (mbase, ha, hb) in got.items():
+        gitbase = subprocess.run(
+            ["git", "-C", repo, "merge-base",
+             sha_of_msg[ma], sha_of_msg[mb]],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if ha == 0 or hb == 0:
+            # ancestor-of pairs: BFS-meet and git agree exactly
+            assert sha_of_msg[mbase] == gitbase, (ma, mb)
+        # every reported base must be a real common ancestor per git
+        for m in (ma, mb):
+            rc = subprocess.run(
+                ["git", "-C", repo, "merge-base", "--is-ancestor",
+                 sha_of_msg[mbase], sha_of_msg[m]],
+            ).returncode
+            assert rc == 0, (mbase, m)
+
+
+def test_fuzzy_block_single_word_names_not_dropped(spark):
+    """A one-word name must land in block '' (matching the oracle's
+    split_part semantics) — under ANSI mode a bare [1] index would
+    THROW ArrayIndexOutOfBounds, and a NULL block would silently drop
+    the row from the equi-join on the Spark side only."""
+    from hfcommunity_spark.operators.linkage import (
+        distinct_blocked_names,
+        fuzzy_blocked_pairs,
+    )
+
+    recs = spark.createDataFrame(
+        [("anvil",), ("anvil",), ("anvi",), ("red anvil",)],
+        "name string",
+    )
+    names = distinct_blocked_names(
+        recs, "name",
+        F.coalesce(F.get(F.split(F.col("name"), " "), 1), F.lit("")),
+    )
+    blocks = {r.name: r.block for r in names.collect()}
+    assert blocks["anvil"] == "" and blocks["anvi"] == ""
+    pairs = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_blocked_pairs(names, max_dist=2).collect()
+    }
+    assert ("anvi", "anvil") in pairs
