@@ -95,9 +95,11 @@ def j12_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit-distance neighbors inside their noun block, and how many
     records each side of the merge carries.
 
-    Plan shape (asserted in tests/test_plan_audit.py): distinct-first
-    aggregate → blocked equi-join (no CartesianProduct) →
-    codegen ``levenshtein`` on in-block pairs only."""
+    Plan shape (asserted in tests/test_round8_ops.py::
+    test_fuzzy_join_plan_is_blocked, plus the inventory-wide
+    no-CartesianProduct audit in tests/test_plan_audit.py):
+    distinct-first aggregate → blocked equi-join → codegen
+    ``levenshtein`` on in-block pairs only."""
     part = read_table(spark, sf_dir, "part")
     # NULL-safe block extraction: under ANSI mode (the Spark 4
     # default, and the driver's vanilla session) an out-of-bounds

@@ -289,13 +289,11 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf_rounded"),
     )
-    top = fused.orderBy(F.desc("rrf_rounded"), F.asc("doc_id")).limit(
-        RRF_TOP_K
+    from hfcommunity_spark.operators.lm import ranked_topk
+
+    return ranked_topk(fused, "rrf_rounded", RRF_TOP_K).select(
+        "doc_id", "rank", "rrf_rounded"
     )
-    w = Window.orderBy(F.desc("rrf_rounded"), F.asc("doc_id"))
-    return top.withColumn(
-        "rank", F.row_number().over(w).cast("int")
-    ).select("doc_id", "rank", "rrf_rounded")
 
 
 # --- delta-maintained BM25 index (the retrieval member of the
@@ -318,11 +316,18 @@ def _bm25_base_frames(
     def build_dl() -> DataFrame:
         return _bm25_frames(_delta_base_docs(spark, sf_dir))[1]
 
-    def build_st() -> DataFrame:
-        return _bm25_frames(_delta_base_docs(spark, sf_dir))[2]
-
     tf = _BM25_BASE_CACHE.get_or_build(spark, ("tf", sf_dir), build_tf)
     dl = _BM25_BASE_CACHE.get_or_build(spark, ("dl", sf_dir), build_dl)
+
+    def build_st() -> DataFrame:
+        # derive the 1-row stats from the ALREADY-PERSISTED doc-length
+        # frame — a fresh _bm25_frames(...)[2] would re-scan and
+        # re-tokenize the whole base slice a third time on cold build
+        return dl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+        )
+
     st = _BM25_BASE_CACHE.get_or_build(spark, ("st", sf_dir), build_st)
     return tf, dl, st
 

@@ -678,12 +678,14 @@ def samp_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     water level), so the hash is engine-independent; the undistributed
     remainder of the floor division is < n tokens and intentionally
     left unallocated (documented, deterministic)."""
+    from hfcommunity_spark.operators.textops import token_count
+
     docs = read_table(spark, sf_dir, "documents")
     nat = (
         docs.filter(F.col("text").isNotNull())
         .groupBy("source")
         .agg(
-            F.sum(F.size(F.split(F.col("text"), " ")))
+            F.sum(token_count(F.col("text")))
             .cast("long").alias("nat_tokens")
         )
         # ≤|sources| rows, two consumers (the budget scalar and the

@@ -923,9 +923,9 @@ def t_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        # vocabulary-bounded, three consumers (p1, the rewrite, and
-        # top1's second reference) — eagerly checkpoint so the corpus
-        # is tokenized ONCE, not once per consumer
+        # vocabulary-bounded, two consumers (the p1 pair counts and
+        # the rewrite) — eagerly checkpoint so the corpus is tokenized
+        # ONCE, not once per consumer
         .localCheckpoint()
     )
     p1 = _bpe_pair_counts(wf)
@@ -933,6 +933,10 @@ def t_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         p1.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
         .limit(1)
         .select(F.col("a").alias("ma"), F.col("b").alias("mb"))
+        # 1-row winner, two consumers (the rewrite and the final
+        # symbol expansion) — checkpoint so the vocabulary-wide p1
+        # aggregation runs once, not once per reference
+        .localCheckpoint()
     )
     wf2 = wf.crossJoin(F.broadcast(top1)).select(
         F.expr(f"replace(w, ma || mb, '{BPE_MARK}')").alias("w"),

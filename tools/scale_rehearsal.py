@@ -393,11 +393,11 @@ def main() -> None:
         sf3 = {"cold": round(times[0], 3), "warm": round(min(times[1:]), 3)}
         ent: dict = {"sf3.0": sf3}
         for mode in ("cold", "warm"):
-            if name in results:
-                t01 = results[name]["sf0.1"][mode]
-                t10 = results[name]["sf1.0"][mode]
-            else:  # t_unigram_ppl_buckets rides only the trio section
-                t01 = t10 = None
+            # every TRIO member is also in QUERIES, so the sf0.1 and
+            # sf1.0 points always exist and all three get the full
+            # 3-point fit
+            t01 = results[name]["sf0.1"][mode]
+            t10 = results[name]["sf1.0"][mode]
             if t10:
                 ent[f"step2_exponent_{mode}"] = round(
                     float(np.log10(max(sf3[mode] / t10, 1e-9))
@@ -415,9 +415,6 @@ def main() -> None:
               f"warm {sf3['warm']:.2f}s "
               f"{ {k: v for k, v in ent.items() if 'exponent' in k} }",
               flush=True)
-    # t_unigram_ppl_buckets is in QUERIES, so all three have the full
-    # 3-point fit; keep the per-step numbers either way.
-
     saturation = lsh_bucket_saturation(spark)
     payload = {
         "factor": FACTOR,
