@@ -433,9 +433,19 @@ def merge_commits(commit_parents: DataFrame) -> DataFrame:
     )
 
 
-def components_delta(assign: DataFrame, new_edges: DataFrame,
-                     src: str = "src", dst: str = "dst") -> DataFrame:
-    """Incremental connected-components maintenance under an edge
+def component_merge_plan(
+    assign: DataFrame, new_edges: DataFrame,
+    src: str = "src", dst: str = "dst",
+) -> tuple[DataFrame, DataFrame | None]:
+    """The delivery-bounded maintenance plan behind
+    :func:`components_delta`, exposed so a bucketed writer can apply
+    it partition-pruned: returns ``(fresh, relabel)`` where ``fresh``
+    holds singleton rows for vertices the assignment has never seen
+    and ``relabel`` is the (component, merged) map of this delivery's
+    merges (``None`` when nothing merges).  Everything here is bounded
+    by the delivery — the quotient CC, the union-find, the map.
+
+    Incremental connected-components maintenance under an edge
     delivery — the cluster-side completion of the maintained-index
     family (``dedup.minhash_band_delta`` produces the pair deltas;
     this folds them into the cluster assignment without re-running CC
@@ -493,12 +503,20 @@ def components_delta(assign: DataFrame, new_edges: DataFrame,
         .filter(F.col("comp_a") != F.col("comp_b"))
         .select(F.col("comp_a").alias("src"), F.col("comp_b").alias("dst"))
     )
+    return fresh, _quotient_relabel(assign.sparkSession, quot)
+
+
+def _quotient_relabel(spark, quot: DataFrame) -> DataFrame | None:
+    """Quotient edges → (component, merged) relabel map, or ``None``
+    when nothing merges.  The quotient is delivery-bounded by
+    contract; the local union-find replaces the distributed CC
+    machinery below ``QUOTIENT_LOCAL_EDGE_MAX`` edges (bounded
+    collect, the histogram/codebook discipline)."""
     quot, quot_ids = _eager_checkpoint(quot.distinct())
     n_quot = quot.count()
     if n_quot == 0:
-        _free_checkpoint(assign.sparkSession, quot_ids)
-        return assign_all
-    spark = assign.sparkSession
+        _free_checkpoint(spark, quot_ids)
+        return None
     if n_quot <= QUOTIENT_LOCAL_EDGE_MAX:
         # the quotient is delivery-bounded BY CONTRACT, and here it is
         # tiny: a driver-side min-label union-find replaces the full
@@ -532,7 +550,7 @@ def components_delta(assign: DataFrame, new_edges: DataFrame,
         ]
         _free_checkpoint(spark, quot_ids)
         if not pairs:
-            return assign_all
+            return None
         vt = quot.schema["src"].dataType
         relabel = spark.createDataFrame(
             pairs,
@@ -557,6 +575,20 @@ def components_delta(assign: DataFrame, new_edges: DataFrame,
         # finding)
         relabel, _relabel_ids = _eager_checkpoint(relabel)
         _free_checkpoint(spark, quot_ids)
+    return relabel
+
+
+def components_delta(assign: DataFrame, new_edges: DataFrame,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fold an edge delivery into the maintained (vertex, component)
+    assignment: :func:`component_merge_plan` for the delivery-bounded
+    work, then one broadcast relabel join over the assignment (the
+    full-rewrite application; a deployment applies the same map
+    partition-pruned via :func:`relabel_affected_buckets`)."""
+    fresh, relabel = component_merge_plan(assign, new_edges, src, dst)
+    assign_all = assign.unionByName(fresh)
+    if relabel is None:
+        return assign_all
     return (
         assign_all.join(F.broadcast(relabel), "component", "left")
         .select(
@@ -564,6 +596,172 @@ def components_delta(assign: DataFrame, new_edges: DataFrame,
             F.coalesce("merged", "component").alias("component"),
         )
     )
+
+
+# --- bucketed assignment layout: the partition-pruned relabel seam ---
+
+ASSIGN_C_BUCKETS = 64
+
+
+def write_component_assign(assign: DataFrame, out_dir: str,
+                           buckets: int = ASSIGN_C_BUCKETS) -> str:
+    """Materialize the maintained assignment in the layout a
+    deployment actually rewrites: parquet partitioned by
+    ``c_bucket = pmod(xxhash64(component), buckets)``.  A delivery's
+    relabel map touches a handful of components, so the rewrite reads
+    (and replaces) only their buckets — partition pruning, the same
+    seam as ``dedup.write_span_postings``.  Repartitioned ON the
+    bucket key before the write so each bucket holds one file per
+    job, not one per writer task (the span layout's measured
+    file-fanout lesson)."""
+    (
+        assign.withColumn(
+            "c_bucket",
+            F.pmod(F.xxhash64(F.col("component")), F.lit(buckets))
+            .cast("int"),
+        )
+        .repartition(F.col("c_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("c_bucket")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def _assign_rel(spark, rel_or_dir) -> DataFrame:
+    """Accept either a parquet path or an already-resolved relation
+    (e.g. ``spark.table(...)``).  A CATALOG-BACKED table is the shape
+    a deployment holds: partition pruning then consults partition
+    METADATA instead of walking the whole bucket directory tree —
+    measured ~10x cheaper at 2000 buckets, and the gap grows with the
+    table (the listing is O(buckets), the catalog lookup O(touched))."""
+    return (
+        spark.read.parquet(rel_or_dir)
+        if isinstance(rel_or_dir, str)
+        else rel_or_dir
+    )
+
+
+def relabel_affected_buckets(spark, assign_rel, relabel: DataFrame,
+                             buckets: int = ASSIGN_C_BUCKETS) -> DataFrame:
+    """Apply a delivery's relabel map against the bucketed assignment,
+    reading ONLY the buckets that hold relabeled components: resolve
+    the map's c_buckets (bounded by the map, which is bounded by the
+    delivery), push the IN-list as a PartitionFilter, inner-join the
+    broadcast map.  Returns exactly the REWRITTEN rows
+    (vertex, component) — the partitions a 100 TB writer replaces;
+    untouched buckets are never opened."""
+    bkts = [
+        r.b
+        for r in relabel.select(
+            F.pmod(F.xxhash64(F.col("component")), F.lit(buckets))
+            .cast("int").alias("b")
+        ).distinct().collect()
+    ]
+    scan = _assign_rel(spark, assign_rel).filter(
+        F.col("c_bucket").isin(bkts)
+    )
+    return scan.join(F.broadcast(relabel), "component").select(
+        "vertex", F.col("merged").alias("component")
+    )
+
+
+# The assignment's PRIMARY layout is keyed by vertex (it is the
+# table's key): bucket count scales with the table so bucket SIZE
+# stays constant, and a delivery's endpoint lookups read
+# ≤|delivery vertices| buckets of constant size — flat in the history
+# once the table outgrows |delivery| × bucket_size.  The
+# component-bucketed layout above is the secondary projection the
+# relabel writer rewrites.
+ASSIGN_ROWS_PER_BUCKET = 2000
+
+
+def write_vertex_assign(assign: DataFrame, out_dir: str,
+                        buckets: int) -> str:
+    """Materialize the maintained assignment keyed by vertex:
+    parquet partitioned by ``v_bucket = pmod(xxhash64(vertex),
+    buckets)``.  Callers size ``buckets`` to the table
+    (``n_rows // ASSIGN_ROWS_PER_BUCKET``) so bucket size — and with
+    it per-lookup IO — is constant at any history size."""
+    (
+        assign.withColumn(
+            "v_bucket",
+            F.pmod(F.xxhash64(F.col("vertex")), F.lit(buckets))
+            .cast("int"),
+        )
+        .repartition(F.col("v_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("v_bucket")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def resolve_assign_pruned(spark, assign_rel, verts: DataFrame,
+                          buckets: int) -> DataFrame:
+    """(vertex, component) rows for the given vertices, reading ONLY
+    the v_buckets they land in: the bucket IN-list (bounded by the
+    delivery) reaches the scan as a PartitionFilter, then a broadcast
+    semi-join keeps the looked-up rows.  Vertices absent from the
+    table simply return no row (the caller treats them as fresh)."""
+    bkts = [
+        r.b
+        for r in verts.select(
+            F.pmod(F.xxhash64(F.col("vertex")), F.lit(buckets))
+            .cast("int").alias("b")
+        ).distinct().collect()
+    ]
+    scan = _assign_rel(spark, assign_rel).filter(
+        F.col("v_bucket").isin(bkts)
+    )
+    return scan.join(F.broadcast(verts), "vertex").select(
+        "vertex", "component"
+    )
+
+
+def component_merge_plan_pruned(
+    spark, vertex_rel, new_edges: DataFrame, buckets: int,
+    src: str = "src", dst: str = "dst",
+) -> tuple[DataFrame, DataFrame | None]:
+    """:func:`component_merge_plan` against the PERSISTED
+    vertex-bucketed assignment instead of an in-memory frame: endpoint
+    resolution becomes partition-pruned point lookups (the in-memory
+    plan's two resolution joins and the fresh-vertex anti-join each
+    scan the whole assignment — fine when it is a cached frame, wrong
+    when it is a 100 TB table).  Same return contract, same quotient
+    union-find, value-identical relabel map (parity-locked in
+    tests/test_graph.py)."""
+    e, _e_ids = _eager_checkpoint(
+        new_edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).filter(F.col("a") != F.col("b"))
+    )
+    verts = (
+        e.select(F.col("a").alias("vertex"))
+        .unionByName(e.select(F.col("b").alias("vertex")))
+        .distinct()
+    )
+    resolved, _r_ids = _eager_checkpoint(
+        resolve_assign_pruned(spark, vertex_rel, verts, buckets)
+    )
+    fresh = verts.join(resolved, "vertex", "left_anti").select(
+        "vertex", F.col("vertex").alias("component")
+    )
+    lookup = resolved.unionByName(fresh)
+    ca = lookup.select(
+        F.col("vertex").alias("a"), F.col("component").alias("comp_a")
+    )
+    cb = lookup.select(
+        F.col("vertex").alias("b"), F.col("component").alias("comp_b")
+    )
+    quot = (
+        e.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .filter(F.col("comp_a") != F.col("comp_b"))
+        .select(F.col("comp_a").alias("src"),
+                F.col("comp_b").alias("dst"))
+    )
+    return fresh, _quotient_relabel(spark, quot)
 
 
 # --- fixed-iteration PageRank (integer arithmetic) -------------------

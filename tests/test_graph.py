@@ -302,3 +302,170 @@ def test_components_delta_distributed_fallback_matches_local(spark,
     local = run()
     monkeypatch.setattr(G, "QUOTIENT_LOCAL_EDGE_MAX", 0)
     assert run() == local
+
+
+# --- bucketed assignment layout (round 8) ------------------------------
+
+
+def _chain_edges(spark, n, chain=10):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .filter(F.col("id") % chain != chain - 1)
+        .select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+    )
+
+
+def test_bucketed_relabel_parity_with_full_rewrite(spark, tmp_path):
+    """Rewritten buckets ∪ untouched rows must equal the full
+    components_delta output — the bucketed writer changes IO shape,
+    never values."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import (
+        component_merge_plan,
+        components_delta,
+        connected_components,
+        relabel_affected_buckets,
+        write_component_assign,
+    )
+
+    hist = _chain_edges(spark, 200)
+    delta = spark.range(4).select(
+        (F.col("id") * 20 + 9).alias("src"),
+        (F.col("id") * 20 + 10).alias("dst"),
+    )
+    assign = connected_components(hist).localCheckpoint()
+    out = str(tmp_path / "assign")
+    write_component_assign(assign, out)
+
+    fresh, relabel = component_merge_plan(assign, delta)
+    assert relabel is not None and fresh.count() == 0
+    rewritten = relabel_affected_buckets(spark, out, relabel)
+    touched = {r.vertex for r in rewritten.collect()}
+    merged = {
+        (r.vertex, r.component)
+        for r in rewritten.collect()
+    } | {
+        (r.vertex, r.component)
+        for r in assign.collect()
+        if r.vertex not in touched
+    }
+    full = {
+        (r.vertex, r.component)
+        for r in components_delta(assign, delta).collect()
+    }
+    assert merged == full and len(full) == 200
+
+
+def test_bucketed_relabel_is_partition_pruned(spark, tmp_path):
+    """The relabel scan must reach parquet with a c_bucket
+    PartitionFilter — bucket IO is bounded by the delivery's merge
+    map, not the assignment size."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import (
+        component_merge_plan,
+        connected_components,
+        relabel_affected_buckets,
+        write_component_assign,
+    )
+
+    hist = _chain_edges(spark, 200)
+    assign = connected_components(hist).localCheckpoint()
+    out = str(tmp_path / "assign")
+    write_component_assign(assign, out)
+    delta = spark.range(2).select(
+        (F.col("id") * 20 + 9).alias("src"),
+        (F.col("id") * 20 + 10).alias("dst"),
+    )
+    _fresh, relabel = component_merge_plan(assign, delta)
+    plan = relabel_affected_buckets(spark, out, relabel)._sc._jvm \
+        .PythonSQLUtils.explainString(
+            relabel_affected_buckets(spark, out, relabel)
+            ._jdf.queryExecution(), "formatted")
+    assert re.search(r"PartitionFilters: \[[^\]]*c_bucket", plan), plan
+
+
+def test_bucketed_assign_one_file_per_bucket(spark, tmp_path):
+    """The writer repartitions on the bucket key, so each bucket dir
+    holds ONE data file regardless of writer parallelism (the span
+    layout's measured file-fanout lesson)."""
+    import glob
+    import os
+
+    from hfcommunity_spark.operators.graph import (
+        connected_components,
+        write_component_assign,
+    )
+
+    hist = _chain_edges(spark, 500).repartition(16)
+    assign = connected_components(hist)
+    out = str(tmp_path / "assign")
+    write_component_assign(assign, out)
+    for d in glob.glob(os.path.join(out, "c_bucket=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+
+def test_pruned_merge_plan_parity_with_in_memory(spark, tmp_path):
+    """component_merge_plan_pruned against the persisted vertex-
+    bucketed table must produce the same fresh rows and relabel map
+    as the in-memory plan on identical inputs — including fresh
+    (never-seen) vertices in the delivery."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import (
+        component_merge_plan,
+        component_merge_plan_pruned,
+        connected_components,
+        write_vertex_assign,
+    )
+
+    hist = _chain_edges(spark, 200)
+    assign = connected_components(hist).localCheckpoint()
+    out = str(tmp_path / "vassign")
+    write_vertex_assign(assign, out, buckets=8)
+    # two chain merges + one edge touching a brand-new vertex
+    delta = spark.createDataFrame(
+        [(9, 10), (29, 30), (5, 100001)], "src long, dst long"
+    )
+    f_mem, r_mem = component_merge_plan(assign, delta)
+    f_pr, r_pr = component_merge_plan_pruned(spark, out, delta, buckets=8)
+    assert {tuple(r) for r in f_mem.collect()} == \
+           {tuple(r) for r in f_pr.collect()}
+    assert r_mem is not None and r_pr is not None
+    assert {tuple(r) for r in r_mem.collect()} == \
+           {tuple(r) for r in r_pr.collect()}
+
+
+def test_pruned_vertex_lookup_is_partition_pruned(spark, tmp_path):
+    """The endpoint-resolution scan must reach parquet with a
+    v_bucket PartitionFilter."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import (
+        connected_components,
+        resolve_assign_pruned,
+        write_vertex_assign,
+    )
+
+    hist = _chain_edges(spark, 200)
+    assign = connected_components(hist).localCheckpoint()
+    out = str(tmp_path / "vassign")
+    write_vertex_assign(assign, out, buckets=16)
+    verts = spark.createDataFrame([(9,), (10,)], "vertex long")
+    df = resolve_assign_pruned(spark, out, verts, buckets=16)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*v_bucket", plan), plan
+    got = {(r.vertex, r.component) for r in df.collect()}
+    assert got == {(9, 0), (10, 10)}

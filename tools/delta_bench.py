@@ -184,6 +184,105 @@ def main() -> None:
         }
         per_scale[label] = scale
 
+    # --- cluster-history arm (round 8 #3): the cluster delta's payoff
+    # is contingent on a LARGE edge history (the τ-pair sets at the
+    # corpus scales above are so small that a rebuild is trivially
+    # cheap — recorded honestly in the note since r6).  This arm
+    # measures that regime with a synthetic but labeled history: H
+    # chain edges (length-10 chains), a FIXED delivery of 20
+    # chain-bridging merge edges, and a 10x history step.  The rebuild
+    # arm re-runs CC over the whole history+delta; the delta arm runs
+    # the PERSISTED-layout path a deployment runs — endpoint lookups
+    # partition-pruned against the vertex-bucketed assignment
+    # (component_merge_plan_pruned) and the relabel applied against
+    # the component-bucketed projection (relabel_affected_buckets).
+    # Bucket COUNT scales with H (constant ASSIGN_ROWS_PER_BUCKET
+    # bucket size), so per-delivery IO is bounded by
+    # |delivery vertices| x bucket_size — the flatness claim only
+    # materializes once H well exceeds that product, which is why the
+    # arm's H values sit at 4e5/4e6 rather than the corpus scales.
+    from hfcommunity_spark.operators.graph import (
+        ASSIGN_ROWS_PER_BUCKET,
+        component_merge_plan_pruned,
+        relabel_affected_buckets,
+        write_component_assign,
+        write_vertex_assign,
+    )
+
+    cluster_history: dict[str, dict] = {}
+    CHAIN = 10
+    N_MERGES = 20
+    for label, H in (("edges_4e5", 400_000), ("edges_4e6", 4_000_000)):
+        hist = (
+            spark.range(H)
+            .filter(F.col("id") % CHAIN != CHAIN - 1)
+            .select(F.col("id").alias("src"),
+                    (F.col("id") + 1).alias("dst"))
+            .localCheckpoint()
+        )
+        delta_e = (
+            spark.range(N_MERGES)
+            .select((F.col("id") * 2 * CHAIN + CHAIN - 1).alias("src"),
+                    (F.col("id") * 2 * CHAIN + CHAIN).alias("dst"))
+            .localCheckpoint()
+        )
+        assign = connected_components(hist).localCheckpoint()
+        n_rows = assign.count()
+        buckets = max(8, n_rows // ASSIGN_ROWS_PER_BUCKET)
+        vdir = os.path.join(
+            tempfile.gettempdir(), f"hfc_delta_bench_vassign_{label}"
+        )
+        cdir = os.path.join(
+            tempfile.gettempdir(), f"hfc_delta_bench_cassign_{label}"
+        )
+        write_vertex_assign(assign, vdir, buckets)
+        write_component_assign(assign, cdir, buckets)
+        # register both layouts as CATALOG tables (the deployment
+        # shape): partition pruning consults partition metadata, not
+        # an O(buckets) directory walk per read.  Registration + MSCK
+        # is table-build work, charged to neither arm (like every
+        # standing index above).
+        for tname, tdir, pcol in (
+            (f"hfc_db_vassign_{label}", vdir, "v_bucket"),
+            (f"hfc_db_cassign_{label}", cdir, "c_bucket"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            spark.sql(
+                f"CREATE TABLE {tname} (vertex BIGINT, component "
+                f"BIGINT) USING parquet PARTITIONED BY ({pcol} INT) "
+                f"LOCATION '{tdir}'"
+            )
+            spark.sql(f"MSCK REPAIR TABLE {tname}")
+        vrel = spark.table(f"hfc_db_vassign_{label}")
+        crel = spark.table(f"hfc_db_cassign_{label}")
+
+        def _delta_run():
+            fresh, relabel = component_merge_plan_pruned(
+                spark, vrel, delta_e, buckets
+            )
+            fresh.count()
+            if relabel is not None:
+                relabel_affected_buckets(
+                    spark, crel, relabel, buckets
+                ).count()
+
+        cluster_history[label] = {
+            "history_edges": H,
+            "delivery_edges": N_MERGES,
+            "assign_buckets": buckets,
+            "rebuild_s": timed(
+                lambda: connected_components(
+                    hist.unionByName(delta_e)
+                ).count()
+            ),
+            "delta_s": timed(_delta_run),
+        }
+    a, b = cluster_history["edges_4e5"], cluster_history["edges_4e6"]
+    cluster_history["growth_10x_history"] = {
+        "rebuild_x": round(b["rebuild_s"] / a["rebuild_s"], 2),
+        "delta_x": round(b["delta_s"] / a["delta_s"], 2),
+    }
+
     growth = {}
     if "sf0.1" in per_scale and "sf1.0" in per_scale:
         for idx in ("minhash_pairs", "span_stats", "clusters",
@@ -197,6 +296,7 @@ def main() -> None:
         "delivery_docs_fixed": DELIVERY_DOCS,
         "scales": per_scale,
         "growth_10x_corpus": growth,
+        "cluster_history": cluster_history,
         "note": ("fixed-size delivery, 10x corpus step: rebuild cost "
                  "tracks the corpus, delta cost must not — that gap is "
                  "the maintained family's reason to exist.  Measured "
@@ -210,9 +310,16 @@ def main() -> None:
                  "r6/r7 shape ran three corpus-wide scans and counted "
                  "the full merged frame, which made the span delta "
                  "track the corpus at 1.7x).  The cluster delta's "
-                 "thresholded edge sets are so small at these scales "
-                 "that a rebuild is already trivial; its delta pays "
-                 "off when the edge HISTORY is large.  The bm25 arm "
+                 "thresholded edge sets are so small at the corpus "
+                 "scales that a rebuild is already trivial there; its "
+                 "payoff regime - a LARGE edge history - is measured "
+                 "directly by the cluster_history arm (round 8 #3): "
+                 "against CATALOG-BACKED vertex-/component-bucketed "
+                 "assignment tables (constant bucket size, partition "
+                 "metadata pruning instead of an O(buckets) listing) "
+                 "the delta is FLAT at a 10x history step (delta_x "
+                 "~1.0) while the rebuild tracks the history (~6x).  "
+                 "The bm25 arm "
                  "(round 8) shows the delta flat (~0.3x) while its "
                  "rebuild is still fixed-overhead-bound at these "
                  "corpus sizes (~0.9x at the 10x step: tokenizing "
