@@ -666,6 +666,70 @@ def relabel_affected_buckets(spark, assign_rel, relabel: DataFrame,
     )
 
 
+def apply_relabel_in_place(spark, assign_dir: str, relabel: DataFrame,
+                           buckets: int = ASSIGN_C_BUCKETS) -> None:
+    """The maintained-table WRITER: apply a delivery's relabel map to
+    the component-bucketed assignment in place, rewriting ONLY the
+    affected partitions (dynamic partition overwrite).  Relabeled rows
+    move to their merged component's bucket, so the touched set is
+    the map's old buckets ∪ new buckets — both bounded by the map,
+    which is bounded by the delivery.  Untouched partitions' files
+    are never opened or replaced (mtime-locked in tests).
+
+    Edge handled explicitly: a bucket whose every row moved away
+    produces no output rows, and dynamic overwrite only replaces
+    partitions PRESENT in the output — the emptied bucket's stale
+    files are dropped directly (a catalog deployment issues DROP
+    PARTITION; this path-based writer removes the directory)."""
+    import os
+    import shutil
+
+    bcol = F.pmod(F.xxhash64(F.col("component")), F.lit(buckets)).cast(
+        "int"
+    )
+    bkts = sorted(
+        {
+            r.b
+            for r in relabel.select(bcol.alias("b")).collect()
+        }
+        | {
+            r.b
+            for r in relabel.select(
+                F.pmod(F.xxhash64(F.col("merged")), F.lit(buckets))
+                .cast("int").alias("b")
+            ).collect()
+        }
+    )
+    updated = (
+        spark.read.parquet(assign_dir)
+        .filter(F.col("c_bucket").isin(bkts))
+        .join(F.broadcast(relabel), "component", "left")
+        .select(
+            "vertex", F.coalesce("merged", "component").alias("component")
+        )
+        .withColumn("c_bucket", bcol)
+    )
+    # cut lineage from the files about to be replaced
+    rows = updated.localCheckpoint()
+    present = {r.b for r in rows.select(
+        F.col("c_bucket").alias("b")).distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            rows.repartition(F.col("c_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("c_bucket")
+            .parquet(assign_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for b in set(bkts) - present:
+        d = os.path.join(assign_dir, f"c_bucket={b}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
 # The assignment's PRIMARY layout is keyed by vertex (it is the
 # table's key): bucket count scales with the table so bucket SIZE
 # stays constant, and a delivery's endpoint lookups read

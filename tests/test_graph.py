@@ -469,3 +469,118 @@ def test_pruned_vertex_lookup_is_partition_pruned(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*v_bucket", plan), plan
     got = {(r.vertex, r.component) for r in df.collect()}
     assert got == {(9, 0), (10, 10)}
+
+
+def test_apply_relabel_in_place_lifecycle(spark, tmp_path):
+    """Full maintained-table lifecycle: write → delivery → in-place
+    partition rewrite → the table equals components_delta, no stale
+    rows survive a fully-emptied bucket, and untouched partitions'
+    files are byte-untouched (mtime physics lock)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import (
+        apply_relabel_in_place,
+        component_merge_plan,
+        components_delta,
+        connected_components,
+        write_component_assign,
+    )
+
+    hist = _chain_edges(spark, 200)
+    assign = connected_components(hist).localCheckpoint()
+    out = str(tmp_path / "cassign")
+    write_component_assign(assign, out, buckets=16)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out, "c_bucket=*/*.parquet"))
+    }
+    delta = spark.createDataFrame(
+        [(9, 10), (49, 50)], "src long, dst long"
+    )
+    _fresh, relabel = component_merge_plan(assign, delta)
+    assert relabel is not None
+    touched = {
+        r.b
+        for r in relabel.select(
+            F.pmod(F.xxhash64("component"), F.lit(16)).cast("int")
+            .alias("b")
+        ).collect()
+    } | {
+        r.b
+        for r in relabel.select(
+            F.pmod(F.xxhash64("merged"), F.lit(16)).cast("int")
+            .alias("b")
+        ).collect()
+    }
+    apply_relabel_in_place(spark, out, relabel, buckets=16)
+
+    got = {
+        (r.vertex, r.component)
+        for r in spark.read.parquet(out)
+        .select("vertex", "component").collect()
+    }
+    want = {
+        (r.vertex, r.component)
+        for r in components_delta(assign, delta).collect()
+    }
+    assert got == want and len(want) == 200
+    # untouched partitions: same files, same mtimes
+    for f, m in before.items():
+        b = int(f.split("c_bucket=")[1].split("/")[0])
+        if b not in touched:
+            assert os.path.exists(f) and os.path.getmtime(f) == m, f
+
+
+def test_apply_relabel_in_place_drops_emptied_bucket(spark, tmp_path):
+    """A bucket whose every row moves to the merged component's bucket
+    must not keep stale files (dynamic overwrite alone would leave
+    them: it only replaces partitions present in the output)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import (
+        apply_relabel_in_place,
+        component_merge_plan,
+        connected_components,
+        write_component_assign,
+    )
+
+    hist = _chain_edges(spark, 200)
+    assign = connected_components(hist).localCheckpoint()
+    buckets = 64
+    # find a component that has its bucket entirely to itself
+    comp_bucket = {
+        r.component: r.b
+        for r in assign.select("component").distinct().select(
+            "component",
+            F.pmod(F.xxhash64("component"), F.lit(buckets)).cast("int")
+            .alias("b"),
+        ).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(comp_bucket.values())
+    solo = [c for c, b in comp_bucket.items() if counts[b] == 1 and c != 0]
+    assert solo, "deterministic data should give some solo bucket"
+    victim = solo[0]
+    out = str(tmp_path / "cassign")
+    write_component_assign(assign, out, buckets=buckets)
+    # merge the victim chain's head into chain 0 (vertex victim is the
+    # chain head == its component label)
+    delta = spark.createDataFrame([(0, victim)], "src long, dst long")
+    _fresh, relabel = component_merge_plan(assign, delta)
+    assert relabel is not None
+    apply_relabel_in_place(spark, out, relabel, buckets=buckets)
+    assert not os.path.isdir(
+        os.path.join(out, f"c_bucket={comp_bucket[victim]}")
+    )
+    got = {
+        (r.vertex, r.component)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert all(c != victim for _v, c in got)
+    assert sum(1 for _v, c in got if c == 0) == 20  # merged chain
