@@ -1914,6 +1914,29 @@ def write_span_postings(postings: DataFrame, out_dir: str,
     return out_dir
 
 
+def append_span_postings(batch_postings: DataFrame, out_dir: str,
+                         buckets: int = SPAN_H_BUCKETS) -> str:
+    """Fold a delivery's postings into the PERSISTED bucketed layout:
+    parquet append into the same ``h_bucket`` partitioning
+    (:func:`write_span_postings`), repartitioned on the bucket key so
+    the delivery adds at most ONE file per touched bucket per
+    delivery — file count grows with deliveries x touched buckets,
+    never with writer parallelism.  Periodic per-bucket compaction is
+    ordinary table maintenance, orthogonal to the delta path; probes
+    via :func:`affected_docs_pruned` see appended rows immediately
+    (lifecycle-locked in tests/test_llmops.py)."""
+    (
+        batch_postings.withColumn(
+            "h_bucket", F.pmod(F.col("h"), F.lit(buckets)).cast("int")
+        )
+        .repartition(F.col("h_bucket"))
+        .write.mode("append")
+        .partitionBy("h_bucket")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
 def affected_docs_pruned(spark: SparkSession, postings_dir: str,
                          batch_postings: DataFrame,
                          buckets: int = SPAN_H_BUCKETS) -> DataFrame:

@@ -794,7 +794,15 @@ def component_merge_plan_pruned(
     scan the whole assignment — fine when it is a cached frame, wrong
     when it is a 100 TB table).  Same return contract, same quotient
     union-find, value-identical relabel map (parity-locked in
-    tests/test_graph.py)."""
+    tests/test_graph.py).
+
+    Consistency contract: the vertex layout must reflect the SAME
+    table version as the component layout the relabel is applied to.
+    A deployment folding several deliveries either updates both
+    projections per delivery or re-resolves endpoint labels through
+    the component layout (what the streaming lifecycle test does);
+    resolving against a stale vertex projection after an unapplied
+    merge yields relabel keys that no longer exist in the table."""
     e, _e_ids = _eager_checkpoint(
         new_edges.select(
             F.col(src).alias("a"), F.col(dst).alias("b")

