@@ -615,11 +615,7 @@ def write_component_assign(assign: DataFrame, out_dir: str,
     job, not one per writer task (the span layout's measured
     file-fanout lesson)."""
     (
-        assign.withColumn(
-            "c_bucket",
-            F.pmod(F.xxhash64(F.col("component")), F.lit(buckets))
-            .cast("int"),
-        )
+        assign.withColumn("c_bucket", _bucket_expr("component", buckets))
         .repartition(F.col("c_bucket"))
         .write.mode("overwrite")
         .partitionBy("c_bucket")
@@ -642,22 +638,37 @@ def _assign_rel(spark, rel_or_dir) -> DataFrame:
     )
 
 
+def _bucket_expr(col: str, buckets: int):
+    """THE bucket function, single-sourced: writers partition by it
+    and readers prune by it — a drift between the two would silently
+    select the wrong partitions."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).cast("int")
+
+
+def _bucket_ids(df: DataFrame, cols, buckets: int) -> list[int]:
+    """Distinct bucket ids of one or more key columns, in ONE job
+    (bounded collect: callers pass delivery-bounded frames)."""
+    exprs = [_bucket_expr(c, buckets) for c in cols]
+    return sorted(
+        r.b
+        for r in df.select(
+            F.explode(F.array(*exprs)).alias("b")
+        ).distinct().collect()
+    )
+
+
 def relabel_affected_buckets(spark, assign_rel, relabel: DataFrame,
                              buckets: int = ASSIGN_C_BUCKETS) -> DataFrame:
-    """Apply a delivery's relabel map against the bucketed assignment,
-    reading ONLY the buckets that hold relabeled components: resolve
-    the map's c_buckets (bounded by the map, which is bounded by the
-    delivery), push the IN-list as a PartitionFilter, inner-join the
-    broadcast map.  Returns exactly the REWRITTEN rows
-    (vertex, component) — the partitions a 100 TB writer replaces;
-    untouched buckets are never opened."""
-    bkts = [
-        r.b
-        for r in relabel.select(
-            F.pmod(F.xxhash64(F.col("component")), F.lit(buckets))
-            .cast("int").alias("b")
-        ).distinct().collect()
-    ]
+    """The rows a delivery's relabel map CHANGES, read partition-
+    pruned: resolve the map's c_buckets (bounded by the map, which is
+    bounded by the delivery), push the IN-list as a PartitionFilter,
+    inner-join the broadcast map.  This is the change-set probe (what
+    the bench's delta arm and an audit query consume) — it is NOT a
+    partition-replacement recipe: old buckets also hold co-located
+    rows of untouched components, and the merged targets' buckets
+    gain rows.  The writer that replaces partitions correctly is
+    :func:`apply_relabel_in_place`."""
+    bkts = _bucket_ids(relabel, ["component"], buckets)
     scan = _assign_rel(spark, assign_rel).filter(
         F.col("c_bucket").isin(bkts)
     )
@@ -666,15 +677,22 @@ def relabel_affected_buckets(spark, assign_rel, relabel: DataFrame,
     )
 
 
-def apply_relabel_in_place(spark, assign_dir: str, relabel: DataFrame,
-                           buckets: int = ASSIGN_C_BUCKETS) -> None:
-    """The maintained-table WRITER: apply a delivery's relabel map to
-    the component-bucketed assignment in place, rewriting ONLY the
-    affected partitions (dynamic partition overwrite).  Relabeled rows
-    move to their merged component's bucket, so the touched set is
-    the map's old buckets ∪ new buckets — both bounded by the map,
-    which is bounded by the delivery.  Untouched partitions' files
-    are never opened or replaced (mtime-locked in tests).
+def apply_relabel_in_place(spark, assign_dir: str,
+                           relabel: DataFrame | None,
+                           buckets: int = ASSIGN_C_BUCKETS,
+                           fresh: DataFrame | None = None,
+                           assign_rel=None) -> None:
+    """The maintained-table WRITER: fold a delivery's merge plan —
+    BOTH halves of :func:`component_merge_plan`'s return — into the
+    component-bucketed assignment in place, rewriting ONLY the
+    affected partitions (dynamic partition overwrite).  Relabeled
+    rows move to their merged component's bucket, and ``fresh``
+    (never-seen) vertices land in their post-relabel component's
+    bucket (a fresh vertex can itself be merged by the same
+    delivery), so the touched set is the map's old ∪ new buckets ∪
+    the fresh rows' buckets — all bounded by the delivery.  Untouched
+    partitions' files are never opened or replaced (mtime-locked in
+    tests).
 
     Edge handled explicitly: a bucket whose every row moved away
     produces no output rows, and dynamic overwrite only replaces
@@ -684,30 +702,46 @@ def apply_relabel_in_place(spark, assign_dir: str, relabel: DataFrame,
     import os
     import shutil
 
-    bcol = F.pmod(F.xxhash64(F.col("component")), F.lit(buckets)).cast(
-        "int"
-    )
-    bkts = sorted(
-        {
-            r.b
-            for r in relabel.select(bcol.alias("b")).collect()
-        }
-        | {
-            r.b
-            for r in relabel.select(
-                F.pmod(F.xxhash64(F.col("merged")), F.lit(buckets))
-                .cast("int").alias("b")
-            ).collect()
-        }
-    )
-    updated = (
-        spark.read.parquet(assign_dir)
-        .filter(F.col("c_bucket").isin(bkts))
-        .join(F.broadcast(relabel), "component", "left")
-        .select(
+    if relabel is None and fresh is None:
+        return
+    # fresh rows after applying this delivery's own merges
+    fresh_rows = None
+    if fresh is not None:
+        fresh_rows = fresh
+        if relabel is not None:
+            fresh_rows = fresh.join(
+                F.broadcast(relabel), "component", "left"
+            ).select(
+                "vertex",
+                F.coalesce("merged", "component").alias("component"),
+            )
+        fresh_rows = fresh_rows.localCheckpoint()
+        if fresh_rows.isEmpty():
+            fresh_rows = None
+    if relabel is None and fresh_rows is None:
+        return
+
+    # touched buckets, ONE bounded job per frame
+    bkts: set[int] = set()
+    if relabel is not None:
+        bkts |= set(_bucket_ids(relabel, ["component", "merged"], buckets))
+    if fresh_rows is not None:
+        bkts |= set(_bucket_ids(fresh_rows, ["component"], buckets))
+    bkts = sorted(bkts)
+
+    updated = _assign_rel(spark, assign_rel or assign_dir).filter(
+        F.col("c_bucket").isin(bkts)
+    ).select("vertex", "component")
+    if relabel is not None:
+        updated = updated.join(
+            F.broadcast(relabel), "component", "left"
+        ).select(
             "vertex", F.coalesce("merged", "component").alias("component")
         )
-        .withColumn("c_bucket", bcol)
+    if fresh_rows is not None:
+        updated = updated.unionByName(fresh_rows)
+    updated = updated.withColumn(
+        "c_bucket", _bucket_expr("component", buckets)
     )
     # cut lineage from the files about to be replaced
     rows = updated.localCheckpoint()
@@ -748,11 +782,7 @@ def write_vertex_assign(assign: DataFrame, out_dir: str,
     (``n_rows // ASSIGN_ROWS_PER_BUCKET``) so bucket size — and with
     it per-lookup IO — is constant at any history size."""
     (
-        assign.withColumn(
-            "v_bucket",
-            F.pmod(F.xxhash64(F.col("vertex")), F.lit(buckets))
-            .cast("int"),
-        )
+        assign.withColumn("v_bucket", _bucket_expr("vertex", buckets))
         .repartition(F.col("v_bucket"))
         .write.mode("overwrite")
         .partitionBy("v_bucket")
@@ -768,13 +798,7 @@ def resolve_assign_pruned(spark, assign_rel, verts: DataFrame,
     delivery) reaches the scan as a PartitionFilter, then a broadcast
     semi-join keeps the looked-up rows.  Vertices absent from the
     table simply return no row (the caller treats them as fresh)."""
-    bkts = [
-        r.b
-        for r in verts.select(
-            F.pmod(F.xxhash64(F.col("vertex")), F.lit(buckets))
-            .cast("int").alias("b")
-        ).distinct().collect()
-    ]
+    bkts = _bucket_ids(verts, ["vertex"], buckets)
     scan = _assign_rel(spark, assign_rel).filter(
         F.col("v_bucket").isin(bkts)
     )
@@ -833,7 +857,89 @@ def component_merge_plan_pruned(
         .select(F.col("comp_a").alias("src"),
                 F.col("comp_b").alias("dst"))
     )
-    return fresh, _quotient_relabel(spark, quot)
+    relabel = _quotient_relabel(spark, quot)
+    # materialize the (delivery-bounded) fresh rows, then free the
+    # intermediate checkpoint blocks: relabel is already independent
+    # of them (driver rows on the local path, re-checkpointed on the
+    # distributed path), so nothing returned derives from e/resolved
+    # and a per-delivery caller must not accumulate pinned blocks
+    # (the round-6 leak class _free_checkpoint exists to prevent)
+    fresh, _f_ids = _eager_checkpoint(fresh)
+    _free_checkpoint(spark, _e_ids + _r_ids)
+    return fresh, relabel
+
+
+def changed_assignment_rows(spark, component_rel,
+                            relabel: DataFrame | None,
+                            fresh: DataFrame | None,
+                            buckets: int = ASSIGN_C_BUCKETS) -> DataFrame:
+    """A delivery's full change-set for the VERTEX projection: the
+    relabeled rows (partition-pruned probe of the component layout)
+    plus the fresh rows after this delivery's own merges.  Bounded by
+    the delivery + affected component sizes — what the secondary
+    projection's writer consumes."""
+    parts = []
+    if relabel is not None:
+        parts.append(
+            relabel_affected_buckets(spark, component_rel, relabel,
+                                     buckets)
+        )
+    if fresh is not None:
+        fr = fresh
+        if relabel is not None:
+            fr = fresh.join(
+                F.broadcast(relabel), "component", "left"
+            ).select(
+                "vertex",
+                F.coalesce("merged", "component").alias("component"),
+            )
+        parts.append(fr)
+    if not parts:
+        return spark.createDataFrame(
+            [], "vertex long, component long"
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def apply_changes_vertex_layout(spark, vertex_dir: str,
+                                changed: DataFrame,
+                                buckets: int,
+                                vertex_rel=None) -> None:
+    """Writer for the vertex-bucketed PRIMARY projection: upsert the
+    delivery's changed rows (vertex, component), reading and
+    rewriting only the v_buckets those vertices land in.  Rows never
+    change bucket (the key is the vertex) and never disappear, so
+    there is no emptied-bucket edge here; fresh vertices are plain
+    inserts into their bucket."""
+    changed = changed.localCheckpoint()
+    if changed.isEmpty():
+        return
+    bkts = _bucket_ids(changed, ["vertex"], buckets)
+    upd = F.broadcast(changed.select(
+        "vertex", F.col("component").alias("new_component")
+    ))
+    existing = _assign_rel(spark, vertex_rel or vertex_dir).filter(
+        F.col("v_bucket").isin(bkts)
+    ).select("vertex", "component")
+    merged = existing.join(upd, "vertex", "full_outer").select(
+        "vertex",
+        F.coalesce("new_component", "component").alias("component"),
+    ).withColumn("v_bucket", _bucket_expr("vertex", buckets))
+    rows = merged.localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            rows.repartition(F.col("v_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("v_bucket")
+            .parquet(vertex_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 # --- fixed-iteration PageRank (integer arithmetic) -------------------

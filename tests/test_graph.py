@@ -385,10 +385,9 @@ def test_bucketed_relabel_is_partition_pruned(spark, tmp_path):
         (F.col("id") * 20 + 10).alias("dst"),
     )
     _fresh, relabel = component_merge_plan(assign, delta)
-    plan = relabel_affected_buckets(spark, out, relabel)._sc._jvm \
-        .PythonSQLUtils.explainString(
-            relabel_affected_buckets(spark, out, relabel)
-            ._jdf.queryExecution(), "formatted")
+    probe = relabel_affected_buckets(spark, out, relabel)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted")
     assert re.search(r"PartitionFilters: \[[^\]]*c_bucket", plan), plan
 
 
@@ -532,6 +531,141 @@ def test_apply_relabel_in_place_lifecycle(spark, tmp_path):
         b = int(f.split("c_bucket=")[1].split("/")[0])
         if b not in touched:
             assert os.path.exists(f) and os.path.getmtime(f) == m, f
+
+
+def test_apply_relabel_in_place_drops_emptied_bucket(spark, tmp_path):
+    """A bucket whose every row moves to the merged component's bucket
+    must not keep stale files (dynamic overwrite alone would leave
+    them: it only replaces partitions present in the output)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import (
+        apply_relabel_in_place,
+        component_merge_plan,
+        connected_components,
+        write_component_assign,
+    )
+
+    hist = _chain_edges(spark, 200)
+    assign = connected_components(hist).localCheckpoint()
+    buckets = 64
+    # find a component that has its bucket entirely to itself
+    comp_bucket = {
+        r.component: r.b
+        for r in assign.select("component").distinct().select(
+            "component",
+            F.pmod(F.xxhash64("component"), F.lit(buckets)).cast("int")
+            .alias("b"),
+        ).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(comp_bucket.values())
+    solo = [c for c, b in comp_bucket.items() if counts[b] == 1 and c != 0]
+    assert solo, "deterministic data should give some solo bucket"
+    victim = solo[0]
+    out = str(tmp_path / "cassign")
+    write_component_assign(assign, out, buckets=buckets)
+    # merge the victim chain's head into chain 0 (vertex victim is the
+    # chain head == its component label)
+    delta = spark.createDataFrame([(0, victim)], "src long, dst long")
+    _fresh, relabel = component_merge_plan(assign, delta)
+    assert relabel is not None
+    apply_relabel_in_place(spark, out, relabel, buckets=buckets)
+    assert not os.path.isdir(
+        os.path.join(out, f"c_bucket={comp_bucket[victim]}")
+    )
+    got = {
+        (r.vertex, r.component)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert all(c != victim for _v, c in got)
+    assert sum(1 for _v, c in got if c == 0) == 20  # merged chain
+
+
+def test_maintained_table_under_streaming_deliveries(spark, tmp_path):
+    """End-to-end maintained-table lifecycle under REAL micro-batches,
+    on the FULL pruned dual-projection path: each foreachBatch
+    delivery resolves endpoints against the persisted vertex layout
+    (component_merge_plan_pruned), rewrites the component layout in
+    place (apply_relabel_in_place, fresh rows included), and upserts
+    the vertex projection (apply_changes_vertex_layout) so the next
+    delivery's lookups see current labels.  After the stream drains,
+    BOTH layouts equal the one-shot CC over history + all
+    deliveries — including a fresh vertex arriving mid-stream."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.graph import (
+        apply_changes_vertex_layout,
+        apply_relabel_in_place,
+        changed_assignment_rows,
+        component_merge_plan_pruned,
+        connected_components,
+        write_component_assign,
+        write_vertex_assign,
+    )
+
+    buckets = 16
+    hist = _chain_edges(spark, 120)
+    assign = connected_components(hist).localCheckpoint()
+    cdir = str(tmp_path / "cassign")
+    vdir = str(tmp_path / "vassign")
+    write_component_assign(assign, cdir, buckets=buckets)
+    write_vertex_assign(assign, vdir, buckets=buckets)
+
+    schema = T.StructType([
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+    ])
+    src_dir = str(tmp_path / "edges_in")
+    # delivery 3 chains a FRESH vertex into an already-merged cluster
+    deliveries = [[(9, 10)], [(29, 30), (49, 50)], [(10, 30), (5, 777)]]
+
+    def fold(batch_df, batch_id):
+        fresh, relabel = component_merge_plan_pruned(
+            spark, vdir, batch_df, buckets
+        )
+        changed = changed_assignment_rows(
+            spark, cdir, relabel, fresh, buckets
+        ).localCheckpoint()
+        apply_relabel_in_place(
+            spark, cdir, relabel, buckets=buckets, fresh=fresh
+        )
+        apply_changes_vertex_layout(spark, vdir, changed, buckets)
+
+    for rows in deliveries:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        q = (
+            spark.readStream.schema(schema).parquet(src_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp_path}/ckpt_cc")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    all_edges = hist.unionByName(
+        spark.createDataFrame(
+            [e for d in deliveries for e in d], schema
+        )
+    )
+    want = {
+        (r.vertex, r.component)
+        for r in connected_components(all_edges).collect()
+    }
+    for d in (cdir, vdir):
+        got = {
+            (r.vertex, r.component)
+            for r in spark.read.parquet(d)
+            .select("vertex", "component").collect()
+        }
+        assert got == want, d
+    assert len(want) == 121  # 120 chain vertices + the fresh one
 
 
 def test_apply_relabel_in_place_drops_emptied_bucket(spark, tmp_path):

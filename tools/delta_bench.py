@@ -54,14 +54,19 @@ def main() -> None:
     spark = get_spark(app_name="hfcommunity-delta-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def timed(fn):
+    def timed(fn, setup=None):
         # best-of-2, the bench.py estimator: a single run of a ~1-3 s
         # arm carries ±10-20% JVM/GC noise, which at a 10x growth
         # ratio reads as a spurious ±0.2 on the exponent.  Each call
         # re-executes the full lazy plan (the lambdas re-invoke the
         # operator), so the second run is a fair re-measurement.
+        # ``setup`` runs UNTIMED before each rep — the in-place writer
+        # arms mutate their table, so each rep starts from a pristine
+        # copy.
         best = float("inf")
         for _ in range(2):
+            if setup is not None:
+                setup()
             t0 = time.monotonic()
             fn()
             best = min(best, time.monotonic() - t0)
@@ -201,10 +206,14 @@ def main() -> None:
     # |delivery vertices| x bucket_size — the flatness claim only
     # materializes once H well exceeds that product, which is why the
     # arm's H values sit at 4e5/4e6 rather than the corpus scales.
+    import shutil
+
     from hfcommunity_spark.operators.graph import (
         ASSIGN_ROWS_PER_BUCKET,
+        apply_changes_vertex_layout,
+        apply_relabel_in_place,
+        changed_assignment_rows,
         component_merge_plan_pruned,
-        relabel_affected_buckets,
         write_component_assign,
         write_vertex_assign,
     )
@@ -255,16 +264,35 @@ def main() -> None:
             spark.sql(f"MSCK REPAIR TABLE {tname}")
         vrel = spark.table(f"hfc_db_vassign_{label}")
         crel = spark.table(f"hfc_db_cassign_{label}")
+        # pristine copies: the delta arm runs the REAL writers (the
+        # table mutates), so each timed rep starts from the same state
+        shutil.copytree(vdir, vdir + "_pristine", dirs_exist_ok=True)
+        shutil.copytree(cdir, cdir + "_pristine", dirs_exist_ok=True)
+
+        def _reset_tables():
+            for d in (vdir, cdir):
+                shutil.rmtree(d)
+                shutil.copytree(d + "_pristine", d)
+            spark.catalog.refreshTable(f"hfc_db_vassign_{label}")
+            spark.catalog.refreshTable(f"hfc_db_cassign_{label}")
 
         def _delta_run():
+            # the FULL per-delivery write path a deployment runs:
+            # pruned endpoint resolution, both projections rewritten
+            # in place (component buckets moved, vertex rows upserted)
             fresh, relabel = component_merge_plan_pruned(
                 spark, vrel, delta_e, buckets
             )
-            fresh.count()
-            if relabel is not None:
-                relabel_affected_buckets(
-                    spark, crel, relabel, buckets
-                ).count()
+            changed = changed_assignment_rows(
+                spark, crel, relabel, fresh, buckets
+            ).localCheckpoint()
+            apply_relabel_in_place(
+                spark, cdir, relabel, buckets=buckets, fresh=fresh,
+                assign_rel=crel,
+            )
+            apply_changes_vertex_layout(
+                spark, vdir, changed, buckets, vertex_rel=vrel
+            )
 
         cluster_history[label] = {
             "history_edges": H,
@@ -275,7 +303,7 @@ def main() -> None:
                     hist.unionByName(delta_e)
                 ).count()
             ),
-            "delta_s": timed(_delta_run),
+            "delta_s": timed(_delta_run, setup=_reset_tables),
         }
     a, b = cluster_history["edges_4e5"], cluster_history["edges_4e6"]
     cluster_history["growth_10x_history"] = {
@@ -318,7 +346,14 @@ def main() -> None:
                  "assignment tables (constant bucket size, partition "
                  "metadata pruning instead of an O(buckets) listing) "
                  "the delta is FLAT at a 10x history step (delta_x "
-                 "~1.0) while the rebuild tracks the history (~6x).  "
+                 "~1.0) while the rebuild tracks the history (~5x). "
+                 "The delta arm times the FULL per-delivery write "
+                 "path (pruned endpoint resolution + both projections "
+                 "rewritten in place via dynamic partition overwrite), "
+                 "so its ~5s is fixed writer machinery: the rebuild "
+                 "is still cheaper at 4e6 edges and crosses over "
+                 "immediately beyond - one more 10x puts the rebuild "
+                 "near 40s against the same flat ~5s.  "
                  "The bm25 arm "
                  "(round 8) shows the delta flat (~0.3x) while its "
                  "rebuild is still fixed-overhead-bound at these "
