@@ -475,8 +475,8 @@ def component_merge_plan(
     # (both verts legs, both endpoint-resolution joins); an unpersisted
     # delta plan upstream (e.g. a pair-delta join pipeline) would
     # re-execute once per reference — eagerly checkpoint it up front,
-    # which is cheap BY CONTRACT (the frame is delivery-bounded).
-    # Blocks stay live: the returned assignment derives from them.
+    # which is cheap BY CONTRACT (the frame is delivery-bounded), and
+    # freed before returning once fresh/relabel are materialized.
     e, _e_ids = _eager_checkpoint(
         new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
             F.col("a") != F.col("b")
@@ -503,7 +503,18 @@ def component_merge_plan(
         .filter(F.col("comp_a") != F.col("comp_b"))
         .select(F.col("comp_a").alias("src"), F.col("comp_b").alias("dst"))
     )
-    return fresh, _quotient_relabel(assign.sparkSession, quot)
+    spark = assign.sparkSession
+    relabel = _quotient_relabel(spark, quot)
+    # materialize the (delivery-bounded) fresh rows, then free the
+    # delivery checkpoint blocks: relabel is already independent of
+    # them (driver rows on the local path, re-checkpointed on the
+    # distributed path), so nothing returned derives from e and a
+    # caller folding a stream of deliveries must not accumulate pinned
+    # blocks per delivery — the same discipline as the pruned variant
+    # below (round-8 review finding).
+    fresh, _f_ids = _eager_checkpoint(fresh)
+    _free_checkpoint(spark, _e_ids)
+    return fresh, relabel
 
 
 def _quotient_relabel(spark, quot: DataFrame) -> DataFrame | None:
@@ -677,11 +688,33 @@ def relabel_affected_buckets(spark, assign_rel, relabel: DataFrame,
     )
 
 
+def _sync_catalog_partitions(spark, table_name: str, pcol: str,
+                             added, dropped) -> None:
+    """Keep a catalog-registered layout's partition METADATA in step
+    with the path-based writers: dynamic overwrite to the LOCATION
+    creates/empties directories the metastore never hears about, so a
+    catalog-pruned read would miss a fresh bucket or touch a dropped
+    one (round-8 review finding).  Both lists are bounded by the
+    delivery, so this is O(touched) ALTER statements — never MSCK's
+    O(buckets) re-listing."""
+    for b in sorted(added):
+        spark.sql(
+            f"ALTER TABLE {table_name} ADD IF NOT EXISTS "
+            f"PARTITION ({pcol}={int(b)})"
+        )
+    for b in sorted(dropped):
+        spark.sql(
+            f"ALTER TABLE {table_name} DROP IF EXISTS "
+            f"PARTITION ({pcol}={int(b)})"
+        )
+
+
 def apply_relabel_in_place(spark, assign_dir: str,
                            relabel: DataFrame | None,
                            buckets: int = ASSIGN_C_BUCKETS,
                            fresh: DataFrame | None = None,
-                           assign_rel=None) -> None:
+                           assign_rel=None,
+                           table_name: str | None = None) -> None:
     """The maintained-table WRITER: fold a delivery's merge plan —
     BOTH halves of :func:`component_merge_plan`'s return — into the
     component-bucketed assignment in place, rewriting ONLY the
@@ -697,8 +730,12 @@ def apply_relabel_in_place(spark, assign_dir: str,
     Edge handled explicitly: a bucket whose every row moved away
     produces no output rows, and dynamic overwrite only replaces
     partitions PRESENT in the output — the emptied bucket's stale
-    files are dropped directly (a catalog deployment issues DROP
-    PARTITION; this path-based writer removes the directory)."""
+    files are dropped directly.  When the layout is ALSO registered as
+    a catalog table, pass ``table_name``: the writer then issues
+    ``ALTER TABLE .. ADD/DROP PARTITION`` for the buckets it
+    created/emptied so catalog-pruned readers stay consistent with the
+    directory tree (without it, the metastore would still list a
+    removed partition or miss a fresh one)."""
     import os
     import shutil
 
@@ -758,10 +795,15 @@ def apply_relabel_in_place(spark, assign_dir: str,
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    for b in set(bkts) - present:
+    emptied = set(bkts) - present
+    for b in emptied:
         d = os.path.join(assign_dir, f"c_bucket={b}")
         if os.path.isdir(d):
             shutil.rmtree(d)
+    if table_name is not None:
+        _sync_catalog_partitions(
+            spark, table_name, "c_bucket", added=present, dropped=emptied
+        )
 
 
 # The assignment's PRIMARY layout is keyed by vertex (it is the
@@ -907,13 +949,17 @@ def changed_assignment_rows(spark, component_rel,
 def apply_changes_vertex_layout(spark, vertex_dir: str,
                                 changed: DataFrame,
                                 buckets: int,
-                                vertex_rel=None) -> None:
+                                vertex_rel=None,
+                                table_name: str | None = None) -> None:
     """Writer for the vertex-bucketed PRIMARY projection: upsert the
     delivery's changed rows (vertex, component), reading and
     rewriting only the v_buckets those vertices land in.  Rows never
     change bucket (the key is the vertex) and never disappear, so
     there is no emptied-bucket edge here; fresh vertices are plain
-    inserts into their bucket."""
+    inserts into their bucket — which can CREATE a bucket directory,
+    so when the layout is catalog-registered pass ``table_name`` and
+    the writer registers the touched partitions (ADD IF NOT EXISTS,
+    bounded by the delivery)."""
     changed = changed.localCheckpoint()
     if changed.isEmpty():
         return
@@ -940,6 +986,10 @@ def apply_changes_vertex_layout(spark, vertex_dir: str,
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if table_name is not None:
+        _sync_catalog_partitions(
+            spark, table_name, "v_bucket", added=bkts, dropped=()
+        )
 
 
 # --- fixed-iteration PageRank (integer arithmetic) -------------------

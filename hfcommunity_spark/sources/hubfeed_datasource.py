@@ -244,20 +244,55 @@ class HubFeedSimpleStreamReader(SimpleDataSourceStreamReader):
             return sorted(visible)
         return [f"{self.kind}.jsonl"] if os.path.exists(target) else []
 
+    def _superseded(self, base: str, name: str) -> bool:
+        """True iff ``name`` is a writer part that the LIVE manifest of
+        its own batch no longer lists — the only legitimate way a
+        once-offsetted part disappears (a retried batch with fewer
+        parts rewrote the manifest, then cleaned the stray).  Any other
+        missing file (manual deletion, partial restore, wrong path)
+        must stay a loud error, not quiet record loss (ADVICE r8
+        narrowed the r7 skip)."""
+        import re as _re
+
+        m = _re.match(
+            rf"^{_re.escape(self.kind)}-(\d{{6}})-\d+\.jsonl$", name
+        )
+        if not m:
+            return False  # hand-written feed file: never superseded
+        manifest = os.path.join(base, f"_batch-{m.group(1)}.json")
+        try:
+            with open(manifest, encoding="utf-8") as fh:
+                doc = json.load(fh)
+            listed = {p["path"] for p in doc.get("parts", [])}
+        except (OSError, ValueError, KeyError, TypeError):
+            return False  # no/torn live manifest: loss is not proven
+        return name not in listed
+
     def _rows(self, names: list[str]) -> Iterator[tuple]:
         target = os.path.join(self.path, f"{self.kind}.jsonl")
         base = target if os.path.isdir(target) else self.path
         for name in names:
             # a checkpointed offset can reference a part that a later
             # retried batch (with fewer parts) legitimately cleaned up;
-            # replaying it must skip-and-warn, not crash-loop the
-            # stream on FileNotFoundError (ADVICE r7)
+            # replaying THAT must skip-and-warn, not crash-loop the
+            # stream (ADVICE r7) — but only when the part's own live
+            # manifest confirms the supersession; every other missing
+            # file keeps raising (ADVICE r8)
             if not os.path.exists(os.path.join(base, name)):
+                if not self._superseded(base, name):
+                    raise FileNotFoundError(
+                        f"hubfeed replay: {os.path.join(base, name)!r} "
+                        "is in the checkpointed offset range but "
+                        "missing on disk, and its batch's live "
+                        "manifest still claims it (or is absent) — "
+                        "refusing to silently drop records"
+                    )
                 import warnings
 
                 warnings.warn(
-                    f"hubfeed replay: part {name!r} no longer on disk "
-                    "(superseded by a retried batch) — skipping",
+                    f"hubfeed replay: part {name!r} superseded by a "
+                    "retried batch (absent from its live manifest) — "
+                    "skipping",
                     RuntimeWarning,
                     stacklevel=2,
                 )

@@ -72,6 +72,44 @@ def test_ancestors_frees_empty_frontier_storage(spark):
     assert second <= 2 * first
 
 
+def test_component_merge_plan_frees_delivery_checkpoint(spark):
+    """Folding a stream of deliveries through component_merge_plan may
+    pin only what it RETURNS (fresh + relabel) — the internal delivery
+    edge checkpoint must be freed before returning, as the pruned
+    variant does (round-8 review finding: per-delivery callers were
+    accumulating the edge blocks for the session)."""
+    from hfcommunity_spark.operators.graph import (
+        component_merge_plan,
+        connected_components,
+    )
+
+    hist = _chain_edges(spark, 100)
+    assign = connected_components(hist).localCheckpoint()
+
+    def n_persistent() -> int:
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    deltas = []
+    base = n_persistent()
+    for i in range(3):
+        delta = spark.createDataFrame(
+            [(9 + 10 * i, 10 + 10 * i)], "src long, dst long"
+        )
+        fresh, relabel = component_merge_plan(assign, delta)
+        fresh.count()
+        now = n_persistent()
+        deltas.append(now - base)
+        base = now
+    # each call may add its returned frames (fresh checkpoint, and a
+    # relabel checkpoint on the distributed path) but NOT the internal
+    # delivery-edge / quotient blocks on top — ≤2 new pins per call
+    assert all(d <= 2 for d in deltas), deltas
+
+
 def test_merge_commit_detection(spark):
     out = {r.sha: r.n_parents for r in merge_commits(_edges(spark)).collect()}
     assert out == {"d": 2}
@@ -585,6 +623,84 @@ def test_apply_relabel_in_place_drops_emptied_bucket(spark, tmp_path):
     assert sum(1 for _v, c in got if c == 0) == 20  # merged chain
 
 
+def test_relabel_in_place_syncs_catalog_partitions(spark, tmp_path):
+    """When the component layout is registered as a CATALOG table (the
+    deployment shape; the delta bench does exactly this), the in-place
+    writer must keep partition METADATA in step with the directory
+    tree: an emptied bucket is DROP-ed (a catalog-pruned read touching
+    it must not fail on a missing directory or return stale rows) and
+    written buckets are ADD-ed.  Round-8 review finding: rmtree alone
+    left the metastore listing the removed partition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import (
+        apply_relabel_in_place,
+        component_merge_plan,
+        connected_components,
+        write_component_assign,
+    )
+
+    hist = _chain_edges(spark, 200)
+    assign = connected_components(hist).localCheckpoint()
+    buckets = 64
+    comp_bucket = {
+        r.component: r.b
+        for r in assign.select("component").distinct().select(
+            "component",
+            F.pmod(F.xxhash64("component"), F.lit(buckets)).cast("int")
+            .alias("b"),
+        ).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(comp_bucket.values())
+    solo = [c for c, b in comp_bucket.items() if counts[b] == 1 and c != 0]
+    victim = solo[0]
+    out = str(tmp_path / "cassign")
+    write_component_assign(assign, out, buckets=buckets)
+    tname = "hfc_test_cat_sync"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.sql(
+        f"CREATE TABLE {tname} (vertex BIGINT, component BIGINT) "
+        f"USING parquet PARTITIONED BY (c_bucket INT) LOCATION '{out}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {tname}")
+    try:
+        delta = spark.createDataFrame([(0, victim)], "src long, dst long")
+        fresh, relabel = component_merge_plan(assign, delta)
+        apply_relabel_in_place(
+            spark, out, relabel, buckets=buckets,
+            assign_rel=spark.table(tname), table_name=tname,
+        )
+        vb = comp_bucket[victim]
+        assert not os.path.isdir(os.path.join(out, f"c_bucket={vb}"))
+        # metastore must no longer list the dropped partition ...
+        parts = {
+            r[0] for r in spark.sql(f"SHOW PARTITIONS {tname}").collect()
+        }
+        assert f"c_bucket={vb}" not in parts
+        # ... and a catalog-pruned read of that bucket is empty, not an
+        # error; the full catalog read equals the directory truth
+        assert spark.table(tname).filter(
+            F.col("c_bucket") == vb
+        ).count() == 0
+        got = {
+            (r.vertex, r.component)
+            for r in spark.table(tname)
+            .select("vertex", "component").collect()
+        }
+        want = {
+            (r.vertex, r.component)
+            for r in spark.read.parquet(out)
+            .select("vertex", "component").collect()
+        }
+        assert got == want and all(c != victim for _v, c in got)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
 def test_maintained_table_under_streaming_deliveries(spark, tmp_path):
     """End-to-end maintained-table lifecycle under REAL micro-batches,
     on the FULL pruned dual-projection path: each foreachBatch
@@ -666,133 +782,3 @@ def test_maintained_table_under_streaming_deliveries(spark, tmp_path):
         }
         assert got == want, d
     assert len(want) == 121  # 120 chain vertices + the fresh one
-
-
-def test_apply_relabel_in_place_drops_emptied_bucket(spark, tmp_path):
-    """A bucket whose every row moves to the merged component's bucket
-    must not keep stale files (dynamic overwrite alone would leave
-    them: it only replaces partitions present in the output)."""
-    import os
-
-    from pyspark.sql import functions as F
-
-    from hfcommunity_spark.operators.graph import (
-        apply_relabel_in_place,
-        component_merge_plan,
-        connected_components,
-        write_component_assign,
-    )
-
-    hist = _chain_edges(spark, 200)
-    assign = connected_components(hist).localCheckpoint()
-    buckets = 64
-    # find a component that has its bucket entirely to itself
-    comp_bucket = {
-        r.component: r.b
-        for r in assign.select("component").distinct().select(
-            "component",
-            F.pmod(F.xxhash64("component"), F.lit(buckets)).cast("int")
-            .alias("b"),
-        ).collect()
-    }
-    from collections import Counter
-
-    counts = Counter(comp_bucket.values())
-    solo = [c for c, b in comp_bucket.items() if counts[b] == 1 and c != 0]
-    assert solo, "deterministic data should give some solo bucket"
-    victim = solo[0]
-    out = str(tmp_path / "cassign")
-    write_component_assign(assign, out, buckets=buckets)
-    # merge the victim chain's head into chain 0 (vertex victim is the
-    # chain head == its component label)
-    delta = spark.createDataFrame([(0, victim)], "src long, dst long")
-    _fresh, relabel = component_merge_plan(assign, delta)
-    assert relabel is not None
-    apply_relabel_in_place(spark, out, relabel, buckets=buckets)
-    assert not os.path.isdir(
-        os.path.join(out, f"c_bucket={comp_bucket[victim]}")
-    )
-    got = {
-        (r.vertex, r.component)
-        for r in spark.read.parquet(out).collect()
-    }
-    assert all(c != victim for _v, c in got)
-    assert sum(1 for _v, c in got if c == 0) == 20  # merged chain
-
-
-def test_maintained_table_under_streaming_deliveries(spark, tmp_path):
-    """End-to-end maintained-table lifecycle under REAL micro-batches:
-    each foreachBatch delivery runs the pruned merge plan against the
-    persisted vertex layout and rewrites the component layout in
-    place; after the stream drains, the TABLE equals the one-shot CC
-    over history + all deliveries."""
-    import os
-
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    from hfcommunity_spark.operators.graph import (
-        apply_relabel_in_place,
-        component_merge_plan_pruned,
-        connected_components,
-        write_component_assign,
-        write_vertex_assign,
-    )
-
-    buckets = 16
-    hist = _chain_edges(spark, 120)
-    assign = connected_components(hist).localCheckpoint()
-    cdir = str(tmp_path / "cassign")
-    vdir = str(tmp_path / "vassign")
-    write_component_assign(assign, cdir, buckets=buckets)
-    write_vertex_assign(assign, vdir, buckets=buckets)
-
-    schema = T.StructType([
-        T.StructField("src", T.LongType()),
-        T.StructField("dst", T.LongType()),
-    ])
-    src_dir = str(tmp_path / "edges_in")
-    deliveries = [[(9, 10)], [(29, 30), (49, 50)], [(10, 30)]]
-
-    def fold(batch_df, batch_id):
-        # resolve against the CURRENT component table (it advances
-        # batch over batch); the vertex layout serves only the initial
-        # endpoint lookup of vertices — components may be stale there,
-        # so re-resolve labels through the component table's rows
-        cur = spark.read.parquet(cdir).select("vertex", "component")
-        from hfcommunity_spark.operators.graph import (
-            component_merge_plan,
-        )
-
-        _fresh, relabel = component_merge_plan(cur, batch_df)
-        if relabel is not None:
-            apply_relabel_in_place(spark, cdir, relabel, buckets=buckets)
-
-    for rows in deliveries:
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(src_dir)
-        q = (
-            spark.readStream.schema(schema).parquet(src_dir)
-            .writeStream.foreachBatch(fold)
-            .option("checkpointLocation", f"{tmp_path}/ckpt_cc")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-
-    got = {
-        (r.vertex, r.component)
-        for r in spark.read.parquet(cdir)
-        .select("vertex", "component").collect()
-    }
-    all_edges = hist.unionByName(
-        spark.createDataFrame(
-            [e for d in deliveries for e in d], schema
-        )
-    )
-    want = {
-        (r.vertex, r.component)
-        for r in connected_components(all_edges).collect()
-    }
-    assert got == want and len(want) == 120

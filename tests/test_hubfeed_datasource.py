@@ -217,3 +217,57 @@ def test_writer_parts_gated_by_manifest(tmp_path):
     (d / "models-000001-0.jsonl").write_text("{}\n")
     (d / "_batch-000001.json").write_text("{\"batchId\": 1,")  # torn
     assert r._discover() == ["hand-written.jsonl", "models-000000-0.jsonl"]
+
+
+def test_replay_skip_requires_manifest_supersession(tmp_path):
+    """ADVICE r8, locked: a checkpointed part missing from disk is
+    skipped ONLY when its batch's live manifest no longer lists it
+    (the retried-batch supersession the r7 fix targeted).  Every other
+    cause of a missing file — manual deletion, partial restore, a
+    still-claimed part, an absent manifest — must raise, not silently
+    drop records behind a RuntimeWarning."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from hfcommunity_spark.sources.hubfeed_datasource import (
+        HubFeedSimpleStreamReader,
+        _feed_schemas,
+    )
+
+    d = tmp_path / "models.jsonl"
+    d.mkdir()
+    row = _json.dumps({"name": "org/m1"}) + "\n"
+    (d / "models-000000-0.jsonl").write_text(row)
+    (d / "_batch-000000.json").write_text(_json.dumps(
+        {"batchId": 0,
+         "parts": [{"path": "models-000000-0.jsonl", "rows": 1}]}
+    ))
+    r = HubFeedSimpleStreamReader(
+        _feed_schemas()["models"], {"path": str(tmp_path), "kind": "models"}
+    )
+
+    # legit supersession: the offset references a stray second part the
+    # retried batch's manifest no longer lists → warn + skip, rows of
+    # the surviving part still come through
+    with _pytest.warns(RuntimeWarning, match="superseded"):
+        rows = list(r._rows(
+            ["models-000000-0.jsonl", "models-000000-1.jsonl"]
+        ))
+    assert len(rows) == 1
+
+    # the live manifest still CLAIMS the missing part → loud error
+    (d / "_batch-000001.json").write_text(_json.dumps(
+        {"batchId": 1,
+         "parts": [{"path": "models-000001-0.jsonl", "rows": 1}]}
+    ))
+    with _pytest.raises(FileNotFoundError, match="still claims"):
+        list(r._rows(["models-000001-0.jsonl"]))
+
+    # no manifest at all for the part's batch → loud error
+    with _pytest.raises(FileNotFoundError):
+        list(r._rows(["models-000002-0.jsonl"]))
+
+    # a hand-written (non-writer-part) file gone missing → loud error
+    with _pytest.raises(FileNotFoundError):
+        list(r._rows(["2024-01.jsonl"]))

@@ -273,8 +273,13 @@ def main() -> None:
             for d in (vdir, cdir):
                 shutil.rmtree(d)
                 shutil.copytree(d + "_pristine", d)
-            spark.catalog.refreshTable(f"hfc_db_vassign_{label}")
-            spark.catalog.refreshTable(f"hfc_db_cassign_{label}")
+            for t in (f"hfc_db_vassign_{label}", f"hfc_db_cassign_{label}"):
+                spark.catalog.refreshTable(t)
+                # a timed rep may have ADD/DROP-ed partitions; re-sync
+                # the metastore to the restored pristine directory tree
+                # (setup work, charged to neither arm)
+                spark.sql(f"MSCK REPAIR TABLE {t} "
+                          f"SYNC PARTITIONS")
 
         def _delta_run():
             # the FULL per-delivery write path a deployment runs:
@@ -288,10 +293,11 @@ def main() -> None:
             ).localCheckpoint()
             apply_relabel_in_place(
                 spark, cdir, relabel, buckets=buckets, fresh=fresh,
-                assign_rel=crel,
+                assign_rel=crel, table_name=f"hfc_db_cassign_{label}",
             )
             apply_changes_vertex_layout(
-                spark, vdir, changed, buckets, vertex_rel=vrel
+                spark, vdir, changed, buckets, vertex_rel=vrel,
+                table_name=f"hfc_db_vassign_{label}",
             )
 
         cluster_history[label] = {
