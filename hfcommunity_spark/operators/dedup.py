@@ -1458,6 +1458,24 @@ def _delta_base_jaccard_pairs(spark: SparkSession,
     return _sig_index(spark, sf_dir, "delta_base_pairs", "xxhash64", build)
 
 
+def _delta_post_jaccard_pairs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The POST-DELIVERY pair set: the standing base pairs plus the
+    whole arriving slice folded through :func:`jaccard_pair_delta`,
+    session-persisted.  Shared standing state for every maintained-
+    cluster face (the single-delivery parity query and the streamed
+    catalog lifecycle both consume it), so the delivery probe runs
+    once per session, not once per face per fold."""
+    def build() -> DataFrame:
+        _postings, pairs = jaccard_pair_delta(
+            _delta_base_jaccard_postings(spark, sf_dir),
+            _delta_base_jaccard_pairs(spark, sf_dir),
+            _delta_arriving_docs(spark, sf_dir),
+        )
+        return pairs
+    return _sig_index(spark, sf_dir, "delta_post_pairs", "xxhash64", build)
+
+
 def _delta_base_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         from hfcommunity_spark.operators.graph import connected_components
@@ -1555,11 +1573,7 @@ def dd_maintained_components_parity(spark: SparkSession,
     from hfcommunity_spark.operators.graph import components_delta
 
     thr = F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
-    _postings, pairs = jaccard_pair_delta(
-        _delta_base_jaccard_postings(spark, sf_dir),
-        _delta_base_jaccard_pairs(spark, sf_dir),
-        _delta_arriving_docs(spark, sf_dir),
-    )
+    pairs = _delta_post_jaccard_pairs(spark, sf_dir)
     # delta edges = exactly the τ-pairs touching the delivery (base
     # doc_ids never satisfy the split predicate, so the filter is the
     # precise complement of the standing pair set — no anti-join)
@@ -1569,6 +1583,203 @@ def dd_maintained_components_parity(spark: SparkSession,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     assign = components_delta(_delta_base_assign(spark, sf_dir), new_edges)
     return assign.select(F.col("vertex").alias("doc_id"), "component")
+
+
+# --- round 9: the maintained cluster assignment as a CATALOG table
+# --- under a STREAM of deliveries (the full writer lifecycle) --------
+
+X15_DELIVERIES = 3
+
+# Fixed bucket count for the catalog-lifecycle face: deliberately
+# larger than the base assignment needs, so deliveries CREATE
+# partitions (fresh vertices landing in previously-empty buckets) and
+# merges EMPTY them — forcing the writers' ALTER TABLE ADD/DROP
+# PARTITION sync onto the measured path (a deployment sizes buckets to
+# the table, graph.ASSIGN_ROWS_PER_BUCKET; here partition DDL churn is
+# the point).
+X15_BUCKETS = 64
+
+
+def _x15_oracle() -> str:
+    """Per-prefix from-scratch oracle: for each delivery k, the
+    recursive-CTE component closure over the corpus as of that
+    delivery (base slice + deliveries 0..k) — the
+    ``dd_maintained_components_parity`` oracle per prefix, the
+    ``x14`` convention."""
+    jac = JACCARD_THRESHOLD_CTES.replace("FROM documents", "FROM corpus")
+    arms = []
+    for k in range(X15_DELIVERIES):
+        arms.append(f"""
+    SELECT CAST({k} AS INTEGER) AS delivery_id, doc_id, component FROM (
+      WITH RECURSIVE corpus AS (
+        SELECT * FROM documents
+        WHERE doc_id % {_DELTA_SPLIT_MOD} <> 0
+           OR (doc_id // {_DELTA_SPLIT_MOD}) % {X15_DELIVERIES} <= {k}
+      ),
+      {jac},
+      und AS (SELECT doc_a AS a, doc_b AS b FROM jac
+              UNION SELECT doc_b, doc_a FROM jac),
+      reach AS (
+        SELECT DISTINCT a AS vertex, a AS component FROM und
+        UNION
+        SELECT u.b, r.component FROM reach r JOIN und u ON u.a = r.vertex
+      )
+      SELECT vertex AS doc_id, MIN(component) AS component
+      FROM reach GROUP BY vertex
+    ) pfx{k}""")
+    return "\nUNION ALL\n".join(arms)
+
+
+def _x15_pristine_layouts(spark: SparkSession, sf_dir: str) -> str:
+    """Base-slice assignment materialized ONCE per (process, sf_dir) as
+    the two bucketed layouts (component- and vertex-keyed), published
+    atomically — the standing table a deployment holds beside the
+    corpus.  Invocations copy it to a private working dir (the fold
+    MUTATES the table; the delta-bench pristine-reset discipline)."""
+    import os
+    import tempfile
+
+    from hfcommunity_spark.operators.etlops import (
+        _publish_scratch_dir,
+        _stable_scratch_dir,
+    )
+    from hfcommunity_spark.operators.graph import (
+        write_component_assign,
+        write_vertex_assign,
+    )
+
+    final, built = _stable_scratch_dir("hfc_x15_assign_", sf_dir)
+    if built:
+        return final
+    assign = _delta_base_assign(spark, sf_dir)
+    base = tempfile.mkdtemp(
+        prefix="hfc_x15_assign_tmp_", dir=os.path.dirname(final)
+    )
+    write_component_assign(
+        assign, os.path.join(base, "cassign"), buckets=X15_BUCKETS
+    )
+    write_vertex_assign(
+        assign, os.path.join(base, "vassign"), X15_BUCKETS
+    )
+    return _publish_scratch_dir(base, final)
+
+
+@query("x15_stream_maintained_clusters", _x15_oracle(),
+       survey="X7,D3,D4,J5,S13,X-UD5")
+def x15_stream_maintained_clusters(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The maintained near-dup CLUSTER assignment held as a
+    CATALOG-registered, bucket-partitioned table and served after EACH
+    of three streamed deliveries — the full 100 TB maintained-table
+    lifecycle as driver evidence: per delivery, the arriving batch's
+    τ-pairs come from :func:`jaccard_pair_delta` (delivery-bounded
+    probe of the standing posting index), endpoint labels resolve via
+    partition-pruned CATALOG reads of the vertex layout
+    (``component_merge_plan_pruned``), and BOTH persisted projections
+    are rewritten in place (``apply_relabel_in_place`` /
+    ``apply_changes_vertex_layout``) with their partition METADATA
+    kept in step through ``ALTER TABLE ADD/DROP PARTITION``
+    (``graph._sync_catalog_partitions``).  The metadata sync is
+    load-bearing: a delivery's fresh vertices land in previously
+    ABSENT v_buckets, so if the writer failed to register them, the
+    NEXT delivery's catalog-pruned endpoint lookup would miss those
+    rows, re-treat the vertices as fresh, and diverge from the oracle.
+
+    The oracle restates each prefix corpus as a from-scratch
+    recursive-CTE closure — hash equality proves the catalog-table
+    fold chain equals a rebuild AT EVERY DELIVERY.  The same fold body
+    runs under a real Structured Streaming ``foreachBatch`` in
+    ``tests/test_graph.py`` (the x10–x14 twin convention).
+
+    Reference parity: the reference re-imports the full dump per run
+    (``extractor/databaseImport.py`` has no incremental story); this
+    face is the scale extension a daily 100 TB deployment runs.
+    Re-invoking is idempotent by construction — each invocation folds
+    into a fresh private copy of the pristine base table."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hfcommunity_spark.operators.graph import (
+        apply_changes_vertex_layout,
+        apply_relabel_in_place,
+        changed_assignment_rows,
+        component_merge_plan_pruned,
+    )
+
+    pristine = _x15_pristine_layouts(spark, sf_dir)
+    # the post-delivery pair set is SHARED session state (one delivery
+    # probe per session); each fold's new edges are a filter over it —
+    # an edge first exists at the stream position of its latest
+    # endpoint (pairs only form once both docs are present)
+    pairs = _delta_post_jaccard_pairs(spark, sf_dir)
+    thr = F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
+
+    def _arrival(col: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN {col} % {_DELTA_SPLIT_MOD} = 0 THEN "
+            f"({col} DIV {_DELTA_SPLIT_MOD}) % {X15_DELIVERIES} "
+            f"ELSE -1 END"
+        )
+
+    run = uuid.uuid4().hex[:12]
+    work = tempfile.mkdtemp(prefix=f"hfc_x15_work_{run}_")
+    cdir = os.path.join(work, "cassign")
+    vdir = os.path.join(work, "vassign")
+    shutil.copytree(os.path.join(pristine, "cassign"), cdir)
+    shutil.copytree(os.path.join(pristine, "vassign"), vdir)
+    ctab, vtab = f"hfc_x15_c_{run}", f"hfc_x15_v_{run}"
+
+    served: list[DataFrame] = []
+    try:
+        for tname, tdir, pcol in (
+            (ctab, cdir, "c_bucket"), (vtab, vdir, "v_bucket"),
+        ):
+            spark.sql(
+                f"CREATE TABLE {tname} (vertex BIGINT, component BIGINT) "
+                f"USING parquet PARTITIONED BY ({pcol} INT) "
+                f"LOCATION '{tdir}'"
+            )
+            spark.sql(f"MSCK REPAIR TABLE {tname}")
+        for k in range(X15_DELIVERIES):
+            new_edges = pairs.filter(thr).filter(
+                F.greatest(_arrival("doc_a"), _arrival("doc_b")) == k
+            ).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+            fresh, relabel = component_merge_plan_pruned(
+                spark, spark.table(vtab), new_edges, X15_BUCKETS
+            )
+            changed = changed_assignment_rows(
+                spark, spark.table(ctab), relabel, fresh, X15_BUCKETS
+            ).localCheckpoint()
+            apply_relabel_in_place(
+                spark, cdir, relabel, buckets=X15_BUCKETS, fresh=fresh,
+                assign_rel=spark.table(ctab), table_name=ctab,
+            )
+            apply_changes_vertex_layout(
+                spark, vdir, changed, X15_BUCKETS,
+                vertex_rel=spark.table(vtab), table_name=vtab,
+            )
+            served.append(
+                spark.table(ctab).select(
+                    F.lit(k).cast("int").alias("delivery_id"),
+                    F.col("vertex").alias("doc_id"),
+                    "component",
+                ).localCheckpoint()
+            )
+        out = served[0]
+        for s in served[1:]:
+            out = out.unionByName(s)
+        return out
+    finally:
+        # the served snapshots are EAGER checkpoints (block-manager
+        # resident), so the catalog entries and working files can go
+        # before the caller consumes the result
+        for tname in (ctab, vtab):
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # --- source/domain hygiene gate (round 6) ---------------------------

@@ -528,6 +528,141 @@ def w5_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    survey="J8,A4,A5",
+)
+def q13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution; the comment
+    anti-pattern filter adapted to the synthetic schema as "ignore
+    urgent orders").  The LEFT OUTER join keeps zero-order customers —
+    ``COUNT(o_orderkey)`` counts only matched rows, so they land in
+    the ``c_count = 0`` histogram bucket.  Both aggregations
+    partial-aggregate map-side; the second one's key space (distinct
+    order counts per customer) is tiny, so the final shuffle is a few
+    dozen rows per partition.  Reference parity: the reference
+    delegates distribution queries like this to MariaDB
+    (``extractor/databaseImport.py`` builds the tables, the published
+    metrics layer issues the SQL); this is the same semantics declared
+    Spark-side."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q21_LATE_DAYS = 60
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    f"""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    survey="J2,J5,J8,A4,O1",
+)
+def q21_suppliers_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 (suppliers who were the SOLE late supplier on a
+    multi-supplier finished order; "late" adapted to shipping more
+    than 60 days after the order date, the q4 convention
+    — the synthetic lineitem has no commit/receipt dates).
+
+    Spark-first shape: the classic correlated EXISTS / NOT EXISTS pair
+    re-expressed as ONE per-order aggregate — ``n_supp`` (distinct
+    suppliers on the order) and ``n_late_supp`` (distinct suppliers
+    that shipped late) — then a supplier's lineitem qualifies iff it
+    was late, ``n_supp >= 2`` and ``n_late_supp = 1`` (it is
+    necessarily THE late one).  That turns two correlated self-joins
+    over lineitem into one partial-aggregated groupBy(l_orderkey) and
+    one equi-join back, shuffling lineitem exactly twice on the same
+    key; the supplier dimension broadcasts."""
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late_cut = F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAYS"
+    )
+    # lineitems of finished orders, flagged late/on-time in one pass
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > late_cut).alias("is_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lo.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@query(
     "w6_retention_cohorts",
     """
     WITH first_day AS (

@@ -1598,9 +1598,13 @@ def ivf_index_delta(
     )
 
 
-_MAINT_IVF_ORACLE = f"""
+def _maint_ivf_oracle(corpus_pred: str = "TRUE") -> str:
+    """The frozen-codebook IVF serving oracle, parameterized by the
+    corpus predicate so the streamed twin (x16) can restate each
+    delivery PREFIX as a one-shot pipeline (the x14/x15 convention)."""
+    return f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings),
+               FROM embeddings WHERE ({corpus_pred})),
     -- frozen coarse quantizer: label centroids of the BASE slice only
     -- (the delivery arrives after training; retraining is a separate
     -- scheduled event, not part of delivery maintenance)
@@ -1649,6 +1653,9 @@ _MAINT_IVF_ORACLE = f"""
            ROUND(sim, 4)::DOUBLE AS sim_rounded
     FROM top
     """
+
+
+_MAINT_IVF_ORACLE = _maint_ivf_oracle()
 
 
 @query("sim_maintained_ivf_parity", _MAINT_IVF_ORACLE,
@@ -1705,3 +1712,111 @@ def sim_maintained_ivf_parity(spark: SparkSession,
         "vec_id", _cosine_to_query_udf(q)(F.col("embedding")).alias("sim")
     )
     return _rank_topk(cand, with_sim=True)
+
+
+# --- round 9: the maintained ANN index served at every point of a
+# --- delivery stream (the x14/x15 convention for the IVF family) -----
+
+X16_DELIVERIES = 3
+
+
+def _x16_oracle() -> str:
+    arms = []
+    for k in range(X16_DELIVERIES):
+        pred = (
+            f"vec_id % {_IVF_DELTA_MOD} <> 0 OR vec_id = 0 "
+            f"OR (vec_id // {_IVF_DELTA_MOD}) % {X16_DELIVERIES} <= {k}"
+        )
+        arms.append(
+            f"""
+    SELECT CAST({k} AS INTEGER) AS delivery_id, vec_id, rank, sim_rounded
+    FROM ({_maint_ivf_oracle(pred)}) a{k}"""
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+@query("x16_stream_maintained_ann", _x16_oracle(),
+       survey="X7,D3,A12,J9,O2,X-UD5")
+def x16_stream_maintained_ann(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The maintained IVF-ANN index served at EVERY point of a
+    delivery stream: the arriving slice plays three sequential
+    micro-batch deliveries; each is appended to the standing inverted
+    lists with :func:`ivf_index_delta` (frozen codebook — one GEMM
+    over the DELIVERY) and the top-k is served from the folded lists
+    after each fold, probe set chosen from the FOLDED per-cell counts.
+    The oracle restates each prefix corpus as the one-shot
+    frozen-codebook pipeline — hash equality proves append+fold
+    serving equals a rebuild AT EVERY DELIVERY, probe set included
+    (stale counts after any fold pick a different cell prefix and
+    fail the hash; the count shifts are per-delivery here, which is
+    what makes this stronger than the single-delivery parity face).
+
+    Scale shape: per delivery, ONE delivery-sized GEMM + a k-row
+    count aggregate + a probed-cells candidate scan; the standing
+    lists are never re-assigned.  Serving snapshots are eagerly
+    checkpointed (≤ TOP_K rows each) and the folded-list checkpoints
+    freed before returning, so a caller folding many streams does not
+    accumulate list blocks (the components_delta discipline)."""
+    import numpy as np
+
+    from hfcommunity_spark.operators.graph import (
+        _eager_checkpoint,
+        _free_checkpoint,
+    )
+    from hfcommunity_spark.operators.kmeans import _pairwise_sq_dists
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _ivf_base_codebook(spark, sf_dir, emb)
+    lists = _ivf_base_lists(spark, sf_dir, emb, centroids)
+    _, arriving = _ivf_emb_split(emb)
+    q = _query_vector(emb, cache_key=sf_dir)
+    d2 = _pairwise_sq_dists(
+        q[None, :].astype(np.float64), np.asarray(centroids, np.float64)
+    )[0]
+    order = sorted(range(len(centroids)), key=lambda i: (d2[i], i))
+
+    served: list[DataFrame] = []
+    list_ids: list[int] = []
+    for k in range(X16_DELIVERIES):
+        batch = arriving.filter(
+            F.expr(
+                f"(vec_id DIV {_IVF_DELTA_MOD}) % {X16_DELIVERIES}"
+            ) == k
+        )
+        # eager checkpoint per fold: the folded lists feed BOTH the
+        # count aggregate and the candidate scan of this serve plus
+        # every later fold — an unpersisted union chain would re-run
+        # each delivery's GEMM once per downstream consumer
+        lists, ids = _eager_checkpoint(
+            ivf_index_delta(lists, batch, centroids)
+        )
+        list_ids.extend(ids)
+        counts = {
+            r.cell: r.cnt
+            for r in lists.filter(F.col("vec_id") != 0)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        probe, cum = [], 0
+        for cell in order:
+            if cum >= IVF_MIN_CAND:
+                break
+            probe.append(cell)
+            cum += counts.get(cell, 0)
+        cand = lists.filter(
+            F.col("cell").isin(probe) & (F.col("vec_id") != 0)
+        ).select(
+            "vec_id",
+            _cosine_to_query_udf(q)(F.col("embedding")).alias("sim"),
+        )
+        served.append(
+            _rank_topk(cand, with_sim=True).select(
+                F.lit(k).cast("int").alias("delivery_id"),
+                "vec_id", "rank", "sim_rounded",
+            ).localCheckpoint()
+        )
+    out = served[0]
+    for s in served[1:]:
+        out = out.unionByName(s)
+    _free_checkpoint(spark, list_ids)
+    return out

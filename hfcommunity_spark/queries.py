@@ -216,8 +216,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # J2/A10/O2/J9 and W1/F1/A5 each keep several oracle-equipped
     # window members — making room for the round-8 quantized-ANN and
     # integer PageRank queries.)
-    "sim_sq8_rerank_topk",  # A12, X-UD5, F11, O1, J9 — int8 scalar-
-    # quantized first pass + exact cosine re-rank of the pool
+    # (Round-9 rotation: sim_sq8_rerank_topk, sim_hybrid_rrf_topk,
+    # sim_maintained_ivf_parity and dd_maintained_components_parity
+    # rotate out with their r8 stamps intact — the two single-delivery
+    # maintained faces are SUBSUMED by the streamed catalog-lifecycle
+    # (x15) and streamed-ANN (x16) entrants below, and
+    # A12/F11/O1/O2/J8/J9/X-UD5 each keep several oracle-equipped
+    # window members — making room for the two TPC-H distribution/
+    # waiting queries and the two streamed maintained faces.)
     "g_pagerank_fixed_iter",  # J5, A10, O2, J9 — 3-round integer
     # PageRank over the supplier-part supply graph, unrolled-CTE oracle
     "pipe_curate_select_pack_shard",  # X-UD5, J2, O2, W1, W3, F1,
@@ -229,20 +235,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j12_fuzzy_blocked_join",  # J6, J9, F12, A9 — blocked fuzzy
     # record linkage (distinct-first, noun blocking, codegen
     # levenshtein on in-block pairs)
-    "sim_hybrid_rrf_topk",  # X-UD5, O2, J8, J9, A12 — reciprocal-rank
-    # fusion of the dense cosine and lexical BM25 rankers
+    "q13_customer_order_distribution",  # J8, A4, A5 — TPC-H Q13
+    # outer-join order-count histogram (zero-order customers kept)
     "ret_maintained_bm25_parity",  # X-UD5, D3, A10, O2, J9 — the
     # maintained BM25 index under a delivery, full-rebuild oracle
     "dd_maintained_pairs_parity",  # X-UD5, J6, J9, D3 — MinHash band
     # + pair index under a delivery, hash-equal to the full rebuild
-    "dd_maintained_components_parity",  # X-UD5, J5, D3 — standing
-    # cluster assignment folded forward by components_delta
+    "q21_suppliers_kept_waiting",  # J2, J5, J8, A4, O1 — TPC-H Q21
+    # sole-late-supplier, EXISTS/NOT-EXISTS re-expressed as one
+    # per-order aggregate
     "g_commit_ancestors",  # J5, S7 — commit-DAG BFS ancestry with
     # min-hops over a branching fixture, recursive-CTE oracle
     # --- round-8 entrants #2: maintained ANN + LM-pipeline allocs ---
-    "sim_maintained_ivf_parity",  # X-UD5, A12, J9, D3 — the ANN
-    # member of the maintained family: frozen codebook, appended
-    # lists, count-driven multi-probe vs one-shot oracle
+    "x15_stream_maintained_clusters",  # X7, D3, D4, J5, S13, X-UD5 —
+    # the maintained cluster assignment as a CATALOG-registered
+    # bucketed table folded through three streamed deliveries (the
+    # full writer lifecycle: pruned catalog reads, in-place rewrites,
+    # ALTER TABLE partition sync), per-prefix rebuild oracle
+    "x16_stream_maintained_ann",  # X7, D3, A12, J9, O2, X-UD5 — the
+    # maintained IVF-ANN index served after each of three deliveries;
+    # per-prefix frozen-codebook oracle
     "samp_unimax_budget",  # X-UD5, A7, A10, F11, W3 — UniMax
     # water-filling of an epoch-capped token budget across sources
     "t_bpe_merge_pairs",  # X-UD5, A4, O2, F12, J9 — one distributed

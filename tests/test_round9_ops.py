@@ -1,0 +1,324 @@
+"""Round-9 operator additions: the TPC-H distribution/waiting faces
+(q13, q21) and the two streamed maintained-index faces — the catalog-
+registered cluster-assignment lifecycle (x15) and the served IVF-ANN
+stream (x16).
+
+The oracle parity suite (tests/test_oracle_parity.py) locks each
+declared face against DuckDB at the driver's comparison scale; these
+tests lock what the oracles cannot see — operator semantics on
+adversarial synthetic inputs (q21's sole-late-supplier edge cases,
+q13's zero-order bucket), the fold bodies under REAL Structured
+Streaming micro-batches, and delta-vs-rebuild parity on splits other
+than the declared one."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# --- q13: outer-join order-count histogram ----------------------------
+
+
+def test_q13_zero_order_customers_counted(spark, tmp_path):
+    """Customers with no (non-urgent) orders must land in the
+    c_count = 0 bucket — the LEFT OUTER + COUNT(column) contract the
+    inner-join formulation silently loses."""
+    from hfcommunity_spark.operators.relational_ext2 import (
+        q13_customer_order_distribution,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "c_custkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [
+            (10, 1, "1-URGENT"),   # urgent: filtered, cust 1 has 0
+            (11, 2, "3-MEDIUM"),
+            (12, 2, "3-MEDIUM"),
+            (13, 3, "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    got = {
+        (r.c_count, r.custdist)
+        for r in q13_customer_order_distribution(spark, sf).collect()
+    }
+    # custs 1 and 4 -> 0 orders; cust 3 -> 1; cust 2 -> 2
+    assert got == {(0, 2), (1, 1), (2, 1)}
+
+
+# --- q21: sole-late-supplier semantics --------------------------------
+
+
+def test_q21_matches_correlated_exists_form(spark, tmp_path):
+    """The per-order-aggregate rewrite must equal the textbook
+    correlated EXISTS / NOT EXISTS formulation on a fixture covering
+    every edge: single-supplier orders (excluded), two late suppliers
+    (excluded), one late among many (counted), several late lineitems
+    from the SAME supplier (each counted), non-'F' orders (excluded)."""
+    from hfcommunity_spark.operators.relational_ext2 import (
+        q21_suppliers_kept_waiting,
+    )
+
+    import datetime as dt
+
+    def d(iso):
+        return dt.date.fromisoformat(iso)
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")],
+        "s_suppkey long, s_name string",
+    ).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame(
+        [
+            (100, "F", d("2024-01-01")),  # multi-supp, S1 sole late
+            (200, "F", d("2024-01-01")),  # single-supplier: excluded
+            (300, "F", d("2024-01-01")),  # two late suppliers: excluded
+            (400, "O", d("2024-01-01")),  # not finished: excluded
+            (500, "F", d("2024-01-01")),  # S2 sole late among 3
+        ],
+        "o_orderkey long, o_orderstatus string, o_orderdate date",
+    ).write.parquet(f"{sf}/orders.parquet")
+    late, ok = d("2024-06-01"), d("2024-01-15")
+    spark.createDataFrame(
+        [
+            (100, 1, late), (100, 1, late), (100, 2, ok),
+            (200, 1, late),
+            (300, 1, late), (300, 2, late),
+            (400, 1, late), (400, 2, ok),
+            (500, 2, late), (500, 1, ok), (500, 3, ok),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate date",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        (r.s_name, r.numwait)
+        for r in q21_suppliers_kept_waiting(spark, sf).collect()
+    }
+    assert got == {("S1", 2), ("S2", 1)}
+
+
+# --- x16: maintained ANN under a stream of deliveries ------------------
+
+
+def test_x16_fold_body_under_real_micro_batches(spark, tmp_path):
+    """The x16 fold body under a REAL foreachBatch: embedding
+    deliveries land as parquet files, each micro-batch appends to the
+    standing lists against the frozen codebook, and the final folded
+    lists must equal the one-shot assignment of the whole frame."""
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.kmeans import assign_cells
+    from hfcommunity_spark.operators.similarity import (
+        _centroid_rows,
+        ivf_index_delta,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent = {
+        r.cell: list(map(float, r.centroid))
+        for r in _centroid_rows(
+            read_table(spark, SF_SMOKE, "embeddings")
+        ).collect()
+    }
+    centroids = [cent[k] for k in sorted(cent)]
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    deliveries = [
+        emb.filter(
+            (F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 3 == k)
+        )
+        for k in range(3)
+    ]
+    state = [
+        assign_cells(base, centroids)
+        .select("vec_id", "cell", "embedding").localCheckpoint()
+    ]
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField(
+            "embedding", T.ArrayType(T.FloatType())
+        ),
+    ])
+    src = str(tmp_path / "emb_deliveries")
+
+    def fold_batch(batch_df, batch_id):
+        state[0] = ivf_index_delta(
+            state[0], batch_df, centroids
+        ).localCheckpoint()
+
+    for d in deliveries:
+        d.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", f"{tmp_path}/ckpt_x16")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    folded = {
+        (r.vec_id, r.cell)
+        for r in state[0].select("vec_id", "cell").collect()
+    }
+    oneshot = {
+        (r.vec_id, r.cell)
+        for r in assign_cells(emb, centroids)
+        .select("vec_id", "cell").collect()
+    }
+    assert folded == oneshot and len(oneshot) > 0
+
+
+def test_x16_serves_every_prefix(spark):
+    """Each delivery's served top-k must equal serving the one-shot
+    frozen-codebook index of that PREFIX corpus (counts, probe set and
+    ranking all recomputed from scratch per prefix)."""
+    import numpy as np
+
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.kmeans import (
+        _pairwise_sq_dists,
+        assign_cells,
+    )
+    from hfcommunity_spark.operators.similarity import (
+        _IVF_DELTA_MOD,
+        IVF_MIN_CAND,
+        X16_DELIVERIES,
+        _cosine_to_query_udf,
+        _ivf_base_codebook,
+        _ivf_emb_split,
+        _query_vector,
+        _rank_topk,
+        x16_stream_maintained_ann,
+    )
+
+    got = {
+        (r.delivery_id, r.vec_id, r.rank, r.sim_rounded)
+        for r in x16_stream_maintained_ann(spark, SF_SMOKE).collect()
+    }
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    centroids = _ivf_base_codebook(spark, SF_SMOKE, emb)
+    q = _query_vector(emb, cache_key=SF_SMOKE)
+    d2 = _pairwise_sq_dists(
+        q[None, :].astype(np.float64), np.asarray(centroids, np.float64)
+    )[0]
+    order = sorted(range(len(centroids)), key=lambda i: (d2[i], i))
+    base, arriving = _ivf_emb_split(emb)
+    prefix = base
+    want = set()
+    for k in range(X16_DELIVERIES):
+        prefix = prefix.unionByName(
+            arriving.filter(
+                F.expr(
+                    f"(vec_id DIV {_IVF_DELTA_MOD}) % {X16_DELIVERIES}"
+                ) == k
+            )
+        )
+        lists = assign_cells(prefix, centroids).select(
+            "vec_id", "cell", "embedding"
+        ).localCheckpoint()
+        counts = {
+            r.cell: r.cnt
+            for r in lists.filter(F.col("vec_id") != 0)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        probe, cum = [], 0
+        for cell in order:
+            if cum >= IVF_MIN_CAND:
+                break
+            probe.append(cell)
+            cum += counts.get(cell, 0)
+        cand = lists.filter(
+            F.col("cell").isin(probe) & (F.col("vec_id") != 0)
+        ).select(
+            "vec_id",
+            _cosine_to_query_udf(q)(F.col("embedding")).alias("sim"),
+        )
+        for r in _rank_topk(cand, with_sim=True).collect():
+            want.add((k, r.vec_id, r.rank, r.sim_rounded))
+    assert got == want
+
+
+# --- x15: the catalog-registered maintained assignment -----------------
+
+
+def test_x15_serves_every_prefix_and_syncs_catalog(spark):
+    """Each delivery's served assignment must equal the one-shot CC
+    over that PREFIX corpus's τ-pairs — recomputed Spark-side from
+    scratch, independent of the DuckDB oracle.  This drives the FULL
+    catalog lifecycle (pruned reads, in-place writers, ALTER TABLE
+    partition sync) at smoke scale; a missed ADD PARTITION would make
+    delivery k+1 re-treat delivery k's fresh vertices as unseen and
+    diverge."""
+    from hfcommunity_spark.operators.dedup import (
+        JACCARD_CLUSTER_THRESHOLD,
+        X15_DELIVERIES,
+        _DELTA_SPLIT_MOD,
+        _delta_base_docs,
+        _delta_arriving_docs,
+        doc_shingle_hashes,
+        x15_stream_maintained_clusters,
+    )
+    from hfcommunity_spark.operators.graph import connected_components
+
+    got = {
+        (r.delivery_id, r.doc_id, r.component)
+        for r in x15_stream_maintained_clusters(spark, SF_SMOKE).collect()
+    }
+
+    def tau_edges(docs):
+        sh = doc_shingle_hashes(docs).localCheckpoint()
+        counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        pairs = (
+            sh.alias("a").join(sh.alias("b"), F.col("a.h") == F.col("b.h"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        jac = (
+            pairs.join(
+                counts.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+                ), "doc_a",
+            )
+            .join(
+                counts.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                ), "doc_b",
+            )
+            .filter(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+                >= JACCARD_CLUSTER_THRESHOLD
+            )
+        )
+        return jac.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+
+    base = _delta_base_docs(spark, SF_SMOKE)
+    arriving = _delta_arriving_docs(spark, SF_SMOKE)
+    prefix = base
+    want = set()
+    for k in range(X15_DELIVERIES):
+        prefix = prefix.unionByName(
+            arriving.filter(
+                F.expr(
+                    f"(doc_id DIV {_DELTA_SPLIT_MOD}) % {X15_DELIVERIES}"
+                ) == k
+            )
+        )
+        for r in connected_components(tau_edges(prefix)).collect():
+            want.add((k, r.vertex, r.component))
+    assert got == want and len(got) > 0
