@@ -118,6 +118,18 @@ QUERIES = [
     ("g_pagerank_fixed_iter", "keyed-agg", 1.0),
     ("samp_unimax_budget", "single-pass-agg", 1.0),
     ("t_bpe_merge_pairs", "single-pass-agg", 1.0),
+    # round 9: the TPC-H distribution/waiting faces are keyed
+    # aggregates/joins over the scaled fact tables (linear); the two
+    # streamed maintained faces are per-delivery folds — the
+    # delivery and its writer work grow with the corpus slice here
+    # (the arriving slice is 1/8 of documents), but the per-fold job
+    # count is FIXED, so the measured shape should be dominated by
+    # that fixed per-delivery overhead (near-flat cold→warm, exponent
+    # well below 1 until data dwarfs overhead).
+    ("q13_customer_order_distribution", "relational", 1.0),
+    ("q21_suppliers_kept_waiting", "relational", 1.0),
+    ("x15_stream_maintained_clusters", "delta-probe", 1.0),
+    ("x16_stream_maintained_ann", "delta-probe", 1.0),
 ]
 
 # The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
