@@ -162,7 +162,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x3_tumbling_hourly",  # F6, X1, X2, X3
     "x4_session_windows",  # X4
     "x5_streaming_dedup",  # D1, X5, X6
-    "x9_stream_stream_interval_join",  # J10, X2, X6
+    # (Round-9 rotation #3: x9_stream_stream_interval_join rotates out
+    # with its r1-r8 stamps intact — the outer variant below subsumes
+    # its pairing (plus the view-less null bucket); X2 keeps
+    # x3_tumbling_hourly, X6 keeps x5_streaming_dedup.)
+    "x18_stream_outer_interval_join",  # J10, J8, X6 — stream-stream
+    # RIGHT OUTER interval join: view-less purchases preserved,
+    # null-padded on watermark expiry
     # --- late round-5 additions, never stamped ---------------------
     # (Second round-6 rotation: samp_dsir_select and
     # layout_zorder_pruning_audit rotate out with their r5 stamps
@@ -257,8 +263,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # per-prefix frozen-codebook oracle
     "samp_unimax_budget",  # X-UD5, A7, A10, F11, W3 — UniMax
     # water-filling of an epoch-capped token budget across sources
-    "t_bpe_merge_pairs",  # X-UD5, A4, O2, F12, J9 — one distributed
-    # BPE training round over the word-type table, unrolled merge
+    # (Round-9 rotation #2: t_bpe_merge_pairs rotates out with its r8
+    # stamp intact — A4 keeps a4/q13/q21, O2/F12/J9 keep several
+    # oracle-equipped members — making room for the streamed span-audit
+    # face, completing the streamed maintained-index convention across
+    # all four index families: BM25 (x14), clusters (x15), ANN (x16),
+    # spans (x17).)
+    "x17_stream_maintained_spans",  # X7, D3, A7, J2, X-UD5 — the
+    # span-audit (exact-substring) table folded through three streamed
+    # deliveries and served after each; per-prefix rebuild oracle
     # --- round-8 entrants #3: graph meet + streamed deliveries ------
     "g_merge_base",  # J5, S7, W4 — merge-base as the BFS-meet over
     # maintained reach sets, recursive-CTE oracle with tie-broken LCAs

@@ -218,6 +218,43 @@ def x9_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "x18_stream_outer_interval_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(v.ts) AS BIGINT) AS n_views_1h,
+           MAX(v.ts) AS last_view_ts
+    FROM events p LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    survey="X6,J8,J10",
+)
+def x18_stream_outer_interval_join(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream OUTER interval join: EVERY
+    purchase, view-less ones included (n_views_1h = 0, NULL
+    last_view_ts) — the attribution query x9's inner join silently
+    drops rows from.  Same transform, ``how='right_outer'`` so the
+    purchase side is preserved; in streaming Spark holds the purchase
+    row until the watermark proves no in-horizon view can still
+    arrive, then emits it null-padded (state bounded by
+    watermark + horizon, the x9 contract — locked under real
+    micro-batches in tests/test_streaming.py).  COUNT over the view
+    timestamp counts only matched rows, so the zero bucket is exact."""
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_dir, "events")
+    views, purchases = jobs.split_views_purchases(events)
+    pairs = jobs.interval_join(views, purchases, how="right_outer")
+    return pairs.groupBy("purchase_id").agg(
+        F.count("view_ts").alias("n_views_1h"),
+        F.max("view_ts").alias("last_view_ts"),
+    )
+
+
 def _x10_oracle() -> str:
     """Built from the MinHash oracle fragments so the two stay in
     lockstep with the Spark-side constants."""

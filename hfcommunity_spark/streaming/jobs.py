@@ -135,9 +135,10 @@ INTERVAL_HORIZON = "1 hour"
 
 def interval_join(views: DataFrame, purchases: DataFrame,
                   watermark: str = DEFAULT_WATERMARK,
-                  horizon: str = INTERVAL_HORIZON) -> DataFrame:
-    """X9: stream-stream interval join — every purchase paired with the
-    same user's views in the preceding ``horizon``.
+                  horizon: str = INTERVAL_HORIZON,
+                  how: str = "inner") -> DataFrame:
+    """X9/X18: stream-stream interval join — every purchase paired
+    with the same user's views in the preceding ``horizon``.
 
     Both sides carry event-time watermarks and the join condition is
     an equi-key plus a bounded time range, which is exactly what Spark
@@ -146,6 +147,12 @@ def interval_join(views: DataFrame, purchases: DataFrame,
     Shuffle is on user_id for both streams (co-partitioned by the
     join).  In batch mode the same plan is a plain range join (the
     oracle's formulation); watermarks are no-ops there.
+
+    ``how`` extends the face to the OUTER variants (X18 uses
+    ``right_outer`` to preserve view-less purchases): in streaming,
+    Spark emits the null-padded row only once the watermark proves no
+    match can still arrive — the row is late by up to
+    ``watermark + horizon``, never wrong.
 
     Inputs must be pre-projected: views(user_id, view_id, view_ts),
     purchases(user_id_p, purchase_id, purchase_ts) — distinct names
@@ -163,7 +170,7 @@ def interval_join(views: DataFrame, purchases: DataFrame,
         (v["user_id"] == p["user_id_p"])
         & (v["view_ts"] <= p["purchase_ts"])
         & (v["view_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        how,
     )
 
 

@@ -247,6 +247,69 @@ def test_x16_serves_every_prefix(spark):
     assert got == want
 
 
+# --- x17: the span-audit table under a stream of deliveries ------------
+
+
+def test_x17_serves_every_prefix(spark):
+    """Each delivery's served span stats must equal the from-scratch
+    build over that PREFIX corpus (Spark-side rebuild, independent of
+    the DuckDB oracle) — including base docs whose spans BECOME
+    duplicated because a delivery re-used them."""
+    from hfcommunity_spark.operators.dedup import (
+        X17_DELIVERIES,
+        _DELTA_SPLIT_MOD,
+        _delta_arriving_docs,
+        _delta_base_docs,
+        span_stats_frame,
+        x17_stream_maintained_spans,
+    )
+
+    got = {
+        (r.delivery_id, r.doc_id, r.n_spans, r.n_dup_spans)
+        for r in x17_stream_maintained_spans(spark, SF_SMOKE).collect()
+    }
+    base = _delta_base_docs(spark, SF_SMOKE)
+    arriving = _delta_arriving_docs(spark, SF_SMOKE)
+    prefix = base
+    want = set()
+    for k in range(X17_DELIVERIES):
+        prefix = prefix.unionByName(
+            arriving.filter(
+                F.expr(
+                    f"(doc_id DIV {_DELTA_SPLIT_MOD}) % {X17_DELIVERIES}"
+                ) == k
+            )
+        )
+        for r in span_stats_frame(prefix).collect():
+            want.add((k, r.doc_id, r.n_spans, r.n_dup_spans))
+    assert got == want and len(got) > 0
+
+
+def test_x17_frees_fold_checkpoints(spark):
+    """The fold chain's eager checkpoints are freed once the served
+    union is materialized — repeated invocations may pin only their
+    own returned frame (the components_delta discipline)."""
+    from hfcommunity_spark.operators.dedup import (
+        x17_stream_maintained_spans,
+    )
+
+    def n_persistent() -> int:
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    x17_stream_maintained_spans(spark, SF_SMOKE).count()
+    first = n_persistent()
+    x17_stream_maintained_spans(spark, SF_SMOKE).count()
+    second = n_persistent()
+    # each invocation may keep its returned checkpoint (and the
+    # session-cached standing state from the first call); the six
+    # per-fold intermediates must not accumulate on top
+    assert second - first <= 3
+
+
 # --- x15: the catalog-registered maintained assignment -----------------
 
 

@@ -282,6 +282,60 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got.values.tolist() == [[100, 1], [101, 3]]
 
 
+def test_stream_stream_outer_interval_join(spark, tmp_path):
+    """X18: the right-outer variant preserves view-less purchases —
+    the null-padded row is emitted only once the watermark proves no
+    in-horizon view can still arrive, so a late batch must advance
+    event time before the unmatched purchase appears."""
+    vsrc, psrc = str(tmp_path / "views18"), str(tmp_path / "purch18")
+
+    def ev(eid, minutes, uid, etype):
+        return (eid, T0 + dt.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+    # user 1's purchase pairs with its view; user 2's purchase has NO
+    # view anywhere — the row the inner join drops
+    views1 = _events_pdf([ev(1, 0, 1, "view")])
+    purch1 = _events_pdf([
+        ev(100, 30, 1, "purchase"), ev(101, 30, 2, "purchase"),
+    ])
+    _write_batch(spark, views1, vsrc)
+    _write_batch(spark, purch1, psrc)
+
+    def make_stream():
+        views, _ = jobs.split_views_purchases(jobs.read_event_stream(spark, vsrc))
+        _, purchases = jobs.split_views_purchases(
+            jobs.read_event_stream(spark, psrc)
+        )
+        return jobs.interval_join(views, purchases, how="right_outer")
+
+    q = (
+        make_stream()
+        .writeStream.format("memory")
+        .queryName("t_x18")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_x18")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance BOTH watermarks far past purchase 101 + horizon so
+        # its unmatched row must be released
+        _write_batch(spark, _events_pdf([ev(5, 3000, 9, "view")]), vsrc)
+        _write_batch(
+            spark, _events_pdf([ev(900, 3000, 9, "purchase")]), psrc
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.table("t_x18")
+        .select("purchase_id", "view_id").collect()
+    }
+    assert (100, 1) in got        # matched pair, emitted immediately
+    assert (101, None) in got     # view-less purchase, null-padded
+
+
 def test_interval_join_batch_parity(spark):
     """The same interval_join transform on batch frames equals the
     naive range-join SQL on sf0.001 events."""

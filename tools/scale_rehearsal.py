@@ -19,6 +19,13 @@ read-only and stays untouched):
   tables copied as-is (10× fan-in on fixed dims, the realistic shape).
 
 Usage: python tools/scale_rehearsal.py [--regen]
+       python tools/scale_rehearsal.py --only NAME [NAME ...]
+
+``--only`` times just the named QUERIES rows (same 3-rep cold/warm
+protocol at both scales) and MERGES them into the existing
+BENCH_SF1.json — for late-round entrants, without re-running the full
+hour-long sweep.  The trio step and saturation sections are left
+untouched in merge mode.
 """
 
 from __future__ import annotations
@@ -130,6 +137,11 @@ QUERIES = [
     ("q21_suppliers_kept_waiting", "relational", 1.0),
     ("x15_stream_maintained_clusters", "delta-probe", 1.0),
     ("x16_stream_maintained_ann", "delta-probe", 1.0),
+    # round 9 #2: the streamed span-audit face (per-fold probe bounded
+    # by the delivery's hash set) and the outer interval join (same
+    # range join as x9 plus the null bucket).
+    ("x17_stream_maintained_spans", "delta-probe", 1.0),
+    ("x18_stream_outer_interval_join", "keyed-window", 1.0),
 ]
 
 # The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
@@ -358,8 +370,15 @@ def main() -> None:
         ).count()
         read_table(spark, d, "lineitem").count()
 
+    only: list[str] = []
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1:]
+        assert only, "--only requires at least one query name"
+
     results: dict[str, dict] = {}
     for name, family, predicted in QUERIES:
+        if only and name not in only:
+            continue
         spec = specs[name]
         rec: dict = {"family": family, "predicted_exponent": predicted}
         for scale, d in (("sf0.1", BASE), ("sf1.0", OUT)):
@@ -382,6 +401,17 @@ def main() -> None:
               f"cold {rec['sf0.1']['cold']:7.2f}s → {rec['sf1.0']['cold']:7.2f}s "
               f"(exp {rec['measured_exponent_cold']:+.2f}) "
               f"warm exp {rec['measured_exponent_warm']:+.2f}", flush=True)
+
+    if only:
+        # merge mode: update just these rows in the existing payload
+        with open(OUT_JSON) as f:
+            payload = json.load(f)
+        payload["queries"].update(results)
+        with open(OUT_JSON, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"merged {sorted(results)} into {OUT_JSON}")
+        spark.stop()
+        return
 
     # --- steep-warm trio: second growth step (sf1.0 -> sf3.0) ------
     if "--regen" in sys.argv or not os.path.exists(
