@@ -1712,9 +1712,14 @@ def x15_stream_maintained_clusters(spark: SparkSession,
     # the post-delivery pair set is SHARED session state (one delivery
     # probe per session); each fold's new edges are a filter over it —
     # an edge first exists at the stream position of its latest
-    # endpoint (pairs only form once both docs are present)
+    # endpoint (pairs only form once both docs are present).  Force it
+    # BEFORE the block diff below so the standing state's own internal
+    # checkpoints never land in this invocation's freed set.
     pairs = _delta_post_jaccard_pairs(spark, sf_dir)
+    pairs.count()
     thr = F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
+    jsc = spark.sparkContext._jsc
+    _blocks_before = set(jsc.getPersistentRDDs().keySet().toArray())
 
     def _arrival(col: str) -> F.Column:
         return F.expr(
@@ -1772,9 +1777,25 @@ def x15_stream_maintained_clusters(spark: SparkSession,
         out = served[0]
         for s in served[1:]:
             out = out.unionByName(s)
+        # materialize the union, then free every checkpoint block this
+        # invocation created (fold plans, change sets, the per-fold
+        # serving snapshots) — the x17 discipline: the returned frame
+        # reads only its own blocks, repeated invocations pin nothing
+        # on top.  The diff's isLocallyCheckpointed filter keeps the
+        # session persist() caches (pairs, base indexes) out.
+        from hfcommunity_spark.operators.graph import _free_checkpoint
+
+        m = jsc.getPersistentRDDs()
+        created = [
+            i for i in set(m.keySet().toArray()) - _blocks_before
+            if (r := m.get(i)) is not None
+            and r.rdd().isLocallyCheckpointed()
+        ]
+        out = out.localCheckpoint()
+        _free_checkpoint(spark, created)
         return out
     finally:
-        # the served snapshots are EAGER checkpoints (block-manager
+        # the serving blocks are EAGER checkpoints (block-manager
         # resident), so the catalog entries and working files can go
         # before the caller consumes the result
         for tname in (ctab, vtab):

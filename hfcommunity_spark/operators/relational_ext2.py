@@ -614,14 +614,18 @@ def q21_suppliers_kept_waiting(
     — the synthetic lineitem has no commit/receipt dates).
 
     Spark-first shape: the classic correlated EXISTS / NOT EXISTS pair
-    re-expressed as ONE per-order aggregate — ``n_supp`` (distinct
-    suppliers on the order) and ``n_late_supp`` (distinct suppliers
-    that shipped late) — then a supplier's lineitem qualifies iff it
-    was late, ``n_supp >= 2`` and ``n_late_supp = 1`` (it is
-    necessarily THE late one).  That turns two correlated self-joins
-    over lineitem into one partial-aggregated groupBy(l_orderkey) and
-    one equi-join back, shuffling lineitem exactly twice on the same
-    key; the supplier dimension broadcasts."""
+    re-expressed as per-order distinct-supplier sets — ``n_supp``
+    (suppliers on the order) and ``n_late_supp`` (suppliers that
+    shipped late) — computed as a WINDOW over the single
+    lineitem⋈orders pass (``size(collect_set(..))`` per order group),
+    so the join subtree executes ONCE: a row qualifies iff it was
+    late, ``n_supp >= 2`` and ``n_late_supp = 1`` (its supplier is
+    necessarily THE late one).  The groupBy-then-semi-join-back
+    formulation re-executed the whole join once per branch (two
+    lineitem scans, no ReusedExchange); this is one orderkey shuffle
+    for the window plus the tiny s_name rollup, and order groups are
+    bounded (≤7 lineitems), so window state never skews.  The
+    supplier dimension broadcasts."""
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     o = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -637,21 +641,19 @@ def q21_suppliers_kept_waiting(
         "l_orderkey", "l_suppkey",
         (F.col("l_shipdate") > late_cut).alias("is_late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
+    w = Window.partitionBy("l_orderkey")
+    waiting = lo.select(
+        "l_suppkey", "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
         ).alias("n_late_supp"),
-    )
-    waiting = (
-        lo.filter(F.col("is_late"))
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
-            "left_semi",
-        )
+    ).filter(
+        F.col("is_late")
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
     )
     return (
         waiting.join(F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"])

@@ -313,6 +313,28 @@ def test_x17_frees_fold_checkpoints(spark):
 # --- x15: the catalog-registered maintained assignment -----------------
 
 
+def test_x15_frees_invocation_checkpoints(spark):
+    """Repeated x15 invocations may pin only their own returned frame
+    — the fold plans, change sets and per-fold serving snapshots are
+    freed once the final union materializes (the x17 discipline)."""
+    from hfcommunity_spark.operators.dedup import (
+        x15_stream_maintained_clusters,
+    )
+
+    def n_persistent() -> int:
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    x15_stream_maintained_clusters(spark, SF_SMOKE).count()
+    first = n_persistent()
+    x15_stream_maintained_clusters(spark, SF_SMOKE).count()
+    second = n_persistent()
+    assert second - first <= 3
+
+
 def test_x15_serves_every_prefix_and_syncs_catalog(spark):
     """Each delivery's served assignment must equal the one-shot CC
     over that PREFIX corpus's τ-pairs — recomputed Spark-side from
