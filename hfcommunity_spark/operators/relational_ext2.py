@@ -576,6 +576,64 @@ def q13_customer_order_distribution(
     )
 
 
+Q15_FROM, Q15_TO = "1996-01-01", "1996-04-01"
+
+
+@query(
+    "q15_top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '{Q15_FROM}'
+        AND l_shipdate < DATE '{Q15_TO}'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    survey="A7,J3,O2,F11",
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier by quarterly revenue — the view +
+    correlated MAX subquery form).  Revenue accumulates in exact
+    DECIMAL, so the equality against the maximum is exact arithmetic,
+    not a float boundary (ties all surface, as the spec requires).
+    The MAX is a one-row scalar aggregate broadcast back over the
+    per-supplier frame — never a global window; the supplier
+    dimension broadcasts onto the tiny surviving set."""
+    from hfcommunity_spark.operators.relational import DEC, dec
+
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+            ).alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev["total_rev"] == top["max_rev"])
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 Q21_LATE_DAYS = 60
 
 

@@ -141,7 +141,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # f7_epoch_default_watermark, J2/F12/A7 and A10/O2/J9/F1 each keep
     # several oracle-equipped window members — making room for the
     # round-8 record-linkage, hybrid-RRF and maintained-BM25 queries.)
-    "d5_scd2_user_state",  # D2, D4, W2
+    # (Round-9 rotation #4: d5_scd2_user_state rotates out with its
+    # r1-r8 stamps intact — the streamed SCD2 dimension below subsumes
+    # its timeline (same transform, per-prefix) and carries D2/D4/W2.)
+    "x19_stream_scd2_dim",  # X7, D2, D3, D4, W2 — the SCD2 dimension
+    # folded through three in-order deliveries (scd2_delta: affected
+    # keys' open rows recomputed, closed history immutable), served
+    # after each; per-prefix d5 oracle
     "u1_priority_union_sources",  # U1, U2
     "p10_oversize_text_guard",  # F5, P10
     "f2_prefixed_ids",  # F2
@@ -273,8 +279,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # span-audit (exact-substring) table folded through three streamed
     # deliveries and served after each; per-prefix rebuild oracle
     # --- round-8 entrants #3: graph meet + streamed deliveries ------
-    "g_merge_base",  # J5, S7, W4 — merge-base as the BFS-meet over
-    # maintained reach sets, recursive-CTE oracle with tie-broken LCAs
+    # (Round-9 rotation #5: g_merge_base rotates out with its r8 stamp
+    # intact — J5/S7/W4 keep g_commit_ancestors, s7_git_history_scan,
+    # j7/w5 — making room for the TPC-H Q15 face.)
+    "q15_top_supplier_revenue",  # A7, J3, O2, F11 — top supplier by
+    # quarterly revenue; exact-DECIMAL equality against the scalar MAX
     "x14_stream_maintained_index",  # X7, D3, A10, O2, X-UD5 — the
     # maintained BM25 index served after EACH of three sequential
     # deliveries; per-prefix full-rebuild oracle

@@ -90,9 +90,11 @@ def test_north_star_families_inside_window():
     # intact — UD2/UD4 driver evidence now rides ud2_chunk_udtf and
     # the MMR grouped map; the no-orphan test above guards every
     # rotated query's cumulative evidence.)
-    # ("x9" became "x18" in round 9: the outer interval join subsumes
-    # the inner pairing; x9 keeps its r1-r8 stamps.)
-    for prefix in ("dd_", "sim_", "t_", "ud", "d5",
+    # ("x9" became "x18" and "d5" became "x19" in round 9: the outer
+    # interval join subsumes the inner pairing, the streamed SCD2
+    # dimension subsumes the batch timeline; both rotated queries keep
+    # their earlier stamps.)
+    for prefix in ("dd_", "sim_", "t_", "ud", "x19",
                    "u1", "samp_", "pipe_", "ret_", "j12", "g_",
                    "x3", "x4", "x5", "x18", "x1"):
         assert any(n.startswith(prefix) for n in window), prefix

@@ -310,6 +310,138 @@ def test_x17_frees_fold_checkpoints(spark):
     assert second - first <= 3
 
 
+# --- x19: the SCD2 dimension under a stream of deliveries --------------
+
+
+def test_events_ids_are_time_ordered(spark):
+    """The x19 cut construction (id quartiles == time quartiles) leans
+    on the synthetic feed assigning event ids in event-time order —
+    lock it so regenerated testdata cannot silently break the
+    in-order-delivery contract."""
+    from pyspark.sql import Window as W
+
+    from hfcommunity_spark.io import read_table
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        ev = read_table(spark, sf, "events").select("event_id", "ts")
+        w = W.orderBy("event_id")
+        inversions = (
+            ev.withColumn("pts", F.lag("ts").over(w))
+            .filter(F.col("pts") > F.col("ts"))
+            .count()
+        )
+        assert inversions == 0, sf
+
+
+def test_scd2_delta_equals_rebuild_any_split(spark):
+    """Folding ANY in-order split of the event feed through
+    scd2_delta must equal the one-shot scd2_history over the union —
+    five uneven sequential slices, not just the declared quartiles."""
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.mergeops import (
+        scd2_delta,
+        scd2_history,
+    )
+
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    n = ev.agg((F.max("event_id") + 1).alias("n")).collect()[0].n
+    cuts = [0, n // 10, n // 3, n // 2, (3 * n) // 4, n]
+    slices = [
+        ev.filter(
+            (F.col("event_id") >= cuts[i])
+            & (F.col("event_id") < cuts[i + 1])
+        )
+        for i in range(len(cuts) - 1)
+    ]
+    dim = scd2_history(slices[0], key="user_id", state="event_type",
+                       ts="ts", tiebreak="event_id")
+    for s in slices[1:]:
+        dim = scd2_delta(dim, s, key="user_id", state="event_type",
+                         ts="ts", tiebreak="event_id").localCheckpoint()
+    got = {tuple(r) for r in dim.collect()}
+    want = {
+        tuple(r)
+        for r in scd2_history(
+            ev, key="user_id", state="event_type",
+            ts="ts", tiebreak="event_id",
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_scd2_delta_edge_cases(spark):
+    """Synthetic edges: same-state delivery events absorb into the
+    open run (no new row); a same-timestamp state change closes the
+    run at that timestamp; fresh keys start their own timeline."""
+    import datetime as dt
+
+    from hfcommunity_spark.operators.mergeops import (
+        scd2_delta,
+        scd2_history,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    cols = "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    base = spark.createDataFrame(
+        [(1, t(0), 0, "a"), (1, t(10), 1, "b"), (2, t(5), 2, "a")], cols
+    )
+    delivery = spark.createDataFrame(
+        [
+            (1, t(10), 3, "b"),   # same ts+state as open run: absorbed
+            (1, t(20), 4, "c"),   # closes run b at t+20
+            (3, t(15), 5, "a"),   # fresh key
+        ],
+        cols,
+    )
+    dim = scd2_history(base, key="user_id", state="event_type",
+                       ts="ts", tiebreak="event_id")
+    folded = scd2_delta(dim, delivery, key="user_id",
+                        state="event_type", ts="ts",
+                        tiebreak="event_id")
+    got = {tuple(r) for r in folded.collect()}
+    want = {
+        tuple(r)
+        for r in scd2_history(
+            base.unionByName(delivery), key="user_id",
+            state="event_type", ts="ts", tiebreak="event_id",
+        ).collect()
+    }
+    assert got == want
+    assert (1, "b", t(10), t(20)) in got  # absorbed, then closed
+    assert (3, "a", t(15), None) in got   # fresh key's open run
+
+
+def test_x19_serves_every_prefix(spark):
+    """Each delivery's served dimension equals the one-shot
+    scd2_history over that prefix (Spark-side, independent of the
+    DuckDB oracle)."""
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.mergeops import (
+        X19_DELIVERIES,
+        scd2_history,
+        x19_stream_scd2_dim,
+    )
+
+    got = {
+        tuple(r)
+        for r in x19_stream_scd2_dim(spark, SF_SMOKE).collect()
+    }
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    n = ev.agg((F.max("event_id") + 1).alias("n")).collect()[0].n
+    want = set()
+    for k in range(X19_DELIVERIES):
+        prefix = ev.filter(F.col("event_id") * 4 < n * (k + 2))
+        for r in scd2_history(prefix, key="user_id",
+                              state="event_type", ts="ts",
+                              tiebreak="event_id").collect():
+            want.add((k, *tuple(r)))
+    assert got == want and len(got) > 0
+
+
 # --- x15: the catalog-registered maintained assignment -----------------
 
 

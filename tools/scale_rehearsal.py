@@ -142,6 +142,11 @@ QUERIES = [
     # range join as x9 plus the null bucket).
     ("x17_stream_maintained_spans", "delta-probe", 1.0),
     ("x18_stream_outer_interval_join", "keyed-window", 1.0),
+    # round 9 #3: the streamed SCD2 dimension (per-fold work bounded
+    # by the delivery + affected keys) and the Q15 scalar-max face
+    # (one lineitem aggregate + broadcast scalar).
+    ("x19_stream_scd2_dim", "delta-probe", 1.0),
+    ("q15_top_supplier_revenue", "relational", 1.0),
 ]
 
 # The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
