@@ -576,6 +576,94 @@ def q13_customer_order_distribution(
     )
 
 
+A16_PCTS = (25, 50, 75, 90)
+
+
+@query(
+    "a16_exact_percentiles",
+    f"""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal) AS rk,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(p AS INTEGER) AS pct,
+           c_acctbal AS pct_value
+    FROM ranked
+    JOIN (VALUES {", ".join(f"({p})" for p in A16_PCTS)}) pcts(p)
+      ON rk = (n * p + 99) // 100
+    ORDER BY c_mktsegment, pct
+    """,
+    survey="A7,A5,W1,F11",
+)
+def a16_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles of account balance per market
+    segment (value at rank ``ceil(p*n/100)``, pure integer rank
+    arithmetic — no interpolation, so no cross-engine float boundary).
+
+    Scale shape — the ``w1_ntile_percent_rank`` histogram discipline
+    applied to quantiles: the naive plan sorts every segment's whole
+    partition (``row_number`` over millions of rows per segment at
+    100 TB).  Exact rank decomposes through the value histogram
+    instead: pass 1 is one map-side-combined count per (segment,
+    whole-dollar cell) — ≤5 × 11k rows, bounded by the VALUE DOMAIN,
+    not the row count — collected to locate each target rank's cell
+    and its within-cell offset; pass 2 reads ONLY the ≤|segments| ×
+    |percentiles| target cells (a pushed IN-filter on the bucket
+    expression), ranks within those bounded cells, and picks the
+    offset row.  No value straddles cells (equal balances share a
+    cell), so the within-cell rank is exact."""
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    )
+    bkt_col = F.floor(F.col("c_acctbal")).cast("long")
+    rows = (
+        customer.groupBy("c_mktsegment", bkt_col.alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: segments x whole-dollar domain cells
+    )
+    if any(r.bkt is None for r in rows):
+        raise ValueError(
+            "a16_exact_percentiles: NULL c_acctbal — the histogram "
+            "rank decomposition requires a NOT NULL value column"
+        )
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append((r.bkt, r.cnt))
+    targets = []  # (segment, bkt, pct, rank_within_cell)
+    for seg, hist in by_seg.items():
+        hist.sort()
+        n = sum(c for _, c in hist)
+        for p in A16_PCTS:
+            rk = (n * p + 99) // 100  # ceil(n*p/100), integer-exact
+            below = 0
+            for b, c in hist:
+                if below + c >= rk:
+                    targets.append((seg, b, p, rk - below))
+                    break
+                below += c
+    tgt = spark.createDataFrame(
+        targets, "c_mktsegment string, bkt long, pct int, r long"
+    )
+    w = Window.partitionBy("c_mktsegment", "bkt", "pct").orderBy(
+        "c_acctbal"
+    )
+    return (
+        customer.withColumn("bkt", bkt_col)
+        .join(F.broadcast(tgt), ["c_mktsegment", "bkt"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("r"))
+        .select(
+            "c_mktsegment", F.col("pct"),
+            F.col("c_acctbal").alias("pct_value"),
+        )
+        .orderBy("c_mktsegment", "pct")
+    )
+
+
 Q15_FROM, Q15_TO = "1996-01-01", "1996-04-01"
 
 

@@ -155,7 +155,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "f4_json_projection",  # F4, F12
     "t_clean_corpus_stats",  # A8, P12, W4, X-UD5
     "ud3_grouped_agg_cents",  # A7, UD3
-    "a4_topk_customers_by_orders",  # A4, J3, O2
+    # (Round-9 rotation #6: a4_topk_customers_by_orders rotates out
+    # with its r1-r8 stamps intact — A4 keeps q13/q21, J3 keeps q15,
+    # O2 keeps several members — making room for the exact-percentile
+    # histogram face, the w1 rank decomposition applied to quantiles.)
+    "a16_exact_percentiles",  # A7, A5, W1, F11 — exact per-segment
+    # discrete percentiles via the two-pass value-histogram plan
+    # (domain-bounded collect, target-cell-only second read)
     "a11_rollup_customers",  # A11, J4
     # (Fourth round-8 rotation: sim_lsh_bucketed_topk,
     # samp_length_batch_plan and dd_source_hygiene_audit rotate out

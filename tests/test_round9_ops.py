@@ -247,6 +247,62 @@ def test_x16_serves_every_prefix(spark):
     assert got == want
 
 
+# --- a16: exact percentiles via the value histogram ---------------------
+
+
+def test_a16_matches_bruteforce_on_edges(spark, tmp_path):
+    """Synthetic edges: a one-row segment, an all-ties segment, and
+    negative balances must all return the exact ceil-rank element."""
+    import math
+
+    from hfcommunity_spark.operators.relational_ext2 import (
+        A16_PCTS,
+        a16_exact_percentiles,
+    )
+
+    data = {
+        "SOLO": [7.77],
+        "TIES": [5.0] * 9,
+        "NEG": [-994.28, -1.01, 0.0, 3.5, 3.5, 1000.99, 2.25],
+    }
+    rows = [(seg, v) for seg, vs in data.items() for v in vs]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "c_mktsegment string, c_acctbal double"
+    ).write.parquet(f"{sf}/customer.parquet")
+    got = {
+        (r.c_mktsegment, r.pct, r.pct_value)
+        for r in a16_exact_percentiles(spark, sf).collect()
+    }
+    want = set()
+    for seg, vs in data.items():
+        vs = sorted(vs)
+        for p in A16_PCTS:
+            rk = (len(vs) * p + 99) // 100
+            want.add((seg, p, vs[rk - 1]))
+    assert got == want
+
+
+def test_a16_second_pass_window_is_cell_bounded(spark):
+    """The plan's only window partitions by (segment, cell, pct) —
+    never segment-wide — so per-task sort work is bounded by the cell,
+    not the segment (the w1 discipline; a segment-wide row_number is
+    exactly the single-segment-sort this operator exists to avoid)."""
+    from hfcommunity_spark.queries import all_queries
+
+    df = all_queries()["a16_exact_percentiles"].spark(
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    for m in re.finditer(r"Window.*?partition.*?\n", plan):
+        seg = m.group(0)
+        assert "bkt" in seg or "pct" in seg, seg
+
+
 # --- x17: the span-audit table under a stream of deliveries ------------
 
 

@@ -147,6 +147,11 @@ QUERIES = [
     # (one lineitem aggregate + broadcast scalar).
     ("x19_stream_scd2_dim", "delta-probe", 1.0),
     ("q15_top_supplier_revenue", "relational", 1.0),
+    # round 9 #4: exact percentiles via the two-pass value histogram —
+    # pass 1 is one map-side-combined count bounded by the value
+    # domain, pass 2 reads only the target cells; the flat shape is
+    # the whole point (the naive plan sorts whole segments).
+    ("a16_exact_percentiles", "histogram-window", 1.0),
 ]
 
 # The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
