@@ -1822,9 +1822,13 @@ def _delta_base_span_postings(spark: SparkSession,
 
 def _delta_base_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained per-doc span stats over the base slice (the audit
-    table beside the postings), session-persisted standing state."""
+    table beside the postings), session-persisted standing state —
+    derived from the cached postings with one rollup, NOT a second
+    corpus-scale tokenize/explode pass (round-9 review finding)."""
     def build() -> DataFrame:
-        return span_stats_frame(_delta_base_docs(spark, sf_dir))
+        return span_stats_from_postings(
+            _delta_base_span_postings(spark, sf_dir)
+        )
     return _sig_index(
         spark, sf_dir, "delta_base_span_stats", "xxhash64", build
     )

@@ -630,6 +630,15 @@ def a16_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a16_exact_percentiles: NULL c_acctbal — the histogram "
             "rank decomposition requires a NOT NULL value column"
         )
+    # the second pass joins on the segment with null-UNSAFE equality,
+    # so a NULL segment would silently drop its percentile rows while
+    # the oracle emits them — fail loudly instead (round-9 review;
+    # TPC-H c_mktsegment is NOT NULL, this guards regenerated data)
+    if any(r.c_mktsegment is None for r in rows):
+        raise ValueError(
+            "a16_exact_percentiles: NULL c_mktsegment — the two-pass "
+            "plan requires a NOT NULL segment key"
+        )
     by_seg: dict[str, list] = {}
     for r in rows:
         by_seg.setdefault(r.c_mktsegment, []).append((r.bkt, r.cnt))

@@ -657,6 +657,7 @@ def test_relabel_in_place_syncs_catalog_partitions(spark, tmp_path):
 
     counts = Counter(comp_bucket.values())
     solo = [c for c, b in comp_bucket.items() if counts[b] == 1 and c != 0]
+    assert solo, "deterministic data should give some solo bucket"
     victim = solo[0]
     out = str(tmp_path / "cassign")
     write_component_assign(assign, out, buckets=buckets)

@@ -36,6 +36,22 @@ def _dup_defs(path):
     tree = ast.parse(path.read_text(), filename=str(path))
     dups = []
 
+    def deliberate_redef(node) -> bool:
+        """Same-name defs that are legitimate Python: @property
+        setter/deleter pairs, @typing.overload stacks, and
+        singledispatch registrations."""
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            return False
+        for d in node.decorator_list:
+            txt = ast.unparse(d)
+            if (
+                txt.endswith((".setter", ".deleter", ".getter",
+                              ".register"))
+                or txt in ("overload", "typing.overload")
+            ):
+                return True
+        return False
+
     def scan(body, where):
         seen = collections.Counter(
             n.name
@@ -43,6 +59,7 @@ def _dup_defs(path):
             if isinstance(
                 n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
             )
+            and not deliberate_redef(n)
         )
         dups.extend(
             f"{path.name}:{where}:{name} (x{cnt})"

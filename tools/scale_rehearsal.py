@@ -384,6 +384,11 @@ def main() -> None:
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1:]
         assert only, "--only requires at least one query name"
+        known = {name for name, _f, _p in QUERIES}
+        unknown = [n for n in only if n not in known]
+        assert not unknown, (
+            f"--only names not in the rehearsal QUERIES list: {unknown}"
+        )
 
     results: dict[str, dict] = {}
     for name, family, predicted in QUERIES:
