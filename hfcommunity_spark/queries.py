@@ -242,8 +242,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # A12/F11/O1/O2/J8/J9/X-UD5 each keep several oracle-equipped
     # window members — making room for the two TPC-H distribution/
     # waiting queries and the two streamed maintained faces.)
-    "g_pagerank_fixed_iter",  # J5, A10, O2, J9 — 3-round integer
-    # PageRank over the supplier-part supply graph, unrolled-CTE oracle
+    # (Round-9 rotation #7: g_pagerank_fixed_iter rotates out with its
+    # r8 stamp intact — J5/A10/O2/J9 each keep several oracle-equipped
+    # members, g_ keeps g_commit_ancestors — making room for the
+    # multimodal member of the streamed maintained convention.)
+    "x20_stream_media_features",  # X7, D3, UD2, UD4, X-UD5 — the
+    # media feature table appended per delivery (each payload
+    # featurized exactly once across the stream), per-prefix oracle
     "pipe_curate_select_pack_shard",  # X-UD5, J2, O2, W1, W3, F1,
     # A10 — round-6 final mile: curate -> select -> shard -> pack
     # --- round-6 operators #2: source hygiene -----------------------

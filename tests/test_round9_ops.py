@@ -366,6 +366,47 @@ def test_x17_frees_fold_checkpoints(spark):
     assert second - first <= 3
 
 
+# --- x20: the media feature table under a stream of deliveries ---------
+
+
+def test_x20_serves_every_prefix(spark):
+    """Each delivery's served feature table equals running the
+    extractor over that PREFIX's media from scratch (Spark-side,
+    independent of the DuckDB oracle)."""
+    from hfcommunity_spark.operators.dedup import _DELTA_SPLIT_MOD
+    from hfcommunity_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        X20_DELIVERIES,
+        byte_features_batches,
+        media_from_documents,
+        x20_stream_media_features,
+    )
+
+    got = {
+        tuple(r)
+        for r in x20_stream_media_features(spark, SF_SMOKE).collect()
+    }
+    media = media_from_documents(spark, SF_SMOKE).filter(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    )
+    want = set()
+    for k in range(X20_DELIVERIES):
+        prefix = media.filter(
+            (F.col("media_id") % _DELTA_SPLIT_MOD != 0)
+            | (
+                F.expr(
+                    f"(media_id DIV {_DELTA_SPLIT_MOD}) "
+                    f"% {X20_DELIVERIES}"
+                ) <= k
+            )
+        )
+        for r in prefix.select("media_id", "payload").mapInPandas(
+            byte_features_batches, schema=FEATURE_SCHEMA
+        ).collect():
+            want.add((k, *tuple(r)))
+    assert got == want and len(got) > 0
+
+
 # --- x19: the SCD2 dimension under a stream of deliveries --------------
 
 

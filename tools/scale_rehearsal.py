@@ -152,6 +152,9 @@ QUERIES = [
     # domain, pass 2 reads only the target cells; the flat shape is
     # the whole point (the naive plan sorts whole segments).
     ("a16_exact_percentiles", "histogram-window", 1.0),
+    # round 9 #5: the streamed media-feature face — per-delivery work
+    # is the batch's Arrow extraction; the standing table appends.
+    ("x20_stream_media_features", "delta-probe", 1.0),
 ]
 
 # The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
