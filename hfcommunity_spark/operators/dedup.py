@@ -1704,7 +1704,6 @@ def x15_stream_maintained_clusters(spark: SparkSession,
     from hfcommunity_spark.operators.graph import (
         apply_changes_vertex_layout,
         apply_relabel_in_place,
-        changed_assignment_rows,
         component_merge_plan_pruned,
     )
 
@@ -1732,12 +1731,34 @@ def x15_stream_maintained_clusters(spark: SparkSession,
     work = tempfile.mkdtemp(prefix=f"hfc_x15_work_{run}_")
     cdir = os.path.join(work, "cassign")
     vdir = os.path.join(work, "vassign")
-    shutil.copytree(os.path.join(pristine, "cassign"), cdir)
-    shutil.copytree(os.path.join(pristine, "vassign"), vdir)
+
+    def _link_or_copy(src: str, dst: str) -> None:
+        # the working copy starts as HARDLINKS to the pristine files:
+        # the fold only ever replaces whole files (dynamic partition
+        # overwrite unlinks + writes fresh), never appends, so the
+        # pristine layout is safe and the copy is O(files) metadata.
+        # Cross-device fallback copies bytes (tmpdir on another fs).
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    shutil.copytree(
+        os.path.join(pristine, "cassign"), cdir,
+        copy_function=_link_or_copy,
+    )
+    shutil.copytree(
+        os.path.join(pristine, "vassign"), vdir,
+        copy_function=_link_or_copy,
+    )
     ctab, vtab = f"hfc_x15_c_{run}", f"hfc_x15_v_{run}"
 
     served: list[DataFrame] = []
     try:
+        from hfcommunity_spark.operators.graph import (
+            _sync_catalog_partitions,
+        )
+
         for tname, tdir, pcol in (
             (ctab, cdir, "c_bucket"), (vtab, vdir, "v_bucket"),
         ):
@@ -1746,7 +1767,18 @@ def x15_stream_maintained_clusters(spark: SparkSession,
                 f"USING parquet PARTITIONED BY ({pcol} INT) "
                 f"LOCATION '{tdir}'"
             )
-            spark.sql(f"MSCK REPAIR TABLE {tname}")
+            # register the pristine partitions in ONE batched ALTER —
+            # the directory names are already in hand from the
+            # hardlink copy, so MSCK's re-listing job is pure overhead
+            _sync_catalog_partitions(
+                spark, tname, pcol,
+                added=[
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(tdir)
+                    if d.startswith(f"{pcol}=")
+                ],
+                dropped=(),
+            )
         for k in range(X15_DELIVERIES):
             new_edges = pairs.filter(thr).filter(
                 F.greatest(_arrival("doc_a"), _arrival("doc_b")) == k
@@ -1756,12 +1788,13 @@ def x15_stream_maintained_clusters(spark: SparkSession,
             fresh, relabel = component_merge_plan_pruned(
                 spark, spark.table(vtab), new_edges, X15_BUCKETS
             )
-            changed = changed_assignment_rows(
-                spark, spark.table(ctab), relabel, fresh, X15_BUCKETS
-            ).localCheckpoint()
-            apply_relabel_in_place(
+            # the relabel writer derives the vertex-projection change
+            # set from its own pruned scan (return_changes) — one
+            # partition-pruned read serves both projections
+            changed = apply_relabel_in_place(
                 spark, cdir, relabel, buckets=X15_BUCKETS, fresh=fresh,
                 assign_rel=spark.table(ctab), table_name=ctab,
+                return_changes=True,
             )
             apply_changes_vertex_layout(
                 spark, vdir, changed, X15_BUCKETS,

@@ -517,6 +517,36 @@ def component_merge_plan(
     return fresh, relabel
 
 
+def _driver_union_find(edges) -> list[tuple]:
+    """Min-label union-find over an iterable of (a, b) edges, driver
+    side — the bounded-collect workhorse behind both quotient-relabel
+    paths.  Returns the (old_label, new_label) pairs for every label
+    that merges into a smaller one (identity rows omitted)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels: dict = {}
+    for v in set(parent):
+        labels.setdefault(find(v), []).append(v)
+    return [
+        (v, root)
+        for root, members in labels.items()
+        for v in members
+        if v != root
+    ]
+
+
 def _quotient_relabel(spark, quot: DataFrame) -> DataFrame | None:
     """Quotient edges → (component, merged) relabel map, or ``None``
     when nothing merges.  The quotient is delivery-bounded by
@@ -536,29 +566,9 @@ def _quotient_relabel(spark, quot: DataFrame) -> DataFrame | None:
         # data size).  Bounded collect, the histogram/codebook
         # discipline; the distributed path remains the fallback and is
         # exercised by tests that pin this threshold to 0.
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in quot.collect():
-            ra, rb = find(row.src), find(row.dst)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        labels: dict = {}
-        for v in set(parent):
-            labels.setdefault(find(v), []).append(v)
-        pairs = [
-            (v, root)
-            for root, members in labels.items()
-            for v in members
-            if v != root
-        ]
+        pairs = _driver_union_find(
+            (row.src, row.dst) for row in quot.collect()
+        )
         _free_checkpoint(spark, quot_ids)
         if not pairs:
             return None
@@ -656,16 +666,56 @@ def _bucket_expr(col: str, buckets: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).cast("int")
 
 
+# xxHash64 primes (public algorithm constants, Y. Collet's xxHash)
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64_long(value: int, seed: int = 42) -> int:
+    """``F.xxhash64`` of ONE BIGINT value, driver-side: the standard
+    XXH64 single-8-byte-lane path with Spark's default seed 42,
+    returned as a signed 64-bit int exactly like the SQL function.
+    Exists so bucket ids of DRIVER-LOCAL frames (relabel maps, fresh
+    rows — bounded by contract) cost zero Spark jobs; parity with the
+    JVM expression is property-locked in tests/test_graph.py, and
+    :func:`_bucket_expr` remains the single source of truth for
+    anything distributed."""
+    h = (seed + _XXP5 + 8) & _M64
+    k = ((value & _M64) * _XXP2) & _M64
+    k = ((k << 31) | (k >> 33)) & _M64
+    h ^= (k * _XXP1) & _M64
+    h = ((((h << 27) | (h >> 37)) & _M64) * _XXP1 + _XXP4) & _M64
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _py_bucket(value: int, buckets: int) -> int:
+    """Driver-side twin of :func:`_bucket_expr` for integral keys
+    (Python ``%`` on a positive modulus IS pmod)."""
+    return _xxh64_long(value) % buckets
+
+
 def _bucket_ids(df: DataFrame, cols, buckets: int) -> list[int]:
     """Distinct bucket ids of one or more key columns, in ONE job
-    (bounded collect: callers pass delivery-bounded frames)."""
+    (bounded collect: callers pass delivery-bounded frames).  Dedup
+    happens driver-side — a distributed ``distinct`` would add a
+    shuffle stage per call just to shrink an already-bounded
+    collect."""
     exprs = [_bucket_expr(c, buckets) for c in cols]
-    return sorted(
+    return sorted({
         r.b
         for r in df.select(
             F.explode(F.array(*exprs)).alias("b")
-        ).distinct().collect()
-    )
+        ).collect()
+    })
 
 
 def relabel_affected_buckets(spark, assign_rel, relabel: DataFrame,
@@ -688,6 +738,18 @@ def relabel_affected_buckets(spark, assign_rel, relabel: DataFrame,
     )
 
 
+def _write_tasks(n_buckets: int) -> int:
+    """Writer-task count for a partition-pruned rewrite: ~16 output
+    files (= touched buckets) per task.  The touched set is delivery-
+    bounded and buckets are size-bounded, so per-task volume stays
+    flat at any history size; a task-per-shuffle-partition layout
+    (measured 1.2 s vs 0.5 s per rewrite at 64 buckets) pays 32 task
+    setups to write a delivery-sized change, and an AQE REBALANCE
+    costs an extra stage that outweighs the coalesce on frames this
+    small."""
+    return max(1, -(-n_buckets // 16))
+
+
 def _sync_catalog_partitions(spark, table_name: str, pcol: str,
                              added, dropped) -> None:
     """Keep a catalog-registered layout's partition METADATA in step
@@ -695,18 +757,22 @@ def _sync_catalog_partitions(spark, table_name: str, pcol: str,
     creates/empties directories the metastore never hears about, so a
     catalog-pruned read would miss a fresh bucket or touch a dropped
     one (round-8 review finding).  Both lists are bounded by the
-    delivery, so this is O(touched) ALTER statements — never MSCK's
-    O(buckets) re-listing."""
-    for b in sorted(added):
-        spark.sql(
-            f"ALTER TABLE {table_name} ADD IF NOT EXISTS "
-            f"PARTITION ({pcol}={int(b)})"
+    delivery, and each folds into ONE multi-partition ALTER statement
+    (never MSCK's O(buckets) re-listing; the one-statement-per-bucket
+    form cost ~11 ms × 64 churning buckets × deliveries — measured
+    1.8 s of the x15 lifecycle before batching)."""
+    if added:
+        specs = " ".join(
+            f"PARTITION ({pcol}={int(b)})" for b in sorted(added)
         )
-    for b in sorted(dropped):
         spark.sql(
-            f"ALTER TABLE {table_name} DROP IF EXISTS "
-            f"PARTITION ({pcol}={int(b)})"
+            f"ALTER TABLE {table_name} ADD IF NOT EXISTS {specs}"
         )
+    if dropped:
+        specs = ", ".join(
+            f"PARTITION ({pcol}={int(b)})" for b in sorted(dropped)
+        )
+        spark.sql(f"ALTER TABLE {table_name} DROP IF EXISTS {specs}")
 
 
 def apply_relabel_in_place(spark, assign_dir: str,
@@ -714,7 +780,9 @@ def apply_relabel_in_place(spark, assign_dir: str,
                            buckets: int = ASSIGN_C_BUCKETS,
                            fresh: DataFrame | None = None,
                            assign_rel=None,
-                           table_name: str | None = None) -> None:
+                           table_name: str | None = None,
+                           return_changes: bool = False
+                           ) -> DataFrame | None:
     """The maintained-table WRITER: fold a delivery's merge plan —
     BOTH halves of :func:`component_merge_plan`'s return — into the
     component-bucketed assignment in place, rewriting ONLY the
@@ -735,36 +803,82 @@ def apply_relabel_in_place(spark, assign_dir: str,
     ``ALTER TABLE .. ADD/DROP PARTITION`` for the buckets it
     created/emptied so catalog-pruned readers stay consistent with the
     directory tree (without it, the metastore would still list a
-    removed partition or miss a fresh one)."""
+    removed partition or miss a fresh one).
+
+    With ``return_changes=True`` the writer ALSO returns the
+    delivery's change set for the vertex projection — the
+    :func:`changed_assignment_rows` contract (relabeled rows with
+    their merged labels, plus fresh rows after this delivery's own
+    merges) — derived from the SAME pruned scan + checkpoint the
+    rewrite uses via a flag column, so the two-projection fold pays
+    ONE partition-pruned read instead of two (measured ~1 s/fold of
+    the x15 lifecycle)."""
     import os
     import shutil
 
-    if relabel is None and fresh is None:
-        return
-    # fresh rows after applying this delivery's own merges
-    fresh_rows = None
-    if fresh is not None:
-        fresh_rows = fresh
-        if relabel is not None:
-            fresh_rows = fresh.join(
-                F.broadcast(relabel), "component", "left"
-            ).select(
-                "vertex",
-                F.coalesce("merged", "component").alias("component"),
-            )
-        fresh_rows = fresh_rows.localCheckpoint()
-        if fresh_rows.isEmpty():
-            fresh_rows = None
-    if relabel is None and fresh_rows is None:
-        return
+    def _empty_changes():
+        return (
+            spark.createDataFrame([], "vertex long, component long")
+            if return_changes else None
+        )
 
-    # touched buckets, ONE bounded job per frame
-    bkts: set[int] = set()
-    if relabel is not None:
-        bkts |= set(_bucket_ids(relabel, ["component", "merged"], buckets))
-    if fresh_rows is not None:
-        bkts |= set(_bucket_ids(fresh_rows, ["component"], buckets))
-    bkts = sorted(bkts)
+    if relabel is None and fresh is None:
+        return _empty_changes()
+    # fresh rows after applying this delivery's own merges, and the
+    # touched-bucket set.  Fast path: when the merge plan's frames
+    # carry their driver rows (``_hfc_rows``, the bounded local plan),
+    # both compute in Python — zero Spark jobs; a hundred-row local
+    # relation still costs ~0.6 s of job overhead per operation.
+    rel_rows = [] if relabel is None else getattr(
+        relabel, "_hfc_rows", None)
+    fr_in = [] if fresh is None else getattr(fresh, "_hfc_rows", None)
+    fresh_rows = None
+    if rel_rows is not None and fr_in is not None:
+        relmap = dict(rel_rows)
+        fr_pairs = [(v, relmap.get(c, c)) for v, c in fr_in]
+        if not relmap and not fr_pairs:
+            return _empty_changes()
+        if fr_pairs:
+            fresh_rows = spark.createDataFrame(
+                fr_pairs,
+                T.StructType([
+                    T.StructField("vertex", fresh.schema["vertex"].dataType),
+                    T.StructField("component",
+                                  fresh.schema["component"].dataType),
+                ]),
+            )
+        bkts = sorted({
+            _py_bucket(k, buckets)
+            for k in set(relmap) | set(relmap.values())
+            | {c for _, c in fr_pairs}
+        })
+    else:
+        if fresh is not None:
+            fresh_rows = fresh
+            if relabel is not None:
+                fresh_rows = fresh.join(
+                    F.broadcast(relabel), "component", "left"
+                ).select(
+                    "vertex",
+                    F.coalesce("merged", "component").alias("component"),
+                )
+            fresh_rows = fresh_rows.localCheckpoint()
+            if fresh_rows.isEmpty():
+                fresh_rows = None
+        if relabel is None and fresh_rows is None:
+            return _empty_changes()
+        # touched buckets: union the key columns FIRST so the bounded
+        # collect is ONE job total, not one per frame
+        keys = []
+        if relabel is not None:
+            keys.append(relabel.select(F.col("component").alias("k")))
+            keys.append(relabel.select(F.col("merged").alias("k")))
+        if fresh_rows is not None:
+            keys.append(fresh_rows.select(F.col("component").alias("k")))
+        kdf = keys[0]
+        for part in keys[1:]:
+            kdf = kdf.unionByName(part)
+        bkts = _bucket_ids(kdf, ["k"], buckets)
 
     updated = _assign_rel(spark, assign_rel or assign_dir).filter(
         F.col("c_bucket").isin(bkts)
@@ -773,10 +887,16 @@ def apply_relabel_in_place(spark, assign_dir: str,
         updated = updated.join(
             F.broadcast(relabel), "component", "left"
         ).select(
-            "vertex", F.coalesce("merged", "component").alias("component")
+            "vertex",
+            F.coalesce("merged", "component").alias("component"),
+            F.col("merged").isNotNull().alias("_chg"),
         )
+    else:
+        updated = updated.withColumn("_chg", F.lit(False))
     if fresh_rows is not None:
-        updated = updated.unionByName(fresh_rows)
+        updated = updated.unionByName(
+            fresh_rows.withColumn("_chg", F.lit(True))
+        )
     updated = updated.withColumn(
         "c_bucket", _bucket_expr("component", buckets)
     )
@@ -788,7 +908,8 @@ def apply_relabel_in_place(spark, assign_dir: str,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            rows.repartition(F.col("c_bucket"))
+            rows.drop("_chg")
+            .repartition(_write_tasks(len(bkts)), F.col("c_bucket"))
             .write.mode("overwrite")
             .partitionBy("c_bucket")
             .parquet(assign_dir)
@@ -804,6 +925,9 @@ def apply_relabel_in_place(spark, assign_dir: str,
         _sync_catalog_partitions(
             spark, table_name, "c_bucket", added=present, dropped=emptied
         )
+    if return_changes:
+        return rows.filter(F.col("_chg")).select("vertex", "component")
+    return None
 
 
 # The assignment's PRIMARY layout is keyed by vertex (it is the
@@ -849,6 +973,78 @@ def resolve_assign_pruned(spark, assign_rel, verts: DataFrame,
     )
 
 
+# Above this many endpoint vertices, the pruned label probe goes back
+# to a broadcast join (an IN-list this long bloats the plan); below
+# it, the filter is a plain isin the scan evaluates with no exchange.
+_RESOLVE_ISIN_MAX = 5_000
+
+
+def _local_frame(spark, rows, schema) -> DataFrame:
+    """A driver-local frame that CARRIES its rows at ``_hfc_rows`` —
+    the advisory seam the partition-pruned writers use to compute
+    bucket ids and fresh-row merges in Python instead of paying a
+    ~0.6 s Spark job per hundred-row local relation (measured on the
+    x15 lifecycle).  The attribute is best-effort: any consumer that
+    ignores it just runs the distributed plan on the same values."""
+    df = spark.createDataFrame(rows, schema)
+    df._hfc_rows = rows
+    return df
+
+
+def _merge_plan_local(spark, vertex_rel, edges, buckets: int,
+                      vt) -> tuple[DataFrame, DataFrame | None]:
+    """Driver-side merge plan over a bounded, already-collected edge
+    set: one partition-pruned probe resolves the endpoints' standing
+    labels (bucket ids computed in Python — :func:`_py_bucket`), then
+    the fresh set, quotient graph, and union-find all run in Python.
+    Value-identical to the distributed plan (parity-locked by the
+    threshold-pinning tests); returns LOCAL frames, which every
+    consumer only ever broadcasts."""
+    schema = T.StructType([
+        T.StructField("vertex", vt), T.StructField("component", vt),
+    ])
+    edges = {(a, b) for a, b in edges}
+    if not edges:
+        return _local_frame(spark, [], schema), None
+    verts = sorted({v for ab in edges for v in ab})
+    bkts = sorted({_py_bucket(v, buckets) for v in verts})
+    scan = _assign_rel(spark, vertex_rel).filter(
+        F.col("v_bucket").isin(bkts)
+    )
+    if len(verts) <= _RESOLVE_ISIN_MAX:
+        probe = scan.filter(F.col("vertex").isin(verts))
+    else:
+        vdf = spark.createDataFrame(
+            [(v,) for v in verts],
+            T.StructType([T.StructField("vertex", vt)]),
+        )
+        probe = scan.join(F.broadcast(vdf), "vertex")
+    resolved = {
+        r.vertex: r.component
+        for r in probe.select("vertex", "component").collect()
+        # bounded: ≤ |delivery endpoints| rows
+    }
+    look = {v: resolved.get(v, v) for v in verts}
+    quot = {
+        (look[a], look[b]) for a, b in edges if look[a] != look[b]
+    }
+    fresh = _local_frame(
+        spark, [(v, v) for v in verts if v not in resolved], schema
+    )
+    pairs = _driver_union_find(quot)
+    relabel = (
+        _local_frame(
+            spark, pairs,
+            T.StructType([
+                T.StructField("component", vt),
+                T.StructField("merged", vt),
+            ]),
+        )
+        if pairs else None
+    )
+    return fresh, relabel
+
+
 def component_merge_plan_pruned(
     spark, vertex_rel, new_edges: DataFrame, buckets: int,
     src: str = "src", dst: str = "dst",
@@ -868,12 +1064,31 @@ def component_merge_plan_pruned(
     projections per delivery or re-resolves endpoint labels through
     the component layout (what the streaming lifecycle test does);
     resolving against a stale vertex projection after an unapplied
-    merge yields relabel keys that no longer exist in the table."""
-    e, _e_ids = _eager_checkpoint(
-        new_edges.select(
-            F.col(src).alias("a"), F.col(dst).alias("b")
-        ).filter(F.col("a") != F.col("b"))
-    )
+    merge yields relabel keys that no longer exist in the table.
+
+    Fast path: the delivery's edge set is bounded by contract, so up
+    to ``QUOTIENT_LOCAL_EDGE_MAX`` edges the whole plan computes
+    driver-side from TWO bounded jobs — one guarded edge collect
+    (``limit(max+1)``, carrying the endpoints' v_bucket keys), one
+    partition-pruned label probe — replacing the distributed path's
+    ~7 jobs of eager checkpoints, distinct shuffles, and anti-joins
+    (measured ~1.5 s/delivery of pure fixed overhead on the x15
+    lifecycle).  Above the bound the distributed path below runs
+    unchanged; pinning the threshold to 0 in tests forces it."""
+    e0 = new_edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    # the Python bucket twin only covers BIGINT keys (xxhash64's
+    # 8-byte lane; 4-byte types hash through a different XXH64 path);
+    # other vertex types take the distributed plan at any size
+    if e0.schema["a"].dataType.simpleString() == "bigint":
+        probe = e0.limit(QUOTIENT_LOCAL_EDGE_MAX + 1).collect()
+        if len(probe) <= QUOTIENT_LOCAL_EDGE_MAX:
+            return _merge_plan_local(
+                spark, vertex_rel, [(r.a, r.b) for r in probe],
+                buckets, e0.schema["a"].dataType,
+            )
+    e, _e_ids = _eager_checkpoint(e0)
     verts = (
         e.select(F.col("a").alias("vertex"))
         .unionByName(e.select(F.col("b").alias("vertex")))
@@ -979,7 +1194,7 @@ def apply_changes_vertex_layout(spark, vertex_dir: str,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            rows.repartition(F.col("v_bucket"))
+            rows.repartition(_write_tasks(len(bkts)), F.col("v_bucket"))
             .write.mode("overwrite")
             .partitionBy("v_bucket")
             .parquet(vertex_dir)

@@ -783,3 +783,116 @@ def test_maintained_table_under_streaming_deliveries(spark, tmp_path):
         }
         assert got == want, d
     assert len(want) == 121  # 120 chain vertices + the fresh one
+
+
+def test_py_xxh64_matches_spark_xxhash64(spark):
+    """_xxh64_long / _py_bucket are the driver-side twins of
+    F.xxhash64 / _bucket_expr for BIGINT keys — the writers' Python
+    fast path silently selects the WRONG partitions if they ever
+    drift, so lock value parity across the int64 domain (boundaries,
+    negatives, random draws)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import _py_bucket, _xxh64_long
+
+    rng = random.Random(0xC0FFEE)
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63), 2**62, -(2**62)] + [
+        rng.randrange(-(2**63), 2**63) for _ in range(200)
+    ]
+    got = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v",
+        F.xxhash64("v").alias("h"),
+        F.pmod(F.xxhash64("v"), F.lit(64)).cast("int").alias("b64"),
+        F.pmod(F.xxhash64("v"), F.lit(7)).cast("int").alias("b7"),
+    ).collect()
+    for r in got:
+        assert _xxh64_long(r.v) == r.h, r.v
+        assert _py_bucket(r.v, 64) == r.b64, r.v
+        assert _py_bucket(r.v, 7) == r.b7, r.v
+
+
+def test_pruned_merge_plan_local_fast_path_parity(spark, tmp_path,
+                                                  monkeypatch):
+    """The pruned merge plan's driver-local fast path (bounded edge
+    collect + Python union-find) must be value-identical to the
+    distributed plan on the same persisted table — pin the threshold
+    to 0 to force the distributed path and compare both halves."""
+    from hfcommunity_spark.operators import graph as G
+    from hfcommunity_spark.operators.graph import (
+        component_merge_plan_pruned,
+        connected_components,
+        write_vertex_assign,
+    )
+
+    hist = _chain_edges(spark, 200)
+    assign = connected_components(hist).localCheckpoint()
+    out = str(tmp_path / "vassign")
+    write_vertex_assign(assign, out, buckets=8)
+    delta = spark.createDataFrame(
+        [(9, 10), (29, 30), (5, 100001), (100001, 100002)],
+        "src long, dst long",
+    )
+    f_loc, r_loc = component_merge_plan_pruned(spark, out, delta,
+                                               buckets=8)
+    assert getattr(f_loc, "_hfc_rows", None) is not None  # took fast path
+    monkeypatch.setattr(G, "QUOTIENT_LOCAL_EDGE_MAX", 0)
+    f_dist, r_dist = component_merge_plan_pruned(spark, out, delta,
+                                                 buckets=8)
+    assert getattr(f_dist, "_hfc_rows", None) is None  # took distributed
+    assert {tuple(r) for r in f_loc.collect()} == \
+           {tuple(r) for r in f_dist.collect()}
+    assert {tuple(r) for r in r_loc.collect()} == \
+           {tuple(r) for r in r_dist.collect()}
+
+
+def test_apply_relabel_fast_path_matches_distributed(spark, tmp_path):
+    """apply_relabel_in_place's driver fast path (local frames carrying
+    _hfc_rows) and the distributed path must leave BYTE-equivalent
+    table content and return the same change set."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators.graph import (
+        _local_frame,
+        apply_relabel_in_place,
+        connected_components,
+        write_component_assign,
+    )
+    from pyspark.sql import types as T
+
+    hist = _chain_edges(spark, 120)
+    assign = connected_components(hist).localCheckpoint()
+    rel_rows = [(10, 0), (30, 20)]
+    fresh_rows = [(100001, 100001), (100002, 30)]
+    sch2 = T.StructType([
+        T.StructField("vertex", T.LongType()),
+        T.StructField("component", T.LongType()),
+    ])
+    rsch = T.StructType([
+        T.StructField("component", T.LongType()),
+        T.StructField("merged", T.LongType()),
+    ])
+    outs, changes = [], []
+    for tag, mk in (
+        ("fast", lambda rows, sch: _local_frame(spark, rows, sch)),
+        ("dist", lambda rows, sch: spark.createDataFrame(rows, sch)),
+    ):
+        out = str(tmp_path / f"assign_{tag}")
+        write_component_assign(assign, out, buckets=8)
+        ch = apply_relabel_in_place(
+            spark, out,
+            mk(rel_rows, rsch), buckets=8,
+            fresh=mk(fresh_rows, sch2),
+            return_changes=True,
+        )
+        changes.append({tuple(r) for r in ch.collect()})
+        outs.append({
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("vertex", "component", "c_bucket").collect()
+        })
+    assert outs[0] == outs[1]
+    assert changes[0] == changes[1]
+    # fresh vertex 100002 lands in its post-merge component (30→20)
+    assert (100002, 20) in changes[0]

@@ -288,12 +288,10 @@ def main() -> None:
             fresh, relabel = component_merge_plan_pruned(
                 spark, vrel, delta_e, buckets
             )
-            changed = changed_assignment_rows(
-                spark, crel, relabel, fresh, buckets
-            ).localCheckpoint()
-            apply_relabel_in_place(
+            changed = apply_relabel_in_place(
                 spark, cdir, relabel, buckets=buckets, fresh=fresh,
                 assign_rel=crel, table_name=f"hfc_db_cassign_{label}",
+                return_changes=True,
             )
             apply_changes_vertex_layout(
                 spark, vdir, changed, buckets, vertex_rel=vrel,
