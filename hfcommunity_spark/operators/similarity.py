@@ -963,14 +963,78 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_CODEBOOK_CACHE = SessionCache(persist=False)
 
 
-@query("sim_kmeans_ivf_topk", None, survey="X-UD5,J9,A12")
+def _kmeans_ivf_oracle(k: int = 8, iters: int = 3) -> str:
+    """The learned-quantizer IVF as exact SQL: Lloyd's training is
+    fully deterministic (init = the k lowest vec_ids' embeddings,
+    euclidean argmin with ties to the lowest codebook index, float64
+    means, empty cells carry their previous centroid — exactly
+    ``kmeans_fit``), so the iterations UNROLL into one CTE pair per
+    round and the probe tail is the ``sim_ivf_topk`` convention.
+    Cell ids here are the seed vec_ids — ordering by them reproduces
+    numpy argmin's first-occurrence rule because the Spark codebook's
+    indices are assigned in ascending seed-vec_id order.  Cross-engine
+    float drift (partial-sum order in the means) is dwarfed by the
+    measured assignment margins; the emitted similarity is rounded to
+    4 decimals like every ANN face."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    a{i} AS (
+      SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.emb, c.centroid), c.cell) AS rn
+      FROM e, c{i - 1} c),
+    m{i} AS (
+      SELECT a.cell, d.dim, SUM(e2.emb[d.dim]) / COUNT(*) AS v
+      FROM a{i} a JOIN e e2 USING (vec_id), dims d
+      WHERE a.rn = 1 GROUP BY a.cell, d.dim),
+    c{i} AS (
+      SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
+      FROM c{i - 1} p LEFT JOIN (
+        SELECT cell, list(v ORDER BY dim) AS centroid
+        FROM m{i} GROUP BY cell) n USING (cell)),""")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    dims AS (SELECT unnest(range(1, {DIM + 1})) AS dim),
+    c0 AS (SELECT vec_id AS cell, emb AS centroid FROM e
+           ORDER BY vec_id LIMIT {k}),
+    {"".join(rounds)}
+    assign AS (
+      SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.emb, c.centroid), c.cell) AS rn
+      FROM e, c{iters} c),
+    cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    q AS (SELECT e.emb AS q_emb, cells.cell AS q_cell
+          FROM e JOIN cells USING (vec_id) WHERE e.vec_id = 0),
+    cand AS (SELECT e.vec_id,
+                    list_cosine_similarity(e.emb, q.q_emb) AS sim
+             FROM e JOIN cells USING (vec_id), q
+             WHERE cells.cell = q.q_cell AND e.vec_id <> 0),
+    top AS (SELECT vec_id, sim FROM cand
+            ORDER BY sim DESC, vec_id LIMIT {TOP_K})
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER)
+             AS rank,
+           ROUND(sim, 4)::DOUBLE AS sim_rounded
+    FROM top
+    """
+
+
+@query("sim_kmeans_ivf_topk", _kmeans_ivf_oracle(), survey="X-UD5,J9,A12")
 def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a REAL learned quantizer: distributed Lloyd's k-means
     (k=8, 3 iterations — operators/kmeans.py, GEMM-vectorized
     assignment) trains the cell centroids, then the query probes only
     its own cell.  The codebook is trained once per session (index
-    artifact, see cache above).  Iterative algorithm → rows-only check
-    per the driver contract."""
+    artifact, see cache above).  Hash-checked since round 10: the
+    training is deterministic end to end (seeded init, first-
+    occurrence argmin, empty-cell carryover), so the oracle unrolls
+    the three Lloyd rounds in SQL (``_kmeans_ivf_oracle``) instead of
+    settling for the rows-only check."""
     from hfcommunity_spark.operators.kmeans import kmeans_fit
 
     emb = read_table(spark, sf_dir, "embeddings")

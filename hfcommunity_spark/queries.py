@@ -122,8 +122,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # its r5 stamp intact — UD2 stays with ud2_chunk_udtf, UD4 moves
     # to the new MMR grouped map — making room for the round-6 MMR
     # diversity re-rank.)
-    "sim_mmr_diversify_topk",  # X-UD5, O1, UD4 — greedy MMR over a
-    # bounded exact-top-k pool, recursive-CTE oracle
+    # (Round-10 rotation: sim_mmr_diversify_topk rotates out with its
+    # r6-r9 stamps intact — UD4 keeps x20_stream_media_features, O1
+    # keeps s1/q21, X-UD5 keeps dozens — making room for the learned-
+    # quantizer IVF below, which gained an exact unrolled-Lloyd oracle
+    # this round (VERDICT r9 ask #3: the last declared query without
+    # hash evidence).)
+    "sim_kmeans_ivf_topk",  # X-UD5, J9, A12 — IVF over a REAL learned
+    # k-means codebook; oracle unrolls the three deterministic Lloyd
+    # rounds in SQL (seeded init, first-occurrence argmin, empty-cell
+    # carryover), margin-locked in tests/test_kmeans.py
     "pipe_curation_end_to_end",  # X-UD5, J2, J5, U3, A9, F1, W4 —
     # round-5 flagship: the four-stage curation pipeline as ONE
     # hash-checked composition (quality -> exact dedup -> near-dup

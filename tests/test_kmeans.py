@@ -54,3 +54,38 @@ def test_kmeans_deterministic_across_parallelism(spark):
     ra = [[round(v, 6) for v in c] for c in a]
     rb = [[round(v, 6) for v in c] for c in b]
     assert ra == rb
+
+
+def test_kmeans_ivf_assignment_margins_dwarf_float_noise():
+    """sim_kmeans_ivf_topk's DuckDB oracle unrolls the Lloyd rounds in
+    SQL, so its hash-exactness rests on every per-round nearest-
+    centroid decision having a margin far above cross-engine float
+    drift (~1e-12 from partial-sum order in the means).  Measure the
+    worst (d2nd − d1st) gap per round at the driver's comparison scale
+    and assert it clears the noise floor by orders of magnitude."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hfcommunity_spark.operators.kmeans import _pairwise_sq_dists
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).to_pandas().sort_values("vec_id")
+    m = np.stack([np.asarray(v, np.float64) for v in tbl.embedding])
+    cents = m[:8].copy()  # init = k lowest vec_ids (deterministic)
+    worst = np.inf
+    for _ in range(3):
+        d = _pairwise_sq_dists(m, cents)
+        part = np.partition(d, 1, axis=1)
+        worst = min(worst, float((part[:, 1] - part[:, 0]).min()))
+        cells = np.argmin(d, axis=1)
+        for c in range(8):  # empty cells keep the previous centroid
+            members = m[cells == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    # final serving assignment margin too
+    d = _pairwise_sq_dists(m, cents)
+    part = np.partition(d, 1, axis=1)
+    worst = min(worst, float((part[:, 1] - part[:, 0]).min()))
+    assert worst > 1e-6, worst

@@ -212,7 +212,6 @@ def main() -> None:
         ASSIGN_ROWS_PER_BUCKET,
         apply_changes_vertex_layout,
         apply_relabel_in_place,
-        changed_assignment_rows,
         component_merge_plan_pruned,
         write_component_assign,
         write_vertex_assign,
