@@ -462,8 +462,33 @@ def scd2_delta(dim: DataFrame, changes: DataFrame,
         F.col("valid_from").alias(ts),
         F.lit(-1).alias(tiebreak),
     )
+    # Enforce the contract IN the fold plan (ADVICE r9): an event
+    # timestamped before its key's open-row valid_from would silently
+    # sort ahead of the seed pseudo-event and corrupt closed history —
+    # assert_true inside a filter makes the same pass that folds the
+    # delivery raise instead.  Broadcast join of the (delivery-
+    # bounded) open rows onto the delivery: map-side, no extra job.
+    guarded = changes.select(key, state, ts, tiebreak).join(
+        F.broadcast(seed.select(key, F.col(ts).alias("_open_from"))),
+        key, "left",
+    ).filter(
+        F.assert_true(
+            F.col("_open_from").isNull()
+            | (F.col(ts) >= F.col("_open_from")),
+            F.concat(
+                F.lit("scd2_delta: delivery event at "),
+                F.col(ts).cast("string"),
+                F.lit(" predates the open row's valid_from "),
+                F.col("_open_from").cast("string"),
+                F.lit(f" for {key}="),
+                F.col(key).cast("string"),
+                F.lit(" — the in-order (watermark) delivery "
+                      "contract is violated"),
+            ),
+        ).isNull()
+    ).drop("_open_from")
     recomputed = scd2_history(
-        seed.unionByName(changes.select(key, state, ts, tiebreak)),
+        seed.unionByName(guarded),
         key=key, state=state, ts=ts, tiebreak=tiebreak,
     )
     return untouched.unionByName(closed).unionByName(recomputed)

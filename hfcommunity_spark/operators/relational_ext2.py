@@ -578,6 +578,12 @@ def q13_customer_order_distribution(
 
 A16_PCTS = (25, 50, 75, 90)
 
+# Bounded-collect cap for the pass-1 value histogram: TPC-H's
+# (5 segments × ~11k whole-dollar cells) ≈ 55k at ANY scale factor
+# (the domain, not the rows, bounds it); 250k gives >4x headroom
+# while keeping the worst-case driver transfer ~tens of MB.
+A16_HIST_CELL_MAX = 250_000
+
 
 @query(
     "a16_exact_percentiles",
@@ -623,8 +629,23 @@ def a16_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = (
         customer.groupBy("c_mktsegment", bkt_col.alias("bkt"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()  # bounded: segments x whole-dollar domain cells
+        # bounded by segments x whole-dollar DOMAIN cells, not rows —
+        # but the domain is data, so cap the transfer (limit, not a
+        # post-hoc check: a pathological domain never reaches the
+        # driver) and fail loudly over it, the QUOTIENT_LOCAL_EDGE_MAX
+        # bounded-collect discipline (ADVICE r9)
+        .limit(A16_HIST_CELL_MAX + 1)
+        .collect()
     )
+    if len(rows) > A16_HIST_CELL_MAX:
+        raise ValueError(
+            "a16_exact_percentiles: histogram exceeds "
+            f"{A16_HIST_CELL_MAX} (segment, whole-dollar) cells — the "
+            "value domain is too wide/fine for a single-level "
+            "histogram; coarsen the cell expression (e.g. floor to "
+            "$100) or add a second bucketing level before the rank "
+            "decomposition"
+        )
     if any(r.bkt is None for r in rows):
         raise ValueError(
             "a16_exact_percentiles: NULL c_acctbal — the histogram "

@@ -636,3 +636,66 @@ def test_x15_serves_every_prefix_and_syncs_catalog(spark):
         for r in connected_components(tau_edges(prefix)).collect():
             want.add((k, r.vertex, r.component))
     assert got == want and len(got) > 0
+
+
+def test_a16_wide_domain_hits_histogram_cap(spark, tmp_path,
+                                            monkeypatch):
+    """The pass-1 histogram collect is bounded by the VALUE DOMAIN,
+    not the row count — a pathologically wide/fine balance domain must
+    fail loudly at the cap (limit-guarded, so the oversized histogram
+    never reaches the driver) instead of silently growing the collect
+    (ADVICE r9)."""
+    import pytest
+
+    from hfcommunity_spark.operators import relational_ext2 as R
+
+    # 40 distinct whole-dollar cells in one segment
+    rows = [("WIDE", float(i) * 1000.0) for i in range(40)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "c_mktsegment string, c_acctbal double"
+    ).write.parquet(f"{sf}/customer.parquet")
+    monkeypatch.setattr(R, "A16_HIST_CELL_MAX", 10)
+    with pytest.raises(ValueError, match="histogram exceeds 10"):
+        R.a16_exact_percentiles(spark, sf)
+    # under the cap the same data passes through the guard
+    monkeypatch.setattr(R, "A16_HIST_CELL_MAX", 40)
+    assert R.a16_exact_percentiles(spark, sf).count() == len(R.A16_PCTS)
+
+
+def test_scd2_delta_out_of_order_delivery_fails_loudly(spark):
+    """An event timestamped BEFORE its key's open-row valid_from
+    violates the in-order (watermark) contract; it used to silently
+    corrupt closed history (the seed pseudo-event no longer sorts
+    first) — the fold plan must raise instead (ADVICE r9).  In-order
+    same-timestamp deliveries still pass the guard."""
+    import datetime as dt
+
+    import pytest
+
+    from hfcommunity_spark.operators.mergeops import (
+        scd2_delta,
+        scd2_history,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    base = spark.createDataFrame(
+        [(1, t(10), 100, "a"), (1, t(20), 101, "b")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    dim = scd2_history(base, key="user_id", state="event_type",
+                       ts="ts", tiebreak="event_id").localCheckpoint()
+    late = spark.createDataFrame(
+        [(1, t(15), 102, "c")],  # between the closed run and the open one
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    with pytest.raises(Exception, match="in-order"):
+        scd2_delta(dim, late, key="user_id", state="event_type",
+                   ts="ts", tiebreak="event_id").collect()
+    ok = spark.createDataFrame(
+        [(1, t(20), 103, "c")],  # same-ts as open valid_from: allowed
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = scd2_delta(dim, ok, key="user_id", state="event_type",
+                     ts="ts", tiebreak="event_id").collect()
+    assert len(got) == 3  # a-run closed, b-run closed at t20, c open

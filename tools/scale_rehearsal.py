@@ -385,12 +385,26 @@ def main() -> None:
 
     only: list[str] = []
     if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1:]
+        # operands stop at the next flag (ADVICE r9: greedy-to-end
+        # consumption turned a trailing flag into an unknown-name
+        # assert)
+        for tok in sys.argv[sys.argv.index("--only") + 1:]:
+            if tok.startswith("--"):
+                break
+            only.append(tok)
         assert only, "--only requires at least one query name"
         known = {name for name, _f, _p in QUERIES}
         unknown = [n for n in only if n not in known]
         assert not unknown, (
             f"--only names not in the rehearsal QUERIES list: {unknown}"
+        )
+        # merge mode appends to the existing payload AFTER the timed
+        # reps — validate it exists and parses BEFORE burning the run
+        # (ADVICE r9)
+        with open(OUT_JSON) as f:
+            merge_base = json.load(f)
+        assert "queries" in merge_base, (
+            f"{OUT_JSON} has no 'queries' map to merge into"
         )
 
     results: dict[str, dict] = {}
@@ -421,7 +435,9 @@ def main() -> None:
               f"warm exp {rec['measured_exponent_warm']:+.2f}", flush=True)
 
     if only:
-        # merge mode: update just these rows in the existing payload
+        # merge mode: update just these rows in the (pre-validated)
+        # existing payload — re-read in case another run landed rows
+        # while this one measured
         with open(OUT_JSON) as f:
             payload = json.load(f)
         payload["queries"].update(results)
