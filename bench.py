@@ -7,67 +7,140 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is executed to completion (count of the result) so the full
 plan — scan, shuffle, agg — is measured, not just plan construction.
+
+Two regimes in one run (VERDICT r9 ask #6): the main pass times every
+query IN-SUITE (one shared session, alphabetical order — queries see
+whatever session state their predecessors left), then a SENTINEL set
+(the queries whose in-suite numbers have historically drifted: the
+graph trio + the streamed cluster lifecycle + the in-suite slowest)
+re-runs in a FRESH subprocess session and lands under "solo".  A
+sentinel whose regimes disagree is session-contaminated; one whose
+regimes agree is genuinely that fast/slow — attributable without
+re-running anything.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hfcommunity_spark.queries import all_queries
-from hfcommunity_spark.session import default_parallelism, get_spark
+# always re-checked solo: the queries round 9 flagged as regime-
+# sensitive (graph trio) plus the heaviest lifecycle face
+SOLO_SENTINELS = (
+    "g_commit_ancestors",
+    "g_merge_base",
+    "g_pagerank_fixed_iter",
+    "x15_stream_maintained_clusters",
+)
+SOLO_EXTRA_SLOWEST = 2  # plus the N in-suite slowest not already listed
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="hfcommunity-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    specs = all_queries()
-    timings: dict[str, float] = {}
-    # Warm the JVM + parquet footer cache once, outside the timings.
-    next(iter(specs.values())).spark(spark, sf_dir).count()
-    # Warm the Python worker pool too (daemon + Arrow serializers spin
-    # up on first use, ~5-10s across 32 cores) so the first pandas-UDF
-    # query isn't charged the one-time startup.
+def _warm(spark) -> None:
+    """One parquet-footer pass + one pandas-UDF no-op so neither the
+    JVM nor the Python worker pool bills its startup to a query."""
+    from hfcommunity_spark.queries import all_queries
+    from hfcommunity_spark.session import default_parallelism
     from pyspark.sql import functions as F
 
+    next(iter(all_queries().values())).spark(
+        spark, _sf_dir()
+    ).count()
+
     @F.pandas_udf("long")
-    def _warm(s):
+    def _noop(s):
         return s
 
     spark.range(10_000, numPartitions=default_parallelism()).select(
-        _warm("id")
+        _noop("id")
     ).count()
 
-    # best-of-2 per query: a single cold run is dominated by JVM/GC
-    # noise at this data size; min-of-two is the stable estimator
-    for name, spec in sorted(specs.items()):
+
+def _sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _time_queries(spark, names) -> dict[str, float]:
+    """best-of-2 per query: a single cold run is dominated by JVM/GC
+    noise at this data size; min-of-two is the stable estimator."""
+    from hfcommunity_spark.queries import all_queries
+
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = specs[name]
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
-            spec.spark(spark, sf_dir).count()
+            spec.spark(spark, _sf_dir()).count()
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 4)
+    return timings
+
+
+def _solo_worker(names: list[str]) -> None:
+    """Subprocess entry: fresh session, warmup, time the given
+    queries, print one JSON map on the last line."""
+    from hfcommunity_spark.session import get_spark
+
+    spark = get_spark(app_name="hfcommunity-bench-solo")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark)
+    print(json.dumps(_time_queries(spark, names)))
+    spark.stop()
+
+
+def _run_solo(names: list[str]) -> dict[str, float] | None:
+    here = os.path.abspath(__file__)
+    try:
+        out = subprocess.run(
+            [sys.executable, here, "--solo-worker", ",".join(names)],
+            capture_output=True, text=True, timeout=900,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # solo numbers are additive evidence —
+        # never fail the whole bench over them
+        print(f"solo regime failed: {exc}", file=sys.stderr)
+        return None
+
+
+def main() -> None:
+    from hfcommunity_spark.queries import all_queries
+    from hfcommunity_spark.session import get_spark
+
+    sf = _sf_dir().rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="hfcommunity-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark)
+    timings = _time_queries(spark, sorted(all_queries()))
+    spark.stop()
+
+    solo_names = [n for n in SOLO_SENTINELS if n in timings]
+    for n, _v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if len(solo_names) >= len(SOLO_SENTINELS) + SOLO_EXTRA_SLOWEST:
+            break
+        if n not in solo_names:
+            solo_names.append(n)
+    solo = _run_solo(solo_names)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    full, line = build_payloads(timings, sf_val)
+    full, line = build_payloads(timings, sf_val, solo)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     print(line)
-    spark.stop()
 
 
 TAIL_BUDGET = 1900  # the driver records only the last 2000 stdout chars
 
 
-def build_payloads(timings: dict[str, float], sf_val) -> tuple[dict, str]:
+def build_payloads(timings: dict[str, float], sf_val,
+                   solo: dict[str, float] | None = None
+                   ) -> tuple[dict, str]:
     """Output discipline: the driver keeps only the LAST 2000 chars of
     stdout (BENCH_r01.json: tail=2000, parsed=null because round-1's
     3KB line was clipped at the head).  So: the FULL per-query map
@@ -81,6 +154,7 @@ def build_payloads(timings: dict[str, float], sf_val) -> tuple[dict, str]:
         "value": total,
         "unit": "sec",
         "sf": sf_val,
+        "regime": "in_suite (shared session, alphabetical)",
     }
     payload = {
         "metric": "declared_query_inventory_total_runtime",
@@ -91,6 +165,13 @@ def build_payloads(timings: dict[str, float], sf_val) -> tuple[dict, str]:
         "full_map": "BENCH_FULL.json",
         "queries": {},
     }
+    if solo:
+        full["solo"] = dict(sorted(solo.items()))
+        full["solo_regime"] = (
+            "fresh-session subprocess, sentinels only "
+            "(graph trio + x15 + in-suite slowest)"
+        )
+        payload["solo"] = {k: round(v, 2) for k, v in sorted(solo.items())}
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     for k, v in slowest:
         payload["queries"][k] = round(v, 2)
@@ -110,4 +191,7 @@ def build_payloads(timings: dict[str, float], sf_val) -> tuple[dict, str]:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--solo-worker":
+        _solo_worker(sys.argv[2].split(","))
+    else:
+        main()

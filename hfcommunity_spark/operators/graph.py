@@ -64,6 +64,36 @@ def _free_checkpoint(spark: SparkSession, ids: list[int]) -> None:
             rdd.unpersist(False)
 
 
+def pinned_block_ids(spark: SparkSession) -> set:
+    """Snapshot the persistent-RDD id set — the BEFORE half of the
+    invocation checkpoint-hygiene discipline (see
+    :func:`materialize_and_free`)."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs()
+               .keySet().toArray())
+
+
+def materialize_and_free(spark: SparkSession, before: set,
+                         out: DataFrame) -> DataFrame:
+    """The x15 checkpoint-hygiene discipline as a reusable seam for
+    declared queries built on iterative operators: eagerly checkpoint
+    the (small) final frame, then free every locally-checkpointed
+    block this invocation created — BFS frontiers, per-round edge/
+    degree pins — so repeated invocations (the bench loop, a long
+    serving session) pin only their results, not hundreds of MB of
+    dead intermediates waiting for the GC-driven ContextCleaner.
+    The isLocallyCheckpointed filter keeps session ``persist()``
+    caches out, exactly as in ``_eager_checkpoint``."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    created = [
+        i for i in set(m.keySet().toArray()) - before
+        if (r := m.get(i)) is not None
+        and r.rdd().isLocallyCheckpointed()
+    ]
+    out = out.localCheckpoint()
+    _free_checkpoint(spark, created)
+    return out
+
+
 def ancestors(commit_parents: DataFrame, start_shas: DataFrame,
               max_hops: int = 20) -> DataFrame:
     """All ancestors of ``start_shas`` (column ``sha``) within
@@ -1323,6 +1353,7 @@ def g_pagerank_fixed_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfcommunity_spark.io import read_table
 
     li = read_table(spark, sf_dir, "lineitem")
+    before = pinned_block_ids(spark)
     e0 = li.select(
         F.col("l_suppkey").cast("bigint").alias("src"),
         (F.col("l_partkey") + PR_PART_OFFSET).cast("bigint").alias("dst"),
@@ -1333,6 +1364,9 @@ def g_pagerank_fixed_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank_fixed(edges)
     top = pr.orderBy(F.desc("pr"), F.asc("node")).limit(PR_TOP_K)
     w = Window.orderBy(F.desc("pr"), F.asc("node"))
-    return top.withColumn(
+    out = top.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).select("node", "pr", "rank")
+    # the edge/degree checkpoints inside pagerank_fixed back only this
+    # invocation's lineage — pin the PR_TOP_K result, free them
+    return materialize_and_free(spark, before, out)
