@@ -155,6 +155,12 @@ QUERIES = [
     # round 9 #5: the streamed media-feature face — per-delivery work
     # is the batch's Arrow extraction; the standing table appends.
     ("x20_stream_media_features", "delta-probe", 1.0),
+    # round 10: the learned-quantizer IVF rotated into the window with
+    # its new exact unrolled-Lloyd oracle — cold charges the 3-round
+    # Lloyd fit (per round: one GEMM assignment pass + one k×dim
+    # partial agg, linear in rows), warm probes the session codebook
+    # (cell-pruned scoring, ~flat).
+    ("sim_kmeans_ivf_topk", "coarse-prune-rerank", 1.0),
 ]
 
 # The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
