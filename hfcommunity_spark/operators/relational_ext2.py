@@ -984,3 +984,137 @@ def w_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("z_rounded")) >= ANOM_Z)
     )
+
+
+# --- round 10: the two remaining partsupp-free TPC-H faces -------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(4,2))
+                       - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1.00 AS DECIMAL(4,2))
+                       + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey="A7,A10,P12,F11",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1, the canonical pricing summary: one pass over
+    lineitem, fully map-side-combinable aggregates per
+    (returnflag, linestatus) — at 100 TB this is THE scan-shaped
+    query AQE/codegen should own end to end (no join, 6-cell group
+    space, partial aggregation collapses each task to 6 rows).
+
+    Determinism: every sum accumulates in exact DECIMAL.  The
+    three-factor charge term uses NARROW casts (12,2)x(4,2)x(4,2) —
+    product scale 6, width ~22 — so neither engine hits its 38-digit
+    ceiling and neither rounds (Spark's allowPrecisionLoss and
+    DuckDB's width error both trigger only past 38).  Averages divide
+    the exact double-cast sums by the count — one double division,
+    bit-identical cross-engine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from hfcommunity_spark.operators.relational import DEC, dec
+
+    d4 = "decimal(4,2)"
+    one = F.lit(1).cast(d4)
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (one - F.col("l_discount").cast(d4))
+        * (one + F.col("l_tax").cast(d4))
+    )
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1).cast(DEC) - dec("l_discount")
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / n)
+            .alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="P12,J3,F11",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    predicate), adapted to the synthetic part columns (no
+    p_container; brand/size carry the disjunction).  The planner face
+    this exists for: per-side conjuncts split across the join — the
+    l_quantity range union pushes to the lineitem scan, the
+    brand/size union to the part scan (both visible as PushedFilters)
+    — while the cross-table disjunction evaluates post-join.  part is
+    the broadcast side."""
+    from hfcommunity_spark.operators.relational import DEC, dec
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arm = [
+        (("Brand#12", 1, 5), (1, 11)),
+        (("Brand#23", 1, 10), (10, 20)),
+        (("Brand#34", 1, 15), (20, 30)),
+    ]
+    cond = None
+    for (brand, s_lo, s_hi), (q_lo, q_hi) in arm:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = c if cond is None else (cond | c)
+    rev = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

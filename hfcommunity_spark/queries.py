@@ -266,8 +266,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j12_fuzzy_blocked_join",  # J6, J9, F12, A9 — blocked fuzzy
     # record linkage (distinct-first, noun blocking, codegen
     # levenshtein on in-block pairs)
-    "q13_customer_order_distribution",  # J8, A4, A5 — TPC-H Q13
-    # outer-join order-count histogram (zero-order customers kept)
+    # (Round-10 rotation #2: q13_customer_order_distribution and
+    # samp_unimax_budget rotate out with their r9 stamps intact —
+    # J8 keeps j1/x18, A4 keeps q21, A5 keeps samp_hash/a16/w5, W3
+    # keeps pipe_curate_select_pack_shard, A7/A10/F11/X-UD5 keep
+    # several members each — making room for the two new partsupp-free
+    # TPC-H faces below.)
+    "q1_pricing_summary",  # A7, A10, P12, F11 — TPC-H Q1, the
+    # scan-shaped pricing summary; exact-DECIMAL sums incl. the
+    # narrow-cast three-factor charge term
+    "q19_disjunctive_revenue",  # P12, J3, F11 — TPC-H Q19 shape:
+    # OR-of-ANDs split across both scans as PushedFilters
     "ret_maintained_bm25_parity",  # X-UD5, D3, A10, O2, J9 — the
     # maintained BM25 index under a delivery, full-rebuild oracle
     "dd_maintained_pairs_parity",  # X-UD5, J6, J9, D3 — MinHash band
@@ -286,8 +295,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x16_stream_maintained_ann",  # X7, D3, A12, J9, O2, X-UD5 — the
     # maintained IVF-ANN index served after each of three deliveries;
     # per-prefix frozen-codebook oracle
-    "samp_unimax_budget",  # X-UD5, A7, A10, F11, W3 — UniMax
-    # water-filling of an epoch-capped token budget across sources
+    # (samp_unimax_budget rotated out in round 10 — see rotation #2
+    # note above; its r9 stamp stands.)
     # (Round-9 rotation #2: t_bpe_merge_pairs rotates out with its r8
     # stamp intact — A4 keeps a4/q13/q21, O2/F12/J9 keep several
     # oracle-equipped members — making room for the streamed span-audit
