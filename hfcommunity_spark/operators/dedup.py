@@ -1931,9 +1931,15 @@ def x17_stream_maintained_spans(spark: SparkSession,
             ) == k
         )
         postings, stats = span_index_delta(postings, stats, batch)
-        # re-checkpoint per fold: each fold references the prior
-        # postings twice, so an unpersisted chain deepens geometrically
-        postings, _p = _eager_checkpoint(postings)
+        # re-checkpoint the STATS chain per fold: fold k's stats
+        # derive from fold k-1's via an anti-join, so the unpersisted
+        # chain deepens per delivery.  The postings chain does NOT
+        # need it: it is a disjoint UNION of already-materialized
+        # pieces (session-persisted base + each fold's checkpointed
+        # batch postings), so re-reading it is a scan of those pieces
+        # — re-checkpointing materialized the whole corpus-sized
+        # posting set once per fold for nothing (noise at sf0.1,
+        # corpus-proportional at scale).
         stats, _s = _eager_checkpoint(stats)
         served.append(
             stats.select(
