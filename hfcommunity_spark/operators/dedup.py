@@ -1705,6 +1705,8 @@ def x15_stream_maintained_clusters(spark: SparkSession,
         apply_changes_vertex_layout,
         apply_relabel_in_place,
         component_merge_plan_pruned,
+        materialize_and_free,
+        pinned_block_ids,
     )
 
     pristine = _x15_pristine_layouts(spark, sf_dir)
@@ -1717,8 +1719,7 @@ def x15_stream_maintained_clusters(spark: SparkSession,
     pairs = _delta_post_jaccard_pairs(spark, sf_dir)
     pairs.count()
     thr = F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
-    jsc = spark.sparkContext._jsc
-    _blocks_before = set(jsc.getPersistentRDDs().keySet().toArray())
+    _blocks_before = pinned_block_ids(spark)
 
     def _arrival(col: str) -> F.Column:
         return F.expr(
@@ -1812,21 +1813,9 @@ def x15_stream_maintained_clusters(spark: SparkSession,
             out = out.unionByName(s)
         # materialize the union, then free every checkpoint block this
         # invocation created (fold plans, change sets, the per-fold
-        # serving snapshots) — the x17 discipline: the returned frame
-        # reads only its own blocks, repeated invocations pin nothing
-        # on top.  The diff's isLocallyCheckpointed filter keeps the
-        # session persist() caches (pairs, base indexes) out.
-        from hfcommunity_spark.operators.graph import _free_checkpoint
-
-        m = jsc.getPersistentRDDs()
-        created = [
-            i for i in set(m.keySet().toArray()) - _blocks_before
-            if (r := m.get(i)) is not None
-            and r.rdd().isLocallyCheckpointed()
-        ]
-        out = out.localCheckpoint()
-        _free_checkpoint(spark, created)
-        return out
+        # serving snapshots): the returned frame reads only its own
+        # blocks, repeated invocations pin nothing on top
+        return materialize_and_free(spark, _blocks_before, out)
     finally:
         # the serving blocks are EAGER checkpoints (block-manager
         # resident), so the catalog entries and working files can go
@@ -1903,14 +1892,17 @@ def x17_stream_maintained_spans(spark: SparkSession,
 
     Serving the WHOLE stats table per delivery is the test-scale
     oracle contract; a deployment upserts the changed rows into the
-    doc-partitioned audit table and queries it in place.  Fold
-    intermediates are eagerly checkpointed per delivery (the plan
-    otherwise deepens geometrically — each fold references the prior
-    postings twice) and freed before returning; the served snapshots
-    are what the caller keeps."""
+    doc-partitioned audit table and queries it in place.  The STATS
+    chain is eagerly checkpointed per fold (each fold's stats derive
+    from the prior fold's via an anti-join, so the unpersisted chain
+    deepens per delivery); the postings chain stays a disjoint union
+    of already-materialized pieces.  Everything the invocation
+    checkpoints is freed once the served union materializes; the
+    served snapshots are what the caller keeps."""
     from hfcommunity_spark.operators.graph import (
         _eager_checkpoint,
-        _free_checkpoint,
+        materialize_and_free,
+        pinned_block_ids,
     )
 
     # ensure the session-cached standing state materializes BEFORE the
@@ -1921,8 +1913,7 @@ def x17_stream_maintained_spans(spark: SparkSession,
     stats.count()
     arriving = _delta_arriving_docs(spark, sf_dir)
 
-    jsc = spark.sparkContext._jsc
-    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    before = pinned_block_ids(spark)
     served: list[DataFrame] = []
     for k in range(X17_DELIVERIES):
         batch = arriving.filter(
@@ -1956,18 +1947,9 @@ def x17_stream_maintained_spans(spark: SparkSession,
         out = out.unionByName(s)
     # materialize the union FIRST, then free every checkpoint block
     # this invocation created — including span_index_delta's internal
-    # batch/probe checkpoints (diffed against the pre-loop snapshot;
-    # the isLocallyCheckpointed filter keeps session persist() caches
-    # out of the freed set).  The returned frame reads only its own
+    # batch/probe checkpoints.  The returned frame reads only its own
     # blocks; nothing else stays pinned per invocation.
-    m = jsc.getPersistentRDDs()
-    created = [
-        i for i in set(m.keySet().toArray()) - before
-        if (r := m.get(i)) is not None and r.rdd().isLocallyCheckpointed()
-    ]
-    out = out.localCheckpoint()
-    _free_checkpoint(spark, created)
-    return out
+    return materialize_and_free(spark, before, out)
 
 
 # --- source/domain hygiene gate (round 6) ---------------------------

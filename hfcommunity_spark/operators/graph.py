@@ -82,7 +82,15 @@ def materialize_and_free(spark: SparkSession, before: set,
     serving session) pin only their results, not hundreds of MB of
     dead intermediates waiting for the GC-driven ContextCleaner.
     The isLocallyCheckpointed filter keeps session ``persist()``
-    caches out, exactly as in ``_eager_checkpoint``."""
+    caches out, exactly as in ``_eager_checkpoint``.
+
+    NOT safe under concurrent invocations sharing one SparkSession:
+    the before/after diff is session-global, so a parallel thread's
+    in-flight checkpoint blocks would land in this invocation's freed
+    set (truncated lineage → unrecomputable).  Every consumer in this
+    repo — the bench loop, the driver contract, the declared-query
+    faces — runs queries sequentially per session by design; a
+    concurrent serving deployment must scope its own hygiene."""
     m = spark.sparkContext._jsc.getPersistentRDDs()
     created = [
         i for i in set(m.keySet().toArray()) - before
@@ -734,18 +742,18 @@ def _py_bucket(value: int, buckets: int) -> int:
 
 
 def _bucket_ids(df: DataFrame, cols, buckets: int) -> list[int]:
-    """Distinct bucket ids of one or more key columns, in ONE job
-    (bounded collect: callers pass delivery-bounded frames).  Dedup
-    happens driver-side — a distributed ``distinct`` would add a
-    shuffle stage per call just to shrink an already-bounded
-    collect."""
+    """Distinct bucket ids of one or more key columns, in ONE job.
+    ``collect_set`` instead of ``distinct().collect()``: partial
+    aggregation dedupes map-side, so each task ships ≤ ``buckets``
+    values and the driver receives one ≤ ``buckets``-sized array —
+    bounded by the BUCKET COUNT even when the frame is not delivery-
+    bounded (e.g. the changed-row set of a large-component merge),
+    and without the full shuffle a ``distinct`` pays."""
     exprs = [_bucket_expr(c, buckets) for c in cols]
-    return sorted({
-        r.b
-        for r in df.select(
-            F.explode(F.array(*exprs)).alias("b")
-        ).collect()
-    })
+    row = df.select(
+        F.explode(F.array(*exprs)).alias("b")
+    ).agg(F.collect_set("b").alias("bs")).first()
+    return sorted(row.bs or [])
 
 
 def relabel_affected_buckets(spark, assign_rel, relabel: DataFrame,

@@ -449,49 +449,88 @@ def scd2_delta(dim: DataFrame, changes: DataFrame,
     any same-timestamp delivery event) and re-runs the gaps-and-
     islands transform over seed ∪ delivery only.
 
+    Contract enforcement (ADVICE r9): a violating event — one
+    timestamped before its key's fold watermark — would silently sort
+    ahead of the seed pseudo-event and corrupt closed history, so the
+    fold plan itself raises via ``assert_true`` (a broadcast join of
+    the open rows onto the delivery: map-side, no extra job).  The
+    watermark is the open row's ``valid_from``, UNLESS the dimension
+    carries a ``_last_event_ts`` column (see :func:`scd2_track_seed`),
+    in which case it is the key's LAST FOLDED EVENT TIME — the
+    complete check: ``valid_from`` alone cannot see an event that
+    lands between the open run's start and a later already-absorbed
+    same-state event (round-10 review finding).  The tracked column
+    is maintained across folds (open rows carry the key's max folded
+    ts; closed rows keep theirs) and is the maintained dimension's
+    own metadata — serving selects drop it.
+
     Exactness (fold chain == one-shot :func:`scd2_history` over the
     union, at every prefix) is locked by the x19 oracle and the
     round-9 tests."""
+    track = "_last_event_ts" in dim.columns
     aff = changes.select(key).distinct()
     touched = dim.join(F.broadcast(aff), key, "left_semi")
     untouched = dim.join(F.broadcast(aff), key, "left_anti")
     closed = touched.filter(F.col("valid_to").isNotNull())
-    seed = touched.filter(F.col("valid_to").isNull()).select(
+    open_rows = touched.filter(F.col("valid_to").isNull())
+    seed = open_rows.select(
         key,
         F.col("state").alias(state),
         F.col("valid_from").alias(ts),
         F.lit(-1).alias(tiebreak),
     )
-    # Enforce the contract IN the fold plan (ADVICE r9): an event
-    # timestamped before its key's open-row valid_from would silently
-    # sort ahead of the seed pseudo-event and corrupt closed history —
-    # assert_true inside a filter makes the same pass that folds the
-    # delivery raise instead.  Broadcast join of the (delivery-
-    # bounded) open rows onto the delivery: map-side, no extra job.
+    wm = (
+        F.coalesce(F.col("_last_event_ts"), F.col("valid_from"))
+        if track else F.col("valid_from")
+    )
     guarded = changes.select(key, state, ts, tiebreak).join(
-        F.broadcast(seed.select(key, F.col(ts).alias("_open_from"))),
+        F.broadcast(open_rows.select(key, wm.alias("_wm"))),
         key, "left",
     ).filter(
         F.assert_true(
-            F.col("_open_from").isNull()
-            | (F.col(ts) >= F.col("_open_from")),
+            F.col("_wm").isNull() | (F.col(ts) >= F.col("_wm")),
             F.concat(
                 F.lit("scd2_delta: delivery event at "),
                 F.col(ts).cast("string"),
-                F.lit(" predates the open row's valid_from "),
-                F.col("_open_from").cast("string"),
+                F.lit(" predates the key's fold watermark "),
+                F.col("_wm").cast("string"),
                 F.lit(f" for {key}="),
                 F.col(key).cast("string"),
                 F.lit(" — the in-order (watermark) delivery "
                       "contract is violated"),
             ),
         ).isNull()
-    ).drop("_open_from")
+    ).drop("_wm")
     recomputed = scd2_history(
         seed.unionByName(guarded),
         key=key, state=state, ts=ts, tiebreak=tiebreak,
     )
+    if track:
+        # every affected key has ≥1 delivery event and (under the
+        # guard) all of them are ≥ the old watermark, so the new
+        # watermark is the delivery's max ts per key — carried on the
+        # open row (the newest run is open by construction)
+        last = guarded.groupBy(key).agg(F.max(ts).alias("_new_last"))
+        recomputed = recomputed.join(
+            F.broadcast(last), key, "left"
+        ).withColumn(
+            "_last_event_ts",
+            F.when(F.col("valid_to").isNull(), F.col("_new_last")),
+        ).drop("_new_last")
     return untouched.unionByName(closed).unionByName(recomputed)
+
+
+def scd2_track_seed(dim: DataFrame, events: DataFrame,
+                    key: str, ts: str) -> DataFrame:
+    """Attach the ``_last_event_ts`` fold-watermark column to a
+    freshly-built SCD2 dimension (open rows get the key's max event
+    time from the history that built it) — opting the dimension into
+    :func:`scd2_delta`'s COMPLETE in-order check."""
+    last = events.groupBy(key).agg(F.max(ts).alias("_l"))
+    return dim.join(last, key, "left").withColumn(
+        "_last_event_ts",
+        F.when(F.col("valid_to").isNull(), F.col("_l")),
+    ).drop("_l")
 
 
 def _x19_cut_sql(k: int) -> str:
@@ -574,9 +613,14 @@ def x19_stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jsc = spark.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
-    dim = scd2_history(
-        slice_k(0, 1), key="user_id", state="event_type",
-        ts="ts", tiebreak="event_id",
+    base = slice_k(0, 1)
+    # the maintained dimension carries its fold watermark
+    # (_last_event_ts) so scd2_delta's in-order check is complete —
+    # serving drops the metadata column below
+    dim = scd2_track_seed(
+        scd2_history(base, key="user_id", state="event_type",
+                     ts="ts", tiebreak="event_id"),
+        base, key="user_id", ts="ts",
     )
     served: list[DataFrame] = []
     for k in range(X19_DELIVERIES):

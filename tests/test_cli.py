@@ -397,4 +397,6 @@ def test_cli_query_mode_runs_declared_inventory(spark, capsys):
     assert cli.main(["--list-queries"]) == 0
     listing = capsys.readouterr().out
     assert "sim_mmr_diversify_topk" in listing
-    assert "rows-only" in listing  # the k-means ANN is declared as such
+    # since round 10 (the k-means ANN gained its unrolled-Lloyd
+    # oracle) EVERY declared query is oracle-equipped
+    assert "rows-only" not in listing

@@ -699,3 +699,61 @@ def test_scd2_delta_out_of_order_delivery_fails_loudly(spark):
     got = scd2_delta(dim, ok, key="user_id", state="event_type",
                      ts="ts", tiebreak="event_id").collect()
     assert len(got) == 3  # a-run closed, b-run closed at t20, c open
+
+
+def test_scd2_tracked_dim_catches_absorbed_event_violation(spark):
+    """The round-10 review's blind spot: an open run starts at t10,
+    absorbs a same-state event at t20 (valid_from stays t10), then a
+    delivery brings a state change at t15.  The valid_from-only guard
+    passes (t15 >= t10) and silently diverges from the rebuild; the
+    TRACKED dimension (_last_event_ts via scd2_track_seed) knows the
+    last folded event was t20 and raises."""
+    import datetime as dt
+
+    import pytest
+
+    from hfcommunity_spark.operators.mergeops import (
+        scd2_delta,
+        scd2_history,
+        scd2_track_seed,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    base = spark.createDataFrame(
+        [(1, t(10), 100, "a"), (1, t(20), 101, "a")],  # absorbed run
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    kw = dict(key="user_id", state="event_type", ts="ts",
+              tiebreak="event_id")
+    dim = scd2_track_seed(
+        scd2_history(base, **kw), base, key="user_id", ts="ts"
+    ).localCheckpoint()
+    late = spark.createDataFrame(
+        [(1, t(15), 102, "b")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    with pytest.raises(Exception, match="in-order"):
+        scd2_delta(dim, late, **kw).collect()
+    # an in-order delivery folds fine and MAINTAINS the watermark:
+    # a second fold violating against the FIRST delivery's max also
+    # raises (the column is carried across folds, not just seeded)
+    ok = spark.createDataFrame(
+        [(1, t(30), 103, "b")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    dim2 = scd2_delta(dim, ok, **kw).localCheckpoint()
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in dim2.drop("_last_event_ts").collect()
+    }
+    want = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in scd2_history(base.unionByName(ok), **kw).collect()
+    }
+    assert got == want
+    late2 = spark.createDataFrame(
+        [(1, t(25), 104, "c")],  # before the folded t30 event
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    with pytest.raises(Exception, match="in-order"):
+        scd2_delta(dim2, late2, **kw).collect()
