@@ -54,6 +54,17 @@ def _formatted_plan(spark, name: str) -> str:
         # round-4 pipeline actions: existence via semi, removal via
         # anti — leaking ids never multiply rows
         ("samp_decontaminated_train", ["LeftSemi", "LeftAnti"]),
+        # round-10 TPC-H faces: Q1's shipdate bound reaches the scan;
+        # Q19's per-side conjunct unions push to BOTH scans (the
+        # quantity range union onto lineitem, brand/size onto part)
+        # while the cross-table disjunction stays post-join
+        ("q1_pricing_summary",
+         ["PushedFilters: [IsNotNull(l_shipdate)",
+          "LessThanOrEqual(l_shipdate"]),
+        ("q19_disjunctive_revenue",
+         ["Or(And(GreaterThanOrEqual(l_quantity,1.0)",
+          "Or(And(EqualTo(p_brand,Brand#12)",
+          "BroadcastHashJoin"]),
     ],
 )
 def test_plan_contains(spark, name, needles):
