@@ -348,7 +348,91 @@ def lsh_bucket_saturation(spark) -> dict:
     return out
 
 
+def sf3_merge(names: list[str]) -> None:
+    """Second growth step (sf1.0 → sf3.0, documents-only 30x corpus)
+    for named documents-only queries, merged into the existing
+    payload's ``steep_warm_trio_sf3.queries`` — the trio mechanism
+    opened to the streamed maintained faces without a full refresh.
+    Each named query must already carry sf0.1/sf1.0 rows in
+    ``payload["queries"]`` (full run or ``--only`` merge), validated
+    BEFORE the timed reps."""
+    known = {name for name, _f, _p in QUERIES}
+    unknown = [n for n in names if n not in known]
+    assert not unknown, f"--sf3 names not in QUERIES: {unknown}"
+    with open(OUT_JSON) as f:
+        payload = json.load(f)
+    missing = [n for n in names if n not in payload.get("queries", {})]
+    assert not missing, (
+        f"--sf3 names lack sf0.1/sf1.0 rows in {OUT_JSON}: {missing}"
+    )
+    if not os.path.exists(os.path.join(OUT3, "documents.parquet")):
+        t0 = time.monotonic()
+        generate_sf3_documents()
+        print(f"generated {OUT3} in {time.monotonic() - t0:.1f}s",
+              flush=True)
+
+    from pyspark.sql import SparkSession
+
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.queries import all_queries
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "48g")
+        .appName("scale-rehearsal-sf3")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    read_table(spark, OUT3, "documents").count()  # footer warmup
+    trio = payload.setdefault("steep_warm_trio_sf3", {}).setdefault(
+        "queries", {}
+    )
+    for name in names:
+        times = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            specs[name].spark(spark, OUT3).count()
+            times.append(time.monotonic() - t0)
+        sf3 = {"cold": round(times[0], 3), "warm": round(min(times[1:]), 3)}
+        ent: dict = {"sf3.0": sf3}
+        row = payload["queries"][name]
+        for mode in ("cold", "warm"):
+            t01, t10 = row["sf0.1"][mode], row["sf1.0"][mode]
+            if t10:
+                ent[f"step2_exponent_{mode}"] = round(
+                    float(np.log10(max(sf3[mode] / t10, 1e-9))
+                          / np.log10(3.0)), 2
+                )
+            if t01:
+                xs = np.log10([1.0, 10.0, 30.0])
+                ys = np.log10([t01, t10, sf3[mode]])
+                ent[f"fitted_exponent_{mode}"] = round(
+                    float(np.polyfit(xs, ys, 1)[0]), 2
+                )
+        trio[name] = ent
+        print(f"sf3 {name:35s} cold {sf3['cold']:.2f}s "
+              f"warm {sf3['warm']:.2f}s "
+              f"{ {k: v for k, v in ent.items() if 'exponent' in k} }",
+              flush=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"merged sf3 rows for {sorted(names)} into {OUT_JSON}")
+    spark.stop()
+
+
 def main() -> None:
+    if "--sf3" in sys.argv:
+        names = []
+        for tok in sys.argv[sys.argv.index("--sf3") + 1:]:
+            if tok.startswith("--"):
+                break
+            names.append(tok)
+        assert names, "--sf3 requires at least one query name"
+        sf3_merge(names)
+        return
     if "--regen" in sys.argv or not os.path.exists(
         os.path.join(OUT, "embeddings.parquet")
     ):
