@@ -896,3 +896,98 @@ def test_apply_relabel_fast_path_matches_distributed(spark, tmp_path):
     assert changes[0] == changes[1]
     # fresh vertex 100002 lands in its post-merge component (30→20)
     assert (100002, 20) in changes[0]
+
+
+def test_pruned_merge_plan_property_local_equals_distributed(spark,
+                                                             tmp_path):
+    """Property version of the fast-path parity lock: across
+    randomized histories and deliveries (merges within the history,
+    merges ACROSS prior deliveries, fresh chains, self-loops,
+    duplicate edges), folding through the driver-local plan and the
+    distributed plan must produce identical maintained assignments.
+    Folds several deliveries so the local path's relabel maps feed
+    back through the PERSISTED layouts — the exact x15 shape."""
+    import random
+
+    from hfcommunity_spark.operators import graph as G
+    from hfcommunity_spark.operators.graph import (
+        apply_changes_vertex_layout,
+        apply_relabel_in_place,
+        component_merge_plan_pruned,
+        connected_components,
+        write_component_assign,
+        write_vertex_assign,
+    )
+
+    rng = random.Random(0xBEEF)
+    hist_edges = [(i, i + 1) for i in range(0, 200, 2)]  # 100 pairs
+    deliveries = []
+    next_fresh = 10_000
+    for _ in range(3):
+        d = []
+        for _ in range(12):
+            kind = rng.random()
+            if kind < 0.4:  # merge two existing chains
+                a, b = rng.randrange(200), rng.randrange(200)
+                d.append((a, b))
+            elif kind < 0.7:  # fresh chain (maybe touching existing)
+                d.append((next_fresh, next_fresh + 1))
+                if rng.random() < 0.5:
+                    d.append((next_fresh + 1, rng.randrange(200)))
+                next_fresh += 2
+            else:  # noise: self-loop / duplicate
+                v = rng.randrange(200)
+                d.append((v, v))
+                if d:
+                    d.append(d[rng.randrange(len(d))])
+        deliveries.append(d)
+
+    def fold_all(tag: str, force_distributed: bool) -> set:
+        buckets = 16
+        cdir = str(tmp_path / f"c_{tag}")
+        vdir = str(tmp_path / f"v_{tag}")
+        hist = spark.createDataFrame(hist_edges, "src long, dst long")
+        assign = connected_components(hist).localCheckpoint()
+        write_component_assign(assign, cdir, buckets=buckets)
+        write_vertex_assign(assign, vdir, buckets)
+        old_max = G.QUOTIENT_LOCAL_EDGE_MAX
+        if force_distributed:
+            G.QUOTIENT_LOCAL_EDGE_MAX = 0
+        try:
+            for d in deliveries:
+                delta = spark.createDataFrame(d, "src long, dst long")
+                fresh, relabel = component_merge_plan_pruned(
+                    spark, spark.read.parquet(vdir), delta, buckets
+                )
+                changed = apply_relabel_in_place(
+                    spark, cdir, relabel, buckets=buckets, fresh=fresh,
+                    return_changes=True,
+                )
+                apply_changes_vertex_layout(
+                    spark, vdir, changed, buckets
+                )
+        finally:
+            G.QUOTIENT_LOCAL_EDGE_MAX = old_max
+        return {
+            (r.vertex, r.component)
+            for r in spark.read.parquet(cdir)
+            .select("vertex", "component").collect()
+        }
+
+    local = fold_all("local", force_distributed=False)
+    dist = fold_all("dist", force_distributed=True)
+    assert local == dist and len(local) > 100
+    # ground truth: one-shot CC over history + all deliveries
+    all_e = spark.createDataFrame(
+        hist_edges + [e for d in deliveries for e in d],
+        "src long, dst long",
+    )
+    from hfcommunity_spark.operators.graph import connected_components
+
+    truth = {
+        (r.vertex, r.component)
+        for r in connected_components(all_e).collect()
+    }
+    # persisted layouts hold singletons only if they ever had an edge;
+    # CC over the union returns exactly the same universe here
+    assert local == truth
