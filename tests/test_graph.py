@@ -923,24 +923,35 @@ def test_pruned_merge_plan_property_local_equals_distributed(spark,
     hist_edges = [(i, i + 1) for i in range(0, 200, 2)]  # 100 pairs
     deliveries = []
     next_fresh = 10_000
+    prior_fresh: list = []  # fresh vertices from EARLIER deliveries
     for _ in range(3):
         d = []
         for _ in range(12):
             kind = rng.random()
-            if kind < 0.4:  # merge two existing chains
+            if kind < 0.35:  # merge two existing chains
                 a, b = rng.randrange(200), rng.randrange(200)
                 d.append((a, b))
-            elif kind < 0.7:  # fresh chain (maybe touching existing)
+            elif kind < 0.6:  # fresh chain (maybe touching existing)
                 d.append((next_fresh, next_fresh + 1))
                 if rng.random() < 0.5:
                     d.append((next_fresh + 1, rng.randrange(200)))
                 next_fresh += 2
-            else:  # noise: self-loop / duplicate
+            elif kind < 0.8 and prior_fresh:
+                # edge onto a PRIOR delivery's fresh vertex — the
+                # cross-delivery feedback: its row exists only in the
+                # persisted vertex layout written by an earlier fold,
+                # so the pruned probe must find it (a writer that put
+                # it in the wrong v_bucket would re-treat it as fresh
+                # and diverge from the distributed path / rebuild)
+                d.append((rng.choice(prior_fresh), rng.randrange(200)))
+            else:  # noise: self-loop + a duplicate of some edge
                 v = rng.randrange(200)
                 d.append((v, v))
-                if d:
-                    d.append(d[rng.randrange(len(d))])
+                d.append(d[rng.randrange(len(d))])
         deliveries.append(d)
+        prior_fresh.extend(
+            v for e in d for v in e if v >= 10_000
+        )
 
     def fold_all(tag: str, force_distributed: bool) -> set:
         buckets = 16
@@ -974,6 +985,11 @@ def test_pruned_merge_plan_property_local_equals_distributed(spark,
             .select("vertex", "component").collect()
         }
 
+    assert any(
+        a >= 10_000 and b < 200
+        for k, d in enumerate(deliveries) for (a, b) in d
+        if any(a in (x, y) for dd in deliveries[:k] for (x, y) in dd)
+    ), "generator must produce a cross-delivery fresh reference"
     local = fold_all("local", force_distributed=False)
     dist = fold_all("dist", force_distributed=True)
     assert local == dist and len(local) > 100
@@ -982,8 +998,6 @@ def test_pruned_merge_plan_property_local_equals_distributed(spark,
         hist_edges + [e for d in deliveries for e in d],
         "src long, dst long",
     )
-    from hfcommunity_spark.operators.graph import connected_components
-
     truth = {
         (r.vertex, r.component)
         for r in connected_components(all_e).collect()

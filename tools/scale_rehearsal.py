@@ -173,6 +173,22 @@ TRIO = (
     "t_source_relative_quality_filter",
     "t_unigram_ppl_buckets",
 )
+
+# Queries eligible for the sf3 corpus (DOCUMENTS-ONLY synthesis): the
+# trio plus the documents-fed streamed maintained faces.  A static
+# allowlist, not a plan-construction probe — the lifecycle faces
+# execute their folds EAGERLY inside the query function, so "building
+# the plan" to check table usage would run the query and poison the
+# cold rep (round-10 review follow-up).
+SF3_DOCUMENTS_ONLY = TRIO + (
+    "x13_stream_source_hygiene",
+    "x14_stream_maintained_index",
+    "x15_stream_maintained_clusters",
+    "x17_stream_maintained_spans",
+    "dd_maintained_pairs_parity",
+    "dd_maintained_components_parity",
+    "ret_maintained_bm25_parity",
+)
 FACTOR3 = 30
 OUT3 = os.path.join(REPO, ".rehearsal", "sf3.0")
 
@@ -348,6 +364,29 @@ def lsh_bucket_saturation(spark) -> dict:
     return out
 
 
+def _growth_entry(sf3: dict, row: dict) -> dict:
+    """sf3.0 timing entry + step2/fitted exponents against a query's
+    existing sf0.1/sf1.0 rows — shared by the full-run trio stage and
+    --sf3 merge mode so the math cannot drift.  Zero-rounded baseline
+    times skip the affected exponent instead of feeding log10(0) into
+    the fit (NaN would make the JSON unparseable)."""
+    ent: dict = {"sf3.0": sf3}
+    for mode in ("cold", "warm"):
+        t01, t10 = row["sf0.1"][mode], row["sf1.0"][mode]
+        if t10:
+            ent[f"step2_exponent_{mode}"] = round(
+                float(np.log10(max(sf3[mode] / t10, 1e-9))
+                      / np.log10(3.0)), 2
+            )
+        if t01 and t10:
+            xs = np.log10([1.0, 10.0, 30.0])
+            ys = np.log10([t01, t10, max(sf3[mode], 1e-9)])
+            ent[f"fitted_exponent_{mode}"] = round(
+                float(np.polyfit(xs, ys, 1)[0]), 2
+            )
+    return ent
+
+
 def sf3_merge(names: list[str]) -> None:
     """Second growth step (sf1.0 → sf3.0, documents-only 30x corpus)
     for named documents-only queries, merged into the existing
@@ -359,6 +398,10 @@ def sf3_merge(names: list[str]) -> None:
     known = {name for name, _f, _p in QUERIES}
     unknown = [n for n in names if n not in known]
     assert not unknown, f"--sf3 names not in QUERIES: {unknown}"
+    off_corpus = [n for n in names if n not in SF3_DOCUMENTS_ONLY]
+    assert not off_corpus, (
+        f"--sf3 corpus is documents-only; not allowlisted: {off_corpus}"
+    )
     with open(OUT_JSON) as f:
         payload = json.load(f)
     missing = [n for n in names if n not in payload.get("queries", {})]
@@ -386,7 +429,19 @@ def sf3_merge(names: list[str]) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
-    read_table(spark, OUT3, "documents").count()  # footer warmup
+    # same pre-timing warmup protocol as the full run: footer reads
+    # plus the Python-worker/Arrow pool (otherwise the first query's
+    # "cold" rep absorbs worker startup the sf1.0 numbers never paid)
+    read_table(spark, OUT3, "documents").count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(c):
+        return c
+
+    spark.range(10_000, numPartitions=int(cpus)).select(
+        _noop("id")
+    ).count()
     trio = payload.setdefault("steep_warm_trio_sf3", {}).setdefault(
         "queries", {}
     )
@@ -397,21 +452,7 @@ def sf3_merge(names: list[str]) -> None:
             specs[name].spark(spark, OUT3).count()
             times.append(time.monotonic() - t0)
         sf3 = {"cold": round(times[0], 3), "warm": round(min(times[1:]), 3)}
-        ent: dict = {"sf3.0": sf3}
-        row = payload["queries"][name]
-        for mode in ("cold", "warm"):
-            t01, t10 = row["sf0.1"][mode], row["sf1.0"][mode]
-            if t10:
-                ent[f"step2_exponent_{mode}"] = round(
-                    float(np.log10(max(sf3[mode] / t10, 1e-9))
-                          / np.log10(3.0)), 2
-                )
-            if t01:
-                xs = np.log10([1.0, 10.0, 30.0])
-                ys = np.log10([t01, t10, sf3[mode]])
-                ent[f"fitted_exponent_{mode}"] = round(
-                    float(np.polyfit(xs, ys, 1)[0]), 2
-                )
+        ent = _growth_entry(sf3, payload["queries"][name])
         trio[name] = ent
         print(f"sf3 {name:35s} cold {sf3['cold']:.2f}s "
               f"warm {sf3['warm']:.2f}s "
@@ -557,31 +598,28 @@ def main() -> None:
             spec.spark(spark, OUT3).count()
             times.append(time.monotonic() - t0)
         sf3 = {"cold": round(times[0], 3), "warm": round(min(times[1:]), 3)}
-        ent: dict = {"sf3.0": sf3}
-        for mode in ("cold", "warm"):
-            # every TRIO member is also in QUERIES, so the sf0.1 and
-            # sf1.0 points always exist and all three get the full
-            # 3-point fit
-            t01 = results[name]["sf0.1"][mode]
-            t10 = results[name]["sf1.0"][mode]
-            if t10:
-                ent[f"step2_exponent_{mode}"] = round(
-                    float(np.log10(max(sf3[mode] / t10, 1e-9))
-                          / np.log10(3.0)), 2
-                )
-            if t01:
-                # least-squares log-log slope over the three points
-                xs = np.log10([1.0, 10.0, 30.0])
-                ys = np.log10([t01, t10, sf3[mode]])
-                ent[f"fitted_exponent_{mode}"] = round(
-                    float(np.polyfit(xs, ys, 1)[0]), 2
-                )
+        # every TRIO member is also in QUERIES, so the sf0.1 and
+        # sf1.0 points always exist and all three get the full
+        # 3-point fit (shared math with --sf3 merge mode)
+        ent = _growth_entry(sf3, results[name])
         trio[name] = ent
         print(f"trio {name:35s} sf3.0 cold {sf3['cold']:.2f}s "
               f"warm {sf3['warm']:.2f}s "
               f"{ {k: v for k, v in ent.items() if 'exponent' in k} }",
               flush=True)
     saturation = lsh_bucket_saturation(spark)
+    # preserve sf3 rows previously landed via --sf3 merge mode for
+    # queries this full run did not re-measure (round-10 review: a
+    # refresh silently dropped the streamed faces' growth steps)
+    if os.path.exists(OUT_JSON):
+        try:
+            with open(OUT_JSON) as f:
+                prior = json.load(f).get(
+                    "steep_warm_trio_sf3", {}
+                ).get("queries", {})
+        except Exception:
+            prior = {}
+        trio = {**prior, **trio}
     payload = {
         "factor": FACTOR,
         "base": BASE,
