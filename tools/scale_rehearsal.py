@@ -137,6 +137,9 @@ QUERIES = [
     ("q21_suppliers_kept_waiting", "relational", 1.0),
     ("x15_stream_maintained_clusters", "delta-probe", 1.0),
     ("x16_stream_maintained_ann", "delta-probe", 1.0),
+    # round 10: the streamed BM25 face joins the rehearsal so every
+    # documents-fed streamed maintained face carries growth evidence.
+    ("x14_stream_maintained_index", "delta-probe", 1.0),
     # round 9 #2: the streamed span-audit face (per-fold probe bounded
     # by the delivery's hash set) and the outer interval join (same
     # range join as x9 plus the null bucket).
