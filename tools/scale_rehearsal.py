@@ -191,15 +191,27 @@ SF3_DOCUMENTS_ONLY = TRIO + (
     "dd_maintained_pairs_parity",
     "dd_maintained_components_parity",
     "ret_maintained_bm25_parity",
+    # events-fed (the sf3 corpus carries a 30x events feed too —
+    # replicated with id+time offsets, so the dense/time-ordered
+    # invariant x19 leans on holds by construction)
+    "x19_stream_scd2_dim",
+    "x18_stream_outer_interval_join",
+    # embeddings-fed (30 orthogonal-rotation replicas) and the
+    # media face (payloads synthesized from documents)
+    "x16_stream_maintained_ann",
+    "x20_stream_media_features",
 )
 FACTOR3 = 30
 OUT3 = os.path.join(REPO, ".rehearsal", "sf3.0")
 
 
-def _gen_embeddings(con: duckdb.DuckDBPyConnection, n_base: int) -> None:
+def _gen_embeddings(con: duckdb.DuckDBPyConnection, n_base: int,
+                    factor: int = FACTOR, out_dir: str | None = None,
+                    ) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    out_dir = out_dir or OUT
     rows = con.execute(
         f"SELECT vec_id, embedding, label FROM "
         f"read_parquet('{BASE}/embeddings.parquet') ORDER BY vec_id"
@@ -209,7 +221,7 @@ def _gen_embeddings(con: duckdb.DuckDBPyConnection, n_base: int) -> None:
     labels = np.array([r[2] for r in rows], dtype=np.int32)
     dim = m.shape[1]
     out_ids, out_vecs, out_labels = [], [], []
-    for k in range(FACTOR):
+    for k in range(factor):
         if k == 0:
             q = np.eye(dim)
         else:
@@ -230,7 +242,7 @@ def _gen_embeddings(con: duckdb.DuckDBPyConnection, n_base: int) -> None:
             "label": pa.array(np.concatenate(out_labels)),
         }
     )
-    pq.write_table(tab, os.path.join(OUT, "embeddings.parquet"))
+    pq.write_table(tab, os.path.join(out_dir, "embeddings.parquet"))
 
 
 def generate() -> None:
@@ -314,9 +326,13 @@ def generate() -> None:
 
 
 def generate_sf3_documents() -> None:
-    """Documents-only 30x corpus for the trio's second growth step —
-    same word-salt replica scheme as the sf1.0 generator (intra-replica
-    structure preserved, cross-replica shingles disjoint)."""
+    """Documents + events 30x corpus for the second growth step —
+    documents use the same word-salt replica scheme as the sf1.0
+    generator (intra-replica structure preserved, cross-replica
+    shingles disjoint); events replicate with id AND time offsets so
+    the feed stays dense and event-time-ordered (the x19 invariant:
+    id order == time order), each replica's users offset into a
+    disjoint id range (30x keys, per-key history shape preserved)."""
     os.makedirs(OUT3, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -336,6 +352,25 @@ def generate_sf3_documents() -> None:
                (SELECT unnest(range({FACTOR3})) AS k)
         ) TO '{OUT3}/documents.parquet' (FORMAT PARQUET)
     """)
+    n_ev, n_user, span_us = con.execute(f"""
+        SELECT MAX(event_id) + 1, MAX(user_id) + 1,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+        FROM read_parquet('{BASE}/events.parquet')
+    """).fetchone()
+    con.execute(f"""
+        COPY (
+          SELECT event_id + k * {n_ev} AS event_id,
+                 ts + to_microseconds(k * ({span_us} + 3600000000)) AS ts,
+                 user_id + k * {n_user} AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{BASE}/events.parquet'),
+               (SELECT unnest(range({FACTOR3})) AS k)
+        ) TO '{OUT3}/events.parquet' (FORMAT PARQUET)
+    """)
+    n_vec = con.execute(
+        f"SELECT MAX(vec_id) + 1 FROM read_parquet('{BASE}/embeddings.parquet')"
+    ).fetchone()[0]
+    _gen_embeddings(con, n_vec, factor=FACTOR3, out_dir=OUT3)
 
 
 def lsh_bucket_saturation(spark) -> dict:
