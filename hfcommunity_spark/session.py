@@ -47,6 +47,13 @@ def get_spark(
         # receive pushed filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # guarded limit(max+1) collects are the codebook's bounded-
+        # collect discipline (graph merge probe, span delta, a16 cap);
+        # the default CollectLimit scans 1 partition then scales up in
+        # rounds — 3-4 jobs of pure overhead per guard when the limit
+        # is not reached (the common case).  Scanning at session width
+        # from the start makes every guard a single job.
+        .config("spark.sql.limit.initialNumPartitions", str(shuffle))
         # local mode: one JVM is driver AND all 32 executor threads,
         # plus every session-persisted index frame (shingle posting
         # list, minhash bands, cosine pair set, ...).  8g measurably
