@@ -164,6 +164,13 @@ QUERIES = [
     # partial agg, linear in rows), warm probes the session codebook
     # (cell-pruned scoring, ~flat).
     ("sim_kmeans_ivf_topk", "coarse-prune-rerank", 1.0),
+    # round 11 (r10 verdict #4, closing r9 ask #8): the two TPC-H
+    # faces added in r10 — both scan-bound single-pass aggregates
+    # over lineitem with plan-asserted pushdown (q19 additionally
+    # broadcast-joins the fixed part dimension), so the expected
+    # cold exponent is ~1.0 and warm likewise (no standing state).
+    ("q1_pricing_summary", "single-pass-agg", 1.0),
+    ("q19_disjunctive_revenue", "relational", 1.0),
 ]
 
 # The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
@@ -446,7 +453,14 @@ def sf3_merge(names: list[str]) -> None:
     assert not missing, (
         f"--sf3 names lack sf0.1/sf1.0 rows in {OUT_JSON}: {missing}"
     )
-    if not os.path.exists(os.path.join(OUT3, "documents.parquet")):
+    # freshness check covers ALL THREE feeds (ADVICE r10): a
+    # pre-round-10 .rehearsal/sf3.0 was documents-only, and skipping
+    # generation on documents.parquet alone left the events/
+    # embeddings-fed merges to fail after the Spark session was up
+    if not all(
+        os.path.exists(os.path.join(OUT3, f"{t}.parquet"))
+        for t in ("documents", "events", "embeddings")
+    ):
         t0 = time.monotonic()
         generate_sf3_documents()
         print(f"generated {OUT3} in {time.monotonic() - t0:.1f}s",
