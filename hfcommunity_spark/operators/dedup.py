@@ -1731,6 +1731,7 @@ def x15_stream_maintained_clusters(spark: SparkSession,
     import tempfile
     import uuid
 
+    from hfcommunity_spark.session import default_parallelism
     from hfcommunity_spark.operators.graph import (
         apply_changes_vertex_layout,
         apply_relabel_in_place,
@@ -1836,7 +1837,11 @@ def x15_stream_maintained_clusters(spark: SparkSession,
                     F.lit(k).cast("int").alias("delivery_id"),
                     F.col("vertex").alias("doc_id"),
                     "component",
-                ).localCheckpoint()
+                # coalesce (no shuffle): the catalog read carries one
+                # partition per bucket dir; snapshotting at session
+                # width keeps the 3-serve union at ~3×32 tasks
+                # instead of ~3×64
+                ).coalesce(default_parallelism()).localCheckpoint()
             )
         out = served[0]
         for s in served[1:]:

@@ -1212,11 +1212,21 @@ def apply_changes_vertex_layout(spark, vertex_dir: str,
     inserts into their bucket — which can CREATE a bucket directory,
     so when the layout is catalog-registered pass ``table_name`` and
     the writer registers the touched partitions (ADD IF NOT EXISTS,
-    bounded by the delivery)."""
-    changed = changed.localCheckpoint()
-    if changed.isEmpty():
-        return
+    bounded by the delivery).
+
+    Contract: ``changed`` must be MATERIALIZED (checkpoint-backed or
+    a local relation) — the writer consumes it twice (bucket probe,
+    broadcast upsert) while overwriting v_bucket files, so a lazy
+    lineage THROUGH this layout would re-read files being replaced.
+    Every caller already passes a materialized change set
+    (:func:`apply_relabel_in_place`'s returned rows are
+    checkpoint-backed); the defensive re-checkpoint + isEmpty probe
+    this writer used to run cost two jobs per fold of pure overhead
+    in the x15 lifecycle (round-11 diet), and emptiness now falls out
+    of the bucket probe."""
     bkts = _bucket_ids(changed, ["vertex"], buckets)
+    if not bkts:
+        return
     upd = F.broadcast(changed.select(
         "vertex", F.col("component").alias("new_component")
     ))
