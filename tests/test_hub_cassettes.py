@@ -195,3 +195,88 @@ def test_spaces_cassette_replays_into_feed_schema(spark):
     assert stopped.stage == "STOPPED" and stopped.hardware is None
     assert stopped.requested_hw == "cpu-basic"
     assert stopped.models is None  # [] → NULL, the feed convention
+
+
+# --- opt-in LIVE smoke (VERDICT r10 ask #7) --------------------------
+#
+# HFC_LIVE_SMOKE=1 pytest tests/test_hub_cassettes.py -k live
+#
+# Fetches one real page per list endpoint (the exact query shape the
+# adapters issue), replays it through the SAME wire→object→feed parse
+# path the cassettes lock, and asserts feed-schema conformance — the
+# check that catches live-API drift the recorded cassettes cannot.
+# Skips cleanly when the flag is unset or the network is unreachable.
+
+import pytest  # noqa: E402  (bottom section keeps the cassette body linear)
+
+_SCHEMAS = {"model": MODEL_FEED_SCHEMA, "dataset": DATASET_FEED_SCHEMA,
+            "space": SPACE_FEED_SCHEMA}
+
+
+class _LivePageApi:
+    """list_* shims over one fetched live page, through the same
+    wire→object mapping the cassette replay uses."""
+
+    def __init__(self, pages: dict):
+        self._pages = pages
+
+    def _items(self, kind, kw):
+        items = [_wire_to_info(kind, r) for r in self._pages[kind]]
+        return items[: kw["limit"]]
+
+    def list_models(self, **kw):
+        return self._items("model", kw)
+
+    def list_datasets(self, **kw):
+        return self._items("dataset", kw)
+
+    def list_spaces(self, **kw):
+        return self._items("space", kw)
+
+
+@pytest.mark.skipif(os.environ.get("HFC_LIVE_SMOKE") != "1",
+                    reason="opt-in live smoke: set HFC_LIVE_SMOKE=1")
+@pytest.mark.parametrize("kind", ["model", "dataset", "space"])
+def test_live_page_replays_into_feed_schema(spark, kind):
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                     os.pardir, "tools"))
+    import refresh_hub_cassettes as rc
+
+    try:
+        page = rc.fetch_live_page(kind, limit=2)
+    except OSError as exc:
+        pytest.skip(f"live Hub API unreachable: {exc}")
+    rows = list(hub_live.list_repo_rows(
+        kind, limit=2, api=_LivePageApi({kind: page})
+    ))
+    assert rows, "live page yielded no feed rows"
+    df = spark.createDataFrame(rows, _SCHEMAS[kind])
+    got = df.collect()
+    assert len(got) == len(rows)
+    assert all(r.name for r in got)  # every live repo has an id
+
+
+def test_refresh_tool_contract_diff_offline():
+    """The drift detector itself, no network: a page identical to the
+    committed cassette matches; removing a key is BREAKING (missing
+    path), adding one is informational (new path)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                     os.pardir, "tools"))
+    import refresh_hub_cassettes as rc
+
+    committed = rc._committed_items("models_page.json")
+    base = rc._key_contract(committed)
+    assert rc._key_contract(committed) == base  # deterministic
+    mutated = [dict(committed[0])]
+    del mutated[0]["sha"]
+    mutated[0]["brandNewKey"] = 1
+    got = rc._key_contract(mutated)
+    base_paths = {c.rsplit(":", 1)[0] for c in base}
+    got_paths = {c.rsplit(":", 1)[0] for c in got}
+    assert "sha" in base_paths - got_paths          # breaking drift
+    assert "brandNewKey" in got_paths - base_paths  # informational
+    # nested paths are tracked (siblings' LFS keys drifted once
+    # already on the real Hub — the exact scenario this guards)
+    assert any(p.startswith("siblings[].lfs") for p in base_paths)
