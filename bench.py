@@ -95,17 +95,27 @@ def _solo_worker(names: list[str]) -> None:
 
 
 def _run_solo(names: list[str]) -> dict[str, float] | None:
+    """ONE SUBPROCESS PER SENTINEL (ADVICE r10): a shared solo session
+    would leak predecessor state into later sentinels (x15 after the
+    graph trio inherited their caches), making 'fresh-session' a
+    per-batch property rather than a per-number one.  Per-sentinel
+    processes cost ~15 s of session startup each but every recorded
+    solo number is now genuinely cold — the property the regime-
+    disagreement attribution relies on."""
     here = os.path.abspath(__file__)
-    try:
-        out = subprocess.run(
-            [sys.executable, here, "--solo-worker", ",".join(names)],
-            capture_output=True, text=True, timeout=900,
-        )
-        return json.loads(out.stdout.strip().splitlines()[-1])
-    except Exception as exc:  # solo numbers are additive evidence —
-        # never fail the whole bench over them
-        print(f"solo regime failed: {exc}", file=sys.stderr)
-        return None
+    solo: dict[str, float] = {}
+    for name in names:
+        try:
+            out = subprocess.run(
+                [sys.executable, here, "--solo-worker", name],
+                capture_output=True, text=True, timeout=900,
+            )
+            solo.update(json.loads(out.stdout.strip().splitlines()[-1]))
+        except Exception as exc:  # solo numbers are additive evidence
+            # — never fail the whole bench over one sentinel
+            print(f"solo regime failed for {name}: {exc}",
+                  file=sys.stderr)
+    return solo or None
 
 
 def main() -> None:
@@ -168,7 +178,7 @@ def build_payloads(timings: dict[str, float], sf_val,
     if solo:
         full["solo"] = dict(sorted(solo.items()))
         full["solo_regime"] = (
-            "fresh-session subprocess, sentinels only "
+            "one fresh-session subprocess PER sentinel "
             "(graph trio + x15 + in-suite slowest)"
         )
         payload["solo"] = {k: round(v, 2) for k, v in sorted(solo.items())}
