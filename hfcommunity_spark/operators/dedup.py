@@ -1085,9 +1085,14 @@ def span_index_delta_bucketed(spark: SparkSession, postings_dir: str,
             F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
         ).distinct().collect()
     )
-    # single-reference since the round-11 one-pass restructure: the
-    # pruned probe scan runs inside the changed-stats job
-    probe = _bucketed_span_probe(spark, postings_dir, hs, hit)
+    # the probe STAYS checkpointed here (unlike the in-memory delta,
+    # whose probe reads session-cached frames): the changed-stats
+    # rollup feeds two output arms, and without materialization the
+    # partition-pruned PARQUET scan would run once per arm — doubling
+    # the delta's only IO
+    probe = _bucketed_span_probe(
+        spark, postings_dir, hs, hit
+    ).localCheckpoint()
     changed = _span_delta_changed_stats(probe, batch_postings, stats)
     return batch_postings, changed
 

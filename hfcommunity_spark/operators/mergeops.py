@@ -687,9 +687,17 @@ def x19_stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0].n  # one-row bounded collect (the codebook rule)
 
     def slice_k(lo_mult: int, hi_mult: int) -> DataFrame:
+        # the oracle's exact arithmetic is event_id*4 vs n_top*mult;
+        # over INTEGER event_ids that is equivalent to plain range
+        # bounds with ceil-divided cuts — and plain comparisons reach
+        # the parquet scan as pushed row-group filters, where the
+        # arithmetic form scanned the full feed per slice (4 full
+        # scans per invocation; linear-in-corpus cold cost at sf3)
+        lo_cut = (n_top * lo_mult + 3) // 4
+        hi_cut = (n_top * hi_mult + 3) // 4
         return ev.filter(
-            (F.col("event_id") * 4 >= F.lit(n_top * lo_mult))
-            & (F.col("event_id") * 4 < F.lit(n_top * hi_mult))
+            (F.col("event_id") >= F.lit(lo_cut))
+            & (F.col("event_id") < F.lit(hi_cut))
         )
 
     jsc = spark.sparkContext._jsc

@@ -314,6 +314,56 @@ def main() -> None:
         "delta_x": round(b["delta_s"] / a["delta_s"], 2),
     }
 
+    # --- scd2-history arm (round 11): the merge family's 10x-history
+    # step.  A FIXED delivery of events (the next 1k by event_id —
+    # id order == time order in the synthetic feed, so the in-order
+    # watermark contract holds by construction) folds into SCD2
+    # dimensions built over 10x-different event histories.  With the
+    # round-11 split fold, per-delivery work is bounded by
+    # |affected keys| + |delivery| (closed history never enters the
+    # fold plan); the rebuild arm re-runs the gaps-and-islands build
+    # over history+delivery, which must track the history.
+    from hfcommunity_spark.operators.mergeops import (
+        scd2_delta_split,
+        scd2_history,
+    )
+
+    scd2_hist: dict[str, dict] = {}
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.1/events.parquet"
+    ).select("user_id", "ts", "event_id", "event_type")
+    N_DELIV_EV = 1_000
+    for label, H in (("events_9e3", 9_000), ("events_9e4", 90_000)):
+        prefix = ev.filter(F.col("event_id") < H).localCheckpoint()
+        delivery = ev.filter(
+            (F.col("event_id") >= H)
+            & (F.col("event_id") < H + N_DELIV_EV)
+        ).localCheckpoint()
+        # the standing dimension's open rows are prebuilt state
+        # (charged to neither arm, like every maintained table here)
+        open_rows = scd2_history(
+            prefix, key="user_id", state="event_type",
+            ts="ts", tiebreak="event_id", with_last_ts=True,
+        ).filter(F.col("valid_to").isNull()).localCheckpoint()
+        scd2_hist[label] = {
+            "history_events": H,
+            "delivery_events": N_DELIV_EV,
+            "open_rows": open_rows.count(),
+            "rebuild_s": timed(lambda: scd2_history(
+                prefix.unionByName(delivery), key="user_id",
+                state="event_type", ts="ts", tiebreak="event_id",
+            ).count()),
+            "delta_s": timed(lambda: scd2_delta_split(
+                open_rows, delivery, key="user_id",
+                state="event_type", ts="ts", tiebreak="event_id",
+            ).count()),
+        }
+    a, b = scd2_hist["events_9e3"], scd2_hist["events_9e4"]
+    scd2_hist["growth_10x_history"] = {
+        "rebuild_x": round(b["rebuild_s"] / a["rebuild_s"], 2),
+        "delta_x": round(b["delta_s"] / a["delta_s"], 2),
+    }
+
     growth = {}
     if "sf0.1" in per_scale and "sf1.0" in per_scale:
         for idx in ("minhash_pairs", "span_stats", "clusters",
@@ -328,6 +378,7 @@ def main() -> None:
         "scales": per_scale,
         "growth_10x_corpus": growth,
         "cluster_history": cluster_history,
+        "scd2_history": scd2_hist,
         "note": ("fixed-size delivery, 10x corpus step: rebuild cost "
                  "tracks the corpus, delta cost must not — that gap is "
                  "the maintained family's reason to exist.  Measured "
