@@ -1652,13 +1652,22 @@ def ivf_index_delta(
     arriving vectors against the frozen codebook (one GEMM over the
     delivery) and append.  Per-cell counts are derived downstream from
     the folded lists' k-row aggregate — associative under union, so
-    the fold IS the maintenance."""
+    the fold IS the maintenance.
+
+    The assigned piece is MATERIALIZED here (delivery-bounded): every
+    serving pass consumes the folded lists at least twice (the count
+    aggregate + the probed-cell candidate scan), and the streamed face
+    serves after every fold — a lazy piece would re-run each
+    delivery's GEMM once per downstream consumer.  The standing
+    ``base_lists`` side is the caller's session-persisted state and is
+    never re-materialized (the round-11 lifecycle rule: per-fold
+    checkpoints must not scale with the standing index)."""
     from hfcommunity_spark.operators.kmeans import assign_cells
 
     return base_lists.unionByName(
         assign_cells(arriving, centroids).select(
             "vec_id", "cell", "embedding"
-        )
+        ).localCheckpoint()
     )
 
 
@@ -1818,21 +1827,28 @@ def x16_stream_maintained_ann(spark: SparkSession,
 
     Scale shape: per delivery, ONE delivery-sized GEMM + a k-row
     count aggregate + a probed-cells candidate scan; the standing
-    lists are never re-assigned.  Serving snapshots are eagerly
-    checkpointed (≤ TOP_K rows each) and the folded-list checkpoints
-    freed before returning, so a caller folding many streams does not
-    accumulate list blocks (the components_delta discipline)."""
+    lists are never re-assigned.  Since round 11 the per-fold
+    checkpoint is the DELIVERY'S ASSIGNED PIECE only (inside
+    :func:`ivf_index_delta`) — the standing lists stay a union of the
+    session-persisted base and prior pieces, never re-materialized
+    per fold (the x17/x19 lifecycle rule: fold cost must not scale
+    with the standing index).  All invocation-created blocks are
+    freed once the served union materializes."""
     import numpy as np
 
     from hfcommunity_spark.operators.graph import (
-        _eager_checkpoint,
-        _free_checkpoint,
+        materialize_and_free,
+        pinned_block_ids,
     )
     from hfcommunity_spark.operators.kmeans import _pairwise_sq_dists
 
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = _ivf_base_codebook(spark, sf_dir, emb)
     lists = _ivf_base_lists(spark, sf_dir, emb, centroids)
+    # force the session-persisted base BEFORE the block diff below
+    # (persist() caches are protected from the free pass either way;
+    # forcing keeps the base build cost out of fold 0's numbers)
+    lists.count()
     _, arriving = _ivf_emb_split(emb)
     q = _query_vector(emb, cache_key=sf_dir)
     d2 = _pairwise_sq_dists(
@@ -1840,22 +1856,15 @@ def x16_stream_maintained_ann(spark: SparkSession,
     )[0]
     order = sorted(range(len(centroids)), key=lambda i: (d2[i], i))
 
+    before = pinned_block_ids(spark)
     served: list[DataFrame] = []
-    list_ids: list[int] = []
     for k in range(X16_DELIVERIES):
         batch = arriving.filter(
             F.expr(
                 f"(vec_id DIV {_IVF_DELTA_MOD}) % {X16_DELIVERIES}"
             ) == k
         )
-        # eager checkpoint per fold: the folded lists feed BOTH the
-        # count aggregate and the candidate scan of this serve plus
-        # every later fold — an unpersisted union chain would re-run
-        # each delivery's GEMM once per downstream consumer
-        lists, ids = _eager_checkpoint(
-            ivf_index_delta(lists, batch, centroids)
-        )
-        list_ids.extend(ids)
+        lists = ivf_index_delta(lists, batch, centroids)
         counts = {
             r.cell: r.cnt
             for r in lists.filter(F.col("vec_id") != 0)
@@ -1877,10 +1886,12 @@ def x16_stream_maintained_ann(spark: SparkSession,
             _rank_topk(cand, with_sim=True).select(
                 F.lit(k).cast("int").alias("delivery_id"),
                 "vec_id", "rank", "sim_rounded",
-            ).localCheckpoint()
+            )
         )
     out = served[0]
     for s in served[1:]:
         out = out.unionByName(s)
-    _free_checkpoint(spark, list_ids)
-    return out
+    # each serve reads only checkpointed pieces + the persisted base,
+    # so the union materializes once here; every invocation-created
+    # block (the per-delivery assigned pieces) is then freed
+    return materialize_and_free(spark, before, out)
