@@ -275,10 +275,17 @@ def x20_stream_media_features(spark: SparkSession,
                 f"(media_id DIV {_DELTA_SPLIT_MOD}) % {X20_DELIVERIES}"
             ) == k
         )
-        new_feats = batch.select("media_id", "payload").mapInPandas(
-            byte_features_batches, schema=FEATURE_SCHEMA
+        # checkpoint ONLY the batch's extracted features (the Arrow
+        # extractor runs exactly once per payload); the standing table
+        # stays a union of the session-cached base + prior pieces —
+        # never re-materialized per fold (the round-11 lifecycle rule:
+        # fold cost must not scale with the standing index)
+        new_feats, _ids = _eager_checkpoint(
+            batch.select("media_id", "payload").mapInPandas(
+                byte_features_batches, schema=FEATURE_SCHEMA
+            )
         )
-        feats, _ids = _eager_checkpoint(feats.unionByName(new_feats))
+        feats = feats.unionByName(new_feats)
         served.append(
             feats.select(
                 F.lit(k).cast("int").alias("delivery_id"),
