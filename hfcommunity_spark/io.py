@@ -32,6 +32,21 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Analyzed-relation memo for the IMMUTABLE driver corpora only: each
+# spark.read.parquet re-lists the directory and re-reads a footer for
+# schema inference (~tens of ms), which across a 177-query bench pass
+# over the same ten tables is pure repeated work.  DataFrames are
+# immutable lazy plans, so reusing one instance across queries is
+# safe; the memo is restricted to /root/testdata/ (read-only by the
+# environment contract) so paths a session may REWRITE — rehearsal
+# corpora, test tmp dirs, snapshot outputs — always re-list.  Keyed by
+# applicationId via the standard session cache (driver-side object
+# store, no persist; other-app entries evicted on use).
+from hfcommunity_spark.session_cache import SessionCache
+
+_READ_MEMO = SessionCache(persist=False)
+_MEMO_ROOTS = ("/root/testdata/",)
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Parquet scan → column pruning and
@@ -51,15 +66,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     — this engine's own tables all want that; a caller needing native
     nanos-rejection semantics must unset the conf explicitly.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-            )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    def build() -> DataFrame:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if isinstance(df.schema["ts"].dataType, T.LongType):
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000").cast("long")),
+                )
+            return df
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    if any(sf_dir.startswith(r) for r in _MEMO_ROOTS):
+        return _READ_MEMO.get_or_build(spark, (sf_dir, name), build)
+    return build()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
