@@ -989,7 +989,11 @@ def _span_delta_changed_stats(probe: DataFrame,
                 ).otherwise(0)
             ).alias("inc"),
         )
-    )
+        # materialized once (delivery-bounded): BOTH output arms read
+        # it, and the caller checkpoints the final changed rows too —
+        # without this the union+window+rollup pipeline runs once per
+        # arm inside that single materialization
+    ).localCheckpoint()
     batch_stats = pre.filter(F.col("is_new") == 1).select(
         "doc_id",
         F.col("n_spans_new").alias("n_spans"),
