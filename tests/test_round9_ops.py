@@ -468,6 +468,67 @@ def test_scd2_delta_equals_rebuild_any_split(spark):
     assert got == want and len(want) > 0
 
 
+def test_scd2_split_lifecycle_equals_rebuild_every_prefix(spark):
+    """The round-11 SPLIT lifecycle (x19's shape): maintain open rows
+    plus append-only closed pieces through scd2_delta_split, with the
+    tracked fold watermark, and assert open ∪ pieces equals the
+    one-shot scd2_history AT EVERY PREFIX — including that rows closed
+    by earlier folds are never touched again (piece snapshots taken at
+    close time must still be exact at the end)."""
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.mergeops import (
+        scd2_delta_split,
+        scd2_history,
+    )
+
+    kw = dict(key="user_id", state="event_type",
+              ts="ts", tiebreak="event_id")
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    n = ev.agg((F.max("event_id") + 1).alias("n")).collect()[0].n
+    cuts = [0, n // 7, n // 3, (2 * n) // 3, n]
+    slices = [
+        ev.filter(
+            (F.col("event_id") >= cuts[i])
+            & (F.col("event_id") < cuts[i + 1])
+        )
+        for i in range(len(cuts) - 1)
+    ]
+    base = scd2_history(slices[0], with_last_ts=True, **kw
+                        ).localCheckpoint()
+    open_rows = base.filter(F.col("valid_to").isNull())
+    pieces = [
+        base.filter(F.col("valid_to").isNotNull())
+        .select("user_id", "state", "valid_from", "valid_to")
+        .collect()
+    ]
+    for i, s in enumerate(slices[1:], start=1):
+        folded = scd2_delta_split(open_rows, s, **kw).localCheckpoint()
+        open_rows = folded.filter(F.col("valid_to").isNull())
+        # snapshot the newly-closed piece EAGERLY (collect) so a later
+        # fold mutating anything it shouldn't would be caught
+        pieces.append(
+            folded.filter(F.col("valid_to").isNotNull())
+            .select("user_id", "state", "valid_from", "valid_to")
+            .collect()
+        )
+        got = {tuple(r) for rows in pieces for r in rows} | {
+            (r.user_id, r.state, r.valid_from, r.valid_to)
+            for r in open_rows.collect()
+        }
+        prefix = ev.filter(F.col("event_id") < cuts[i + 1])
+        want = {tuple(r) for r in scd2_history(prefix, **kw).collect()}
+        assert got == want and len(want) > 0, f"prefix {i} diverged"
+    # the watermark column is maintained: every open row carries a
+    # non-null _last_event_ts ≥ its valid_from
+    bad = open_rows.filter(
+        F.col("_last_event_ts").isNull()
+        | (F.col("_last_event_ts") < F.col("valid_from"))
+    ).count()
+    assert bad == 0
+
+
 def test_scd2_delta_edge_cases(spark):
     """Synthetic edges: same-state delivery events absorb into the
     open run (no new row); a same-timestamp state change closes the
