@@ -1118,3 +1118,174 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+# --- round 11: three more partsupp-free TPC-H faces --------------------
+# (q2/q9/q11/q16/q20 need partsupp, which the synthetic corpus does
+# not carry; q12's l_shipmode/l_receiptdate likewise; Q6 already
+# lives here as p12_q6_revenue_pushdown.  These two are the remaining
+# classics expressible over the ten driver tables, adapted to the
+# synthetic value domains: shipdates span 1995-2001, p_type is the
+# container-free {ECONOMY,..,PROMO} set, nations are NATION_k.)
+
+@query(
+    "q8_national_market_share",
+    """
+    WITH vol AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0.00 AS DECIMAL(18,2)) END)
+                AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    survey="J4,J9,A7,F6,F11",
+)
+def q8_national_market_share(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q8, the national-market-share face: the deepest join tree
+    in the suite (lineitem ⋈ orders as the fact-fact shuffle; part,
+    customer, supplier, both nation roles, and region all broadcast
+    dims — J9's strategy-selection evidence in one plan), with the
+    share computed as a ratio of two exact-DECIMAL sums per order
+    year.  At 100 TB: one fact-fact exchange on orderkey, every other
+    edge map-side; the region/p_type filters prune BEFORE the
+    broadcasts, so the hash tables carry only the qualifying slices.
+
+    Determinism: both sums accumulate in DECIMAL (the zero arm of the
+    CASE is a DECIMAL literal so neither engine widens the sum type
+    differently); one double division at the end."""
+    from hfcommunity_spark.operators.relational import DEC, dec
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cn = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    r = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    sn = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["cn_key"])
+        .join(F.broadcast(r), cn["cn_region"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["sn_key"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+        .otherwise(zero)
+    ).cast("double")
+    return (
+        joined.groupBy("o_year")
+        .agg((num / F.sum("volume").cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH agg AS (
+      SELECT l_partkey AS a_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN agg ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND CAST(5 * l_quantity * cnt AS DECIMAL(18,2)) < sum_qty
+    """,
+    survey="J3,A7,J9,F11",
+)
+def q17_small_quantity_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q17, the small-quantity-order revenue face: each
+    lineitem compares against ITS PART'S average quantity — the
+    correlated-aggregate classic, planned as a per-part aggregate
+    joined back to the fact (the decorrelation every serious planner
+    performs; Spark's shape is groupBy + shuffle join on partkey,
+    sharing one exchange with the probe side).
+
+    Determinism: the textbook predicate ``l_quantity < 0.2 *
+    avg(l_quantity)`` multiplies through to ``5 * qty * cnt <
+    sum_qty`` — quantities are integral in the synthetic corpus, so
+    BOTH SIDES ARE EXACT (decimal-compared); no float boundary can
+    flip a row between engines.  The brand filter prunes the part
+    broadcast before the join."""
+    from hfcommunity_spark.operators.relational import dec
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12"
+    ).select("p_partkey")
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = (
+        (F.lit(5) * F.col("l_quantity") * F.col("cnt"))
+        .cast("decimal(18,2)")
+        < F.col("sum_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(agg, li["l_partkey"] == agg["a_partkey"])
+        .filter(small)
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )

@@ -167,9 +167,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # with its r1-r8 stamps intact — A4 keeps q13/q21, J3 keeps q15,
     # O2 keeps several members — making room for the exact-percentile
     # histogram face, the w1 rank decomposition applied to quantiles.)
-    "a16_exact_percentiles",  # A7, A5, W1, F11 — exact per-segment
-    # discrete percentiles via the two-pass value-histogram plan
-    # (domain-bounded collect, target-cell-only second read)
+    # (Round-11 rotation: a16_exact_percentiles rotates out with its
+    # r9-r10 stamps intact — A5 keeps samp_hash_split_counts and w5,
+    # W1 keeps pipe_curate_select_pack_shard, A7/F11 keep many — one
+    # of the three slots for the round-11 TPC-H entrants.)
     "a11_rollup_customers",  # A11, J4
     # (Fourth round-8 rotation: sim_lsh_bucketed_topk,
     # samp_length_batch_plan and dd_source_hygiene_audit rotate out
@@ -277,6 +278,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # narrow-cast three-factor charge term
     "q19_disjunctive_revenue",  # P12, J3, F11 — TPC-H Q19 shape:
     # OR-of-ANDs split across both scans as PushedFilters
+    # --- round-11 entrants: the last partsupp-free TPC-H faces ------
+    # (two slots from the a16/q15 rotations above; Q6 was already
+    # present as p12_q6_revenue_pushdown, so the entrants are the two
+    # remaining distinct planner faces — the deepest join tree and the
+    # decorrelated correlated aggregate.)
+    "q8_national_market_share",  # J4, J9, A7, F6, F11 — TPC-H Q8:
+    # one fact-fact exchange + six broadcast dims; decimal share ratio
+    "q17_small_quantity_revenue",  # J3, A7, J9, F11 — TPC-H Q17:
+    # correlated avg decorrelated into a per-part agg + join-back,
+    # multiplied through to exact integer-valued comparison
     "ret_maintained_bm25_parity",  # X-UD5, D3, A10, O2, J9 — the
     # maintained BM25 index under a delivery, full-rebuild oracle
     "dd_maintained_pairs_parity",  # X-UD5, J6, J9, D3 — MinHash band
@@ -310,8 +321,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (Round-9 rotation #5: g_merge_base rotates out with its r8 stamp
     # intact — J5/S7/W4 keep g_commit_ancestors, s7_git_history_scan,
     # j7/w5 — making room for the TPC-H Q15 face.)
-    "q15_top_supplier_revenue",  # A7, J3, O2, F11 — top supplier by
-    # quarterly revenue; exact-DECIMAL equality against the scalar MAX
+    # (Round-11 rotation #3: q15_top_supplier_revenue rotates out
+    # with its r9-r10 stamps intact — J3 moves to q19 and the new q17,
+    # O2 keeps ret/x14/x16, A7/F11 keep many — the third entrant
+    # slot.)
     "x14_stream_maintained_index",  # X7, D3, A10, O2, X-UD5 — the
     # maintained BM25 index served after EACH of three sequential
     # deliveries; per-prefix full-rebuild oracle

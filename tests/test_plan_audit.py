@@ -65,6 +65,17 @@ def _formatted_plan(spark, name: str) -> str:
          ["Or(And(GreaterThanOrEqual(l_quantity,1.0)",
           "Or(And(EqualTo(p_brand,Brand#12)",
           "BroadcastHashJoin"]),
+        # round-11 TPC-H faces: Q8's dimension filters prune at the
+        # scans and every dim edge broadcasts; Q17's brand filter
+        # prunes the part broadcast
+        ("q8_national_market_share",
+         ["EqualTo(p_type,ECONOMY)",
+          "EqualTo(r_name,ASIA)",
+          "GreaterThanOrEqual(o_orderdate,1996-01-01",
+          "BroadcastHashJoin"]),
+        ("q17_small_quantity_revenue",
+         ["EqualTo(p_brand,Brand#12)",
+          "BroadcastHashJoin"]),
     ],
 )
 def test_plan_contains(spark, name, needles):

@@ -65,7 +65,10 @@ def test_no_declared_query_escapes_driver_evidence():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     stamped: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+    # r* not r0*: the round-10 file is CORRECTNESS_r10.json, and the
+    # narrower glob silently dropped its stamps (masked until the
+    # first r10 entrant rotated out, in round 11)
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         with open(path) as fh:
             stamped.update(json.load(fh))
     window = set(DRIVER_WINDOW)

@@ -171,6 +171,11 @@ QUERIES = [
     # cold exponent is ~1.0 and warm likewise (no standing state).
     ("q1_pricing_summary", "single-pass-agg", 1.0),
     ("q19_disjunctive_revenue", "relational", 1.0),
+    # round 11 entrants (same-round rehearsal discipline): Q8 is one
+    # fact-fact exchange + broadcast dims; Q17 is a per-part agg
+    # sharing its shuffle with the join-back — both linear by design.
+    ("q8_national_market_share", "relational", 1.0),
+    ("q17_small_quantity_revenue", "relational", 1.0),
 ]
 
 # The steepest warm exponents of the r6/r7 rehearsals (cascade 0.75,
