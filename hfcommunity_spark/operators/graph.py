@@ -788,6 +788,94 @@ def _write_tasks(n_buckets: int) -> int:
     return max(1, -(-n_buckets // 16))
 
 
+# Cap on rows the DRIVER-LOCAL writer fast path will materialize: the
+# touched buckets' contents, bounded by design at
+# ASSIGN_ROWS_PER_BUCKET × |touched buckets| (a delivery-bounded set).
+# Two int64 columns at this cap is ~8 MB of driver heap; above it the
+# writers take the distributed path unchanged.
+WRITER_LOCAL_ROW_MAX = 512_000
+
+
+def _local_bucket_rows(dir_: str, pcol: str, bkts,
+                       cap: int = WRITER_LOCAL_ROW_MAX
+                       ) -> dict[int, list] | None:
+    """Driver-side pruned read of the touched buckets' parquet files:
+    the exact row set the distributed writers' partition-pruned scan
+    produces, collected without a Spark job.  Returns None — BEFORE
+    any mutation — when a gate fails (non-local layout, unreadable
+    file, more than ``cap`` rows), in which case the caller runs the
+    distributed path on the same inputs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict[int, list] = {}
+    total = 0
+    try:
+        for b in bkts:
+            d = os.path.join(dir_, f"{pcol}={b}")
+            if not os.path.isdir(d):
+                continue
+            rows: list = []
+            for fn in sorted(os.listdir(d)):
+                if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    os.path.join(d, fn), columns=["vertex", "component"]
+                )
+                total += t.num_rows
+                if total > cap:
+                    return None
+                rows.extend(
+                    zip(t.column("vertex").to_pylist(),
+                        t.column("component").to_pylist())
+                )
+            out[b] = rows
+    except OSError:
+        return None
+    return out
+
+
+def _local_bucket_write(dir_: str, pcol: str,
+                        by_bucket: dict[int, list],
+                        emptied) -> None:
+    """Driver-side twin of the dynamic-partition-overwrite write: each
+    output bucket's directory is replaced with one fresh snappy
+    parquet file (same two-column int64 schema the Spark writer
+    produces), emptied buckets' directories are dropped, untouched
+    partitions are never opened.  Mutations only — every gate has
+    already passed; an I/O error here propagates (falling back to the
+    distributed path after a partial rewrite would fold corrupt
+    state)."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for b, rows in by_bucket.items():
+        d = os.path.join(dir_, f"{pcol}={b}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d)
+        vs, cs = zip(*rows)
+        pq.write_table(
+            pa.table({
+                "vertex": pa.array(vs, pa.int64()),
+                "component": pa.array(cs, pa.int64()),
+            }),
+            os.path.join(
+                d, f"part-00000-{uuid.uuid4().hex}.snappy.parquet"
+            ),
+            compression="snappy",
+        )
+    for b in emptied:
+        d = os.path.join(dir_, f"{pcol}={b}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
 def _sync_catalog_partitions(spark, table_name: str, pcol: str,
                              added, dropped) -> None:
     """Keep a catalog-registered layout's partition METADATA in step
@@ -876,6 +964,67 @@ def apply_relabel_in_place(spark, assign_dir: str,
         fr_pairs = [(v, relmap.get(c, c)) for v, c in fr_in]
         if not relmap and not fr_pairs:
             return _empty_changes()
+        bkts = sorted({
+            _py_bucket(k, buckets)
+            for k in set(relmap) | set(relmap.values())
+            | {c for _, c in fr_pairs}
+        })
+        # round 11: when the plan is driver-local, the WRITE goes
+        # driver-local too — the touched buckets' contents are bounded
+        # (ASSIGN_ROWS_PER_BUCKET × a delivery-bounded bucket set), so
+        # the whole rewrite (pruned read, relabel, dynamic-overwrite
+        # twin, emptied-bucket drop) runs as filesystem work instead
+        # of ~3 Spark jobs of fixed overhead per fold (measured
+        # ~1.2 s/fold of the x15 lifecycle).  Gates fail BEFORE any
+        # mutation; above the row cap or off the local fs the
+        # distributed path below runs unchanged on the same inputs.
+        vt = (fresh.schema["vertex"].dataType if fresh is not None
+              else relabel.schema["component"].dataType)
+        data = (
+            _local_bucket_rows(assign_dir, "c_bucket", bkts)
+            if vt.simpleString() == "bigint"
+            and os.path.isdir(assign_dir) else None
+        )
+        if data is not None:
+            by_bucket: dict[int, list] = {}
+            changes: list = []
+            for brows in data.values():
+                for v, c in brows:
+                    if c in relmap:
+                        c = relmap[c]
+                        changes.append((v, c))
+                    by_bucket.setdefault(
+                        _py_bucket(c, buckets), []
+                    ).append((v, c))
+            for v, c in fr_pairs:
+                changes.append((v, c))
+                by_bucket.setdefault(
+                    _py_bucket(c, buckets), []
+                ).append((v, c))
+            present = set(by_bucket)
+            emptied = set(bkts) - present
+            _local_bucket_write(
+                assign_dir, "c_bucket", by_bucket, emptied
+            )
+            # Spark's own insert command refreshes cached file
+            # listings for the destination path; the driver-side
+            # writer must do the same or a catalog/path read could
+            # serve the replaced files' stale names
+            spark.catalog.refreshByPath(assign_dir)
+            if table_name is not None:
+                _sync_catalog_partitions(
+                    spark, table_name, "c_bucket",
+                    added=present, dropped=emptied,
+                )
+            if return_changes:
+                return _local_frame(
+                    spark, changes,
+                    T.StructType([
+                        T.StructField("vertex", vt),
+                        T.StructField("component", vt),
+                    ]),
+                )
+            return None
         if fr_pairs:
             fresh_rows = spark.createDataFrame(
                 fr_pairs,
@@ -885,11 +1034,6 @@ def apply_relabel_in_place(spark, assign_dir: str,
                                   fresh.schema["component"].dataType),
                 ]),
             )
-        bkts = sorted({
-            _py_bucket(k, buckets)
-            for k in set(relmap) | set(relmap.values())
-            | {c for _, c in fr_pairs}
-        })
     else:
         if fresh is not None:
             fresh_rows = fresh
@@ -1223,7 +1367,53 @@ def apply_changes_vertex_layout(spark, vertex_dir: str,
     checkpoint-backed); the defensive re-checkpoint + isEmpty probe
     this writer used to run cost two jobs per fold of pure overhead
     in the x15 lifecycle (round-11 diet), and emptiness now falls out
-    of the bucket probe."""
+    of the bucket probe.
+
+    Driver-local fast path (round 11, the relabel writer's twin): a
+    change set carrying ``_hfc_rows`` upserts the touched v_buckets as
+    filesystem work — pruned pyarrow read, dict upsert, per-bucket
+    rewrite — zero Spark jobs.  Rows never change bucket here (the
+    key is the vertex), so there is no emptied-bucket edge; the same
+    gates (bigint keys, local fs, :data:`WRITER_LOCAL_ROW_MAX`) fall
+    back to the distributed path below before any mutation."""
+    import os
+
+    ch_rows = getattr(changed, "_hfc_rows", None)
+    if (ch_rows is not None
+            and changed.schema["vertex"].dataType.simpleString()
+            == "bigint"
+            and os.path.isdir(vertex_dir)):
+        if not ch_rows:
+            return
+        lbkts = sorted({_py_bucket(v, buckets) for v, _ in ch_rows})
+        data = _local_bucket_rows(vertex_dir, "v_bucket", lbkts)
+        if data is not None:
+            upd = dict(ch_rows)
+            seen: set = set()
+            by_bucket: dict[int, list] = {}
+            for b in lbkts:
+                brows = []
+                for v, c in data.get(b, []):
+                    if v in upd:
+                        c = upd[v]
+                        seen.add(v)
+                    brows.append((v, c))
+                if brows:
+                    by_bucket[b] = brows
+            for v, c in ch_rows:
+                if v not in seen:
+                    seen.add(v)
+                    by_bucket.setdefault(
+                        _py_bucket(v, buckets), []
+                    ).append((v, c))
+            _local_bucket_write(vertex_dir, "v_bucket", by_bucket, ())
+            spark.catalog.refreshByPath(vertex_dir)
+            if table_name is not None:
+                _sync_catalog_partitions(
+                    spark, table_name, "v_bucket",
+                    added=lbkts, dropped=(),
+                )
+            return
     bkts = _bucket_ids(changed, ["vertex"], buckets)
     if not bkts:
         return

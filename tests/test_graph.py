@@ -898,6 +898,111 @@ def test_apply_relabel_fast_path_matches_distributed(spark, tmp_path):
     assert (100002, 20) in changes[0]
 
 
+def test_vertex_layout_local_writer_matches_distributed(spark,
+                                                        tmp_path):
+    """apply_changes_vertex_layout's driver-local fast path (round 11:
+    the change set carries _hfc_rows, the layout is local-fs) must
+    leave the same table content as the distributed upsert — updates,
+    inserts into existing buckets, and inserts that CREATE a bucket —
+    and pinning WRITER_LOCAL_ROW_MAX to 0 must force the distributed
+    path on the same local frame (the cap fallback)."""
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators import graph as G
+    from hfcommunity_spark.operators.graph import (
+        _local_frame,
+        apply_changes_vertex_layout,
+        connected_components,
+        write_vertex_assign,
+    )
+
+    hist = _chain_edges(spark, 120)
+    assign = connected_components(hist).localCheckpoint()
+    # updates to existing vertices plus fresh inserts whose v_buckets
+    # may not exist yet at 8 buckets
+    ch_rows = [(10, 0), (31, 20), (70001, 70001), (70002, 20)]
+    sch = T.StructType([
+        T.StructField("vertex", T.LongType()),
+        T.StructField("component", T.LongType()),
+    ])
+    outs = []
+    for tag, mk, cap in (
+        ("local", lambda: _local_frame(spark, ch_rows, sch), None),
+        ("capped", lambda: _local_frame(spark, ch_rows, sch), 0),
+        ("dist", lambda: spark.createDataFrame(ch_rows, sch), None),
+    ):
+        out = str(tmp_path / f"vassign_{tag}")
+        write_vertex_assign(assign, out, 8)
+        old = G.WRITER_LOCAL_ROW_MAX
+        if cap is not None:
+            G.WRITER_LOCAL_ROW_MAX = cap
+        try:
+            apply_changes_vertex_layout(spark, out, mk(), 8)
+        finally:
+            G.WRITER_LOCAL_ROW_MAX = old
+        outs.append({
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("vertex", "component", "v_bucket").collect()
+        })
+    assert outs[0] == outs[1] == outs[2]
+    flat = {(v, c) for v, c, _ in outs[0]}
+    assert {(10, 0), (31, 20), (70001, 70001), (70002, 20)} <= flat
+    assert len(flat) == 122  # 120 existing + 2 inserts, no dup rows
+
+
+def test_relabel_local_writer_cap_falls_back(spark, tmp_path):
+    """apply_relabel_in_place with local frames but a pinned-to-0 row
+    cap must take the distributed write and still produce the exact
+    fast-path content (the gate fails before any mutation)."""
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators import graph as G
+    from hfcommunity_spark.operators.graph import (
+        _local_frame,
+        apply_relabel_in_place,
+        connected_components,
+        write_component_assign,
+    )
+
+    hist = _chain_edges(spark, 120)
+    assign = connected_components(hist).localCheckpoint()
+    rel_rows = [(10, 0), (30, 20)]
+    fresh_rows = [(100001, 100001), (100002, 30)]
+    sch2 = T.StructType([
+        T.StructField("vertex", T.LongType()),
+        T.StructField("component", T.LongType()),
+    ])
+    rsch = T.StructType([
+        T.StructField("component", T.LongType()),
+        T.StructField("merged", T.LongType()),
+    ])
+    outs, changes = [], []
+    for cap in (None, 0):
+        out = str(tmp_path / f"assign_cap{cap}")
+        write_component_assign(assign, out, buckets=8)
+        old = G.WRITER_LOCAL_ROW_MAX
+        if cap is not None:
+            G.WRITER_LOCAL_ROW_MAX = cap
+        try:
+            ch = apply_relabel_in_place(
+                spark, out,
+                _local_frame(spark, rel_rows, rsch), buckets=8,
+                fresh=_local_frame(spark, fresh_rows, sch2),
+                return_changes=True,
+            )
+        finally:
+            G.WRITER_LOCAL_ROW_MAX = old
+        changes.append({tuple(r) for r in ch.collect()})
+        outs.append({
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("vertex", "component", "c_bucket").collect()
+        })
+    assert outs[0] == outs[1]
+    assert changes[0] == changes[1]
+
+
 def test_pruned_merge_plan_property_local_equals_distributed(spark,
                                                              tmp_path):
     """Property version of the fast-path parity lock: across
