@@ -1768,6 +1768,40 @@ def x15_stream_maintained_clusters(spark: SparkSession,
             f"ELSE -1 END"
         )
 
+    # ONE pairs scan splits the whole stream into per-delivery edge
+    # sets (round 11): deriving each fold's edges lazily re-scanned
+    # the corpus-scale cached pair frame once per delivery (~1 s/fold
+    # at sf3).  The guarded collect is bounded by the per-delivery
+    # contract × the delivery count; if it overflows, edges_by_k
+    # stays None and each fold falls back to the lazy per-fold filter
+    # (the distributed plan's own guard then applies per delivery).
+    from hfcommunity_spark.operators.graph import (
+        QUOTIENT_LOCAL_EDGE_MAX,
+        _local_frame,
+    )
+    from pyspark.sql import types as T
+
+    edge_cap = X15_DELIVERIES * QUOTIENT_LOCAL_EDGE_MAX + 1
+    split_rows = (
+        pairs.filter(thr)
+        .select(
+            F.greatest(_arrival("doc_a"), _arrival("doc_b")).alias("k"),
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        )
+        .filter(F.col("k") >= 0)
+        .limit(edge_cap)
+        .collect()
+    )
+    edges_by_k: dict[int, list] | None = None
+    if len(split_rows) < edge_cap:
+        edges_by_k = {}
+        for r in split_rows:
+            edges_by_k.setdefault(r.k, []).append((r.src, r.dst))
+    edge_schema = T.StructType([
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+    ])
+
     run = uuid.uuid4().hex[:12]
     work = tempfile.mkdtemp(prefix=f"hfc_x15_work_{run}_")
     cdir = os.path.join(work, "cassign")
@@ -1821,13 +1855,20 @@ def x15_stream_maintained_clusters(spark: SparkSession,
                 dropped=(),
             )
         for k in range(X15_DELIVERIES):
-            new_edges = pairs.filter(thr).filter(
-                F.greatest(_arrival("doc_a"), _arrival("doc_b")) == k
-            ).select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            )
+            if edges_by_k is not None:
+                new_edges = _local_frame(
+                    spark, edges_by_k.get(k, []), edge_schema
+                )
+            else:
+                new_edges = pairs.filter(thr).filter(
+                    F.greatest(_arrival("doc_a"), _arrival("doc_b")) == k
+                ).select(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                )
             fresh, relabel = component_merge_plan_pruned(
-                spark, spark.table(vtab), new_edges, X15_BUCKETS
+                spark, spark.table(vtab), new_edges, X15_BUCKETS,
+                vertex_dir=vdir,
             )
             # the relabel writer derives the vertex-projection change
             # set from its own pruned scan (return_changes) — one

@@ -943,10 +943,13 @@ def apply_relabel_in_place(spark, assign_dir: str,
     import shutil
 
     def _empty_changes():
-        return (
-            spark.createDataFrame([], "vertex long, component long")
-            if return_changes else None
-        )
+        if not return_changes:
+            return None
+        df = spark.createDataFrame([], "vertex long, component long")
+        # carry the (empty) rows so a downstream writer's driver-local
+        # fast path can skip its bucket-probe job too
+        df._hfc_rows = []
+        return df
 
     if relabel is None and fresh is None:
         return _empty_changes()
@@ -1174,14 +1177,23 @@ def _local_frame(spark, rows, schema) -> DataFrame:
 
 
 def _merge_plan_local(spark, vertex_rel, edges, buckets: int,
-                      vt) -> tuple[DataFrame, DataFrame | None]:
+                      vt, vertex_dir: str | None = None,
+                      ) -> tuple[DataFrame, DataFrame | None]:
     """Driver-side merge plan over a bounded, already-collected edge
     set: one partition-pruned probe resolves the endpoints' standing
     labels (bucket ids computed in Python — :func:`_py_bucket`), then
     the fresh set, quotient graph, and union-find all run in Python.
     Value-identical to the distributed plan (parity-locked by the
     threshold-pinning tests); returns LOCAL frames, which every
-    consumer only ever broadcasts."""
+    consumer only ever broadcasts.
+
+    With ``vertex_dir`` (a local-fs layout directory) the label probe
+    itself goes driver-side: a pyarrow read of the touched v_buckets
+    (:func:`_local_bucket_rows`, same row cap as the writers) — the
+    plan then costs zero Spark jobs.  Any gate failure falls back to
+    the pruned-scan probe below on the same inputs."""
+    import os
+
     schema = T.StructType([
         T.StructField("vertex", vt), T.StructField("component", vt),
     ])
@@ -1190,22 +1202,33 @@ def _merge_plan_local(spark, vertex_rel, edges, buckets: int,
         return _local_frame(spark, [], schema), None
     verts = sorted({v for ab in edges for v in ab})
     bkts = sorted({_py_bucket(v, buckets) for v in verts})
-    scan = _assign_rel(spark, vertex_rel).filter(
-        F.col("v_bucket").isin(bkts)
-    )
-    if len(verts) <= _RESOLVE_ISIN_MAX:
-        probe = scan.filter(F.col("vertex").isin(verts))
-    else:
-        vdf = spark.createDataFrame(
-            [(v,) for v in verts],
-            T.StructType([T.StructField("vertex", vt)]),
+    resolved = None
+    if vertex_dir is not None and os.path.isdir(vertex_dir):
+        data = _local_bucket_rows(vertex_dir, "v_bucket", bkts)
+        if data is not None:
+            want = set(verts)
+            resolved = {
+                v: c
+                for brows in data.values()
+                for v, c in brows if v in want
+            }
+    if resolved is None:
+        scan = _assign_rel(spark, vertex_rel).filter(
+            F.col("v_bucket").isin(bkts)
         )
-        probe = scan.join(F.broadcast(vdf), "vertex")
-    resolved = {
-        r.vertex: r.component
-        for r in probe.select("vertex", "component").collect()
-        # bounded: ≤ |delivery endpoints| rows
-    }
+        if len(verts) <= _RESOLVE_ISIN_MAX:
+            probe = scan.filter(F.col("vertex").isin(verts))
+        else:
+            vdf = spark.createDataFrame(
+                [(v,) for v in verts],
+                T.StructType([T.StructField("vertex", vt)]),
+            )
+            probe = scan.join(F.broadcast(vdf), "vertex")
+        resolved = {
+            r.vertex: r.component
+            for r in probe.select("vertex", "component").collect()
+            # bounded: ≤ |delivery endpoints| rows
+        }
     look = {v: resolved.get(v, v) for v in verts}
     quot = {
         (look[a], look[b]) for a, b in edges if look[a] != look[b]
@@ -1230,6 +1253,7 @@ def _merge_plan_local(spark, vertex_rel, edges, buckets: int,
 def component_merge_plan_pruned(
     spark, vertex_rel, new_edges: DataFrame, buckets: int,
     src: str = "src", dst: str = "dst",
+    vertex_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """:func:`component_merge_plan` against the PERSISTED
     vertex-bucketed assignment instead of an in-memory frame: endpoint
@@ -1256,19 +1280,38 @@ def component_merge_plan_pruned(
     ~7 jobs of eager checkpoints, distinct shuffles, and anti-joins
     (measured ~1.5 s/delivery of pure fixed overhead on the x15
     lifecycle).  Above the bound the distributed path below runs
-    unchanged; pinning the threshold to 0 in tests forces it."""
-    e0 = new_edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).filter(F.col("a") != F.col("b"))
+    unchanged; pinning the threshold to 0 in tests forces it.
+
+    Two round-11 extensions of the same fast path: an edge frame
+    already carrying its rows (``_hfc_rows``, e.g. a caller that
+    split one pairs scan into per-delivery edge sets) skips the
+    guarded collect job entirely, and passing ``vertex_dir`` (the
+    layout's local-fs directory) lets the local plan's label probe
+    read the touched v_buckets driver-side
+    (:func:`_local_bucket_rows`) instead of running one pruned-scan
+    job per fold — zero Spark jobs for a bounded delivery's whole
+    merge plan."""
+    edge_rows = getattr(new_edges, "_hfc_rows", None)
+    vt = new_edges.schema[src].dataType
     # the Python bucket twin only covers BIGINT keys (xxhash64's
     # 8-byte lane; 4-byte types hash through a different XXH64 path);
     # other vertex types take the distributed plan at any size
-    if e0.schema["a"].dataType.simpleString() == "bigint":
+    if vt.simpleString() == "bigint" and edge_rows is not None:
+        pr = [(a, b) for a, b in edge_rows if a != b]
+        if len(pr) <= QUOTIENT_LOCAL_EDGE_MAX:
+            return _merge_plan_local(
+                spark, vertex_rel, pr, buckets, vt,
+                vertex_dir=vertex_dir,
+            )
+    e0 = new_edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    if vt.simpleString() == "bigint":
         probe = e0.limit(QUOTIENT_LOCAL_EDGE_MAX + 1).collect()
         if len(probe) <= QUOTIENT_LOCAL_EDGE_MAX:
             return _merge_plan_local(
                 spark, vertex_rel, [(r.a, r.b) for r in probe],
-                buckets, e0.schema["a"].dataType,
+                buckets, vt, vertex_dir=vertex_dir,
             )
     e, _e_ids = _eager_checkpoint(e0)
     verts = (

@@ -837,14 +837,26 @@ def test_pruned_merge_plan_local_fast_path_parity(spark, tmp_path,
     f_loc, r_loc = component_merge_plan_pruned(spark, out, delta,
                                                buckets=8)
     assert getattr(f_loc, "_hfc_rows", None) is not None  # took fast path
+    # round-11 extensions of the same path: pre-collected edge rows
+    # (skips the guarded collect) and the driver-side label probe
+    # (vertex_dir) must both be value-identical
+    ldelta = delta.localCheckpoint()
+    ldelta._hfc_rows = [(9, 10), (29, 30), (5, 100001),
+                        (100001, 100002)]
+    f_rows, r_rows = component_merge_plan_pruned(
+        spark, out, ldelta, buckets=8, vertex_dir=out
+    )
+    assert getattr(f_rows, "_hfc_rows", None) is not None
     monkeypatch.setattr(G, "QUOTIENT_LOCAL_EDGE_MAX", 0)
     f_dist, r_dist = component_merge_plan_pruned(spark, out, delta,
                                                  buckets=8)
     assert getattr(f_dist, "_hfc_rows", None) is None  # took distributed
-    assert {tuple(r) for r in f_loc.collect()} == \
-           {tuple(r) for r in f_dist.collect()}
-    assert {tuple(r) for r in r_loc.collect()} == \
-           {tuple(r) for r in r_dist.collect()}
+    want_f = {tuple(r) for r in f_dist.collect()}
+    want_r = {tuple(r) for r in r_dist.collect()}
+    assert {tuple(r) for r in f_loc.collect()} == want_f
+    assert {tuple(r) for r in r_loc.collect()} == want_r
+    assert {tuple(r) for r in f_rows.collect()} == want_f
+    assert {tuple(r) for r in r_rows.collect()} == want_r
 
 
 def test_apply_relabel_fast_path_matches_distributed(spark, tmp_path):

@@ -285,7 +285,7 @@ def main() -> None:
             # pruned endpoint resolution, both projections rewritten
             # in place (component buckets moved, vertex rows upserted)
             fresh, relabel = component_merge_plan_pruned(
-                spark, vrel, delta_e, buckets
+                spark, vrel, delta_e, buckets, vertex_dir=vdir
             )
             changed = apply_relabel_in_place(
                 spark, cdir, relabel, buckets=buckets, fresh=fresh,
