@@ -963,6 +963,70 @@ def test_vertex_layout_local_writer_matches_distributed(spark,
     assert len(flat) == 122  # 120 existing + 2 inserts, no dup rows
 
 
+def test_bounded_fold_schedules_zero_spark_jobs(spark, tmp_path):
+    """The round-11 claim, pinned: a bounded delivery's ENTIRE fold —
+    merge plan (pre-collected edges + driver-side label probe via
+    vertex_dir) and both projection rewrites — runs as driver/
+    filesystem work and schedules NO Spark job.  A future change that
+    silently reintroduces a job per fold (the round-10 fixed-cost
+    class) flips this test, not just a bench number."""
+    from pyspark.sql import types as T
+
+    from hfcommunity_spark.operators.graph import (
+        _local_frame,
+        apply_changes_vertex_layout,
+        apply_relabel_in_place,
+        component_merge_plan_pruned,
+        connected_components,
+        write_component_assign,
+        write_vertex_assign,
+    )
+
+    hist = _chain_edges(spark, 120)
+    assign = connected_components(hist).localCheckpoint()
+    cdir = str(tmp_path / "cassign")
+    vdir = str(tmp_path / "vassign")
+    write_component_assign(assign, cdir, buckets=8)
+    write_vertex_assign(assign, vdir, 8)
+    sch = T.StructType([
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+    ])
+    delta = _local_frame(
+        spark, [(9, 10), (29, 30), (5, 200001)], sch
+    )
+    sc = spark.sparkContext
+    group = "hfc-zero-job-fold"
+    sc.setJobGroup(group, "bounded fold must not schedule jobs")
+    try:
+        fresh, relabel = component_merge_plan_pruned(
+            spark, vdir, delta, buckets=8, vertex_dir=vdir
+        )
+        changed = apply_relabel_in_place(
+            spark, cdir, relabel, buckets=8, fresh=fresh,
+            return_changes=True,
+        )
+        apply_changes_vertex_layout(spark, vdir, changed, 8)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    # and the fold actually happened: the merge + fresh vertex are in
+    # the rewritten layouts
+    got = {
+        (r.vertex, r.component)
+        for r in spark.read.parquet(cdir)
+        .select("vertex", "component").collect()
+    }
+    assert (9, 0) in got and (10, 0) in got      # 0↔10 merged
+    assert (200001, 0) in got                    # fresh joins 5's comp
+    vgot = {
+        (r.vertex, r.component)
+        for r in spark.read.parquet(vdir)
+        .select("vertex", "component").collect()
+    }
+    assert got == vgot  # both projections agree
+
+
 def test_relabel_local_writer_cap_falls_back(spark, tmp_path):
     """apply_relabel_in_place with local frames but a pinned-to-0 row
     cap must take the distributed write and still produce the exact
