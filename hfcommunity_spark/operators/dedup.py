@@ -883,16 +883,25 @@ def dup_span_stats_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def span_postings_frame(docs: DataFrame) -> DataFrame:
+def span_postings_frame(docs: DataFrame, wide: bool = True) -> DataFrame:
     """(doc_id, h, c) span postings — h is the 8-byte ``xxhash64`` of
     each {NGRAM}-gram, c its within-doc multiplicity.  The maintained
     base state of the span-audit family: per-doc stats derive from it,
-    and a delivery extends it by union (:func:`span_index_delta`)."""
-    from hfcommunity_spark.session import default_parallelism
+    and a delivery extends it by union (:func:`span_index_delta`).
 
-    par = default_parallelism()
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    ``wide=True`` (corpus builds) repartitions a narrow input to
+    session width so the tokenize/explode parallelizes; delivery
+    folds pass ``wide=False`` — a contract-bounded batch does not
+    repay a shuffle plus session-width task scheduling to tokenize a
+    few hundred docs (measured ~0.15 s/fold of the x17 lifecycle),
+    and the groupBy below still spreads under AQE if a batch turns
+    out large."""
+    if wide:
+        from hfcommunity_spark.session import default_parallelism
+
+        par = default_parallelism()
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
     with_words = docs.withColumn(
         "w", F.split(F.col("text"), " ")
     ).filter(F.size("w") >= NGRAM)
@@ -1039,7 +1048,9 @@ def span_index_delta(postings: DataFrame, stats: DataFrame,
     the delta-vs-rebuild property test (``tests/test_llmops.py``): any
     split of a corpus into base + deliveries, applied sequentially,
     must equal the from-scratch build on the union."""
-    batch_postings = span_postings_frame(arriving_docs).localCheckpoint()
+    batch_postings = span_postings_frame(
+        arriving_docs, wide=False
+    ).localCheckpoint()
     # semi-join build sides are set-semantic: no distinct (it cost a
     # shuffle stage per fold for nothing)
     batch_h = batch_postings.select("h")
@@ -1081,7 +1092,9 @@ def span_index_delta_bucketed(spark: SparkSession, postings_dir: str,
     never read, rewritten, or recounted."""
     if buckets is None:
         buckets = SPAN_H_BUCKETS
-    batch_postings = span_postings_frame(arriving_docs).localCheckpoint()
+    batch_postings = span_postings_frame(
+        arriving_docs, wide=False
+    ).localCheckpoint()
     hs = batch_postings.select("h").distinct().localCheckpoint()
     hit = sorted(
         r.b
