@@ -797,18 +797,24 @@ WRITER_LOCAL_ROW_MAX = 512_000
 
 
 def _local_bucket_rows(dir_: str, pcol: str, bkts,
-                       cap: int = WRITER_LOCAL_ROW_MAX
+                       cap: int | None = None
                        ) -> dict[int, list] | None:
     """Driver-side pruned read of the touched buckets' parquet files:
     the exact row set the distributed writers' partition-pruned scan
     produces, collected without a Spark job.  Returns None — BEFORE
-    any mutation — when a gate fails (non-local layout, unreadable
-    file, more than ``cap`` rows), in which case the caller runs the
-    distributed path on the same inputs."""
+    any mutation — when a gate fails (non-local layout, unreadable or
+    corrupt file, more than ``cap`` rows), in which case the caller
+    runs the distributed path on the same inputs.  ``cap`` defaults to
+    :data:`WRITER_LOCAL_ROW_MAX` resolved at CALL time (not def time)
+    so pinning the module global — as the fallback-forcing tests do —
+    actually tunes the gate."""
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if cap is None:
+        cap = WRITER_LOCAL_ROW_MAX
     out: dict[int, list] = {}
     total = 0
     try:
@@ -831,7 +837,9 @@ def _local_bucket_rows(dir_: str, pcol: str, bkts,
                         t.column("component").to_pylist())
                 )
             out[b] = rows
-    except OSError:
+    except (OSError, pa.lib.ArrowException):
+        # ArrowInvalid (corrupt/truncated footer) is a ValueError, not
+        # an OSError — both mean "can't trust this layout locally"
         return None
     return out
 
@@ -846,9 +854,14 @@ def _local_bucket_write(dir_: str, pcol: str,
     partitions are never opened.  Mutations only — every gate has
     already passed; an I/O error here propagates (falling back to the
     distributed path after a partial rewrite would fold corrupt
-    state)."""
+    state).  Commit order matches Spark's dynamic overwrite: the
+    replacement file is written INTO the directory first (old files
+    still present), the old files are unlinked only after that write
+    succeeds — so a crash or I/O error mid-bucket never leaves an
+    emptied directory that silently loses untouched components' rows;
+    the recoverable states are old-only (write failed) or old+new
+    (unlink didn't run), both detectable and re-foldable."""
     import os
-    import shutil
     import uuid
 
     import pyarrow as pa
@@ -856,9 +869,12 @@ def _local_bucket_write(dir_: str, pcol: str,
 
     for b, rows in by_bucket.items():
         d = os.path.join(dir_, f"{pcol}={b}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-        os.makedirs(d)
+        old = (
+            [fn for fn in os.listdir(d)
+             if not fn.startswith(("_", "."))]
+            if os.path.isdir(d) else []
+        )
+        os.makedirs(d, exist_ok=True)
         vs, cs = zip(*rows)
         pq.write_table(
             pa.table({
@@ -870,7 +886,19 @@ def _local_bucket_write(dir_: str, pcol: str,
             ),
             compression="snappy",
         )
-    for b in emptied:
+        for fn in old:
+            os.unlink(os.path.join(d, fn))
+    _drop_bucket_dirs(dir_, pcol, emptied)
+
+
+def _drop_bucket_dirs(dir_: str, pcol: str, bkts) -> None:
+    """Remove emptied buckets' directories (files first, then the
+    dir) — shared by the driver-local writer and its crash-recovery
+    story: a partially-dropped bucket just re-drops next fold."""
+    import os
+    import shutil
+
+    for b in bkts:
         d = os.path.join(dir_, f"{pcol}={b}")
         if os.path.isdir(d):
             shutil.rmtree(d)
