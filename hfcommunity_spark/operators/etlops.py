@@ -35,6 +35,7 @@ from hfcommunity_spark.etl.fetch import (
 )
 from hfcommunity_spark.io import TESTDATA_TABLES, read_table, write_snapshot
 from hfcommunity_spark.registry import query
+from hfcommunity_spark.operators.skew import maybe_broadcast
 
 # ---------------------------------------------------------------------------
 # P3 — skip-list predicate (databaseImport.py:624,:712,:787)
@@ -106,7 +107,8 @@ def p4_resource_threshold_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max_num_files`` are skipped *after* a cheap count pre-scan
     (A1, :375).  Customer ≙ repo, order ≙ commit, lineitem ≙ file.
     The count aggregate runs map-side partial before one shuffle on
-    the key; the customer dim joins broadcast."""
+    the key; the customer join routes through the size-gated hint
+    (customer scales with SF)."""
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     customer = read_table(spark, sf_dir, "customer")
@@ -126,7 +128,7 @@ def p4_resource_threshold_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         counts.join(
-            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            maybe_broadcast(customer.select("c_custkey", "c_mktsegment")),
             counts.o_custkey == F.col("c_custkey"),
         )
         .groupBy("c_mktsegment")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
 from hfcommunity_spark.registry import query
+from hfcommunity_spark.operators.skew import maybe_broadcast
 
 DEC = "decimal(18,2)"
 
@@ -95,13 +96,14 @@ def a7_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a4_topk_customers_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Most active organization' metric shape (docs/metrics.html:83-93):
-    join + groupBy + count + top-10.  customer is dim-sized → broadcast;
+    join + groupBy + count + top-10.  customer joins via the size-
+    gated hint (it scales with SF — skew.maybe_broadcast);
     Catalyst compiles orderBy+limit to TakeOrderedAndProject (heap
     top-k, no full sort)."""
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(F.count(F.lit(1)).alias("order_cnt"))
         .orderBy(F.desc("order_cnt"), F.asc("c_custkey"))
@@ -295,7 +297,7 @@ def j3_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(

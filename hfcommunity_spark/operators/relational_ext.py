@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
 from hfcommunity_spark.registry import query
+from hfcommunity_spark.operators.skew import maybe_broadcast
 from hfcommunity_spark.operators.relational import DEC, dec, dsum
 
 
@@ -375,7 +376,7 @@ def q3_unshipped_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount")))

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from hfcommunity_spark.io import read_table
 from hfcommunity_spark.registry import query
+from hfcommunity_spark.operators.skew import maybe_broadcast
 
 
 @query(
@@ -302,7 +303,7 @@ def a15_exact_mode_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     counts = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1206,7 +1207,7 @@ def q8_national_market_share(spark: SparkSession,
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(cn), c["c_nationkey"] == cn["cn_key"])
         .join(F.broadcast(r), cn["cn_region"] == r["r_regionkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])

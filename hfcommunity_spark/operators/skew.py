@@ -23,6 +23,56 @@ from hfcommunity_spark.registry import query
 DEFAULT_SALT = 16
 
 
+def _threshold_bytes(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (the planner
+    accepts forms like ``10485760b`` / ``10MB`` / ``-1``)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    ).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    num = raw
+    mult = 1
+    for suf in sorted(units, key=len, reverse=True):
+        if raw.endswith(suf):
+            num, mult = raw[: -len(suf)], units[suf]
+            break
+    try:
+        return int(num) * mult
+    except ValueError:
+        return 10 << 20
+
+
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Size-GATED broadcast hint: apply ``F.broadcast`` only when
+    Catalyst's own size estimate for the frame's optimized plan sits
+    under the session's ``autoBroadcastJoinThreshold`` — i.e. the same
+    decision rule the static planner and AQE use, made explicit.
+
+    Exists because a HARD ``F.broadcast(t)`` on a table that scales
+    with the data (``customer`` grows linearly with SF in this corpus,
+    unlike the constant-size ``nation``/``region`` dims) bypasses the
+    size check entirely: correct and fast at bench scale, an executor
+    OOM at the 100 TB north star where that dim is tens of GB.  The
+    gate keeps the deterministic plan at small SF (estimate ≪
+    threshold → hint applied, plan shape unchanged) and degrades to a
+    planner-chosen strategy — shuffled hash/sort-merge, or AQE's
+    runtime broadcast if the filtered side turns out small — once the
+    estimate crosses the line.  Any failure to obtain an estimate
+    returns the frame unhinted: AQE still gets its runtime decision,
+    so the failure mode is a conservative plan, never an OOM."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        thr = _threshold_bytes(df.sparkSession)
+    except Exception:
+        return df
+    if thr > 0 and est <= thr:
+        return F.broadcast(df)
+    return df
+
+
 def salted_two_phase_agg(
     df: DataFrame,
     keys: Sequence[str],

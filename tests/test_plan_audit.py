@@ -345,3 +345,88 @@ def test_w1_ntile_no_global_window(spark):
     # the tie-break window must be partitioned: its Exchange is
     # hashpartitioning on bkt, never a global order-by exchange
     assert "rangepartitioning(c_acctbal" not in plan
+
+
+# The corpus' SF-scaled tables (row counts grow linearly with SF) vs
+# the constant-size dims (nation/region/supplier/part).  A HARD
+# F.broadcast on a scaled table is a 100×-scale OOM hazard: the hint
+# bypasses the planner's size check entirely (round-11 verdict).
+_SF_SCALED_TABLES = (
+    "customer", "orders", "lineitem", "events", "documents",
+    "embeddings",
+)
+
+
+def test_no_hard_broadcast_hint_on_sf_scaled_tables():
+    """Source-level invariant: no operator applies F.broadcast()
+    directly to an SF-scaled base table (by its canonical variable
+    name, with or without a .select/.filter chain) — those joins route
+    through skew.maybe_broadcast, whose gate re-checks Catalyst's size
+    estimate against autoBroadcastJoinThreshold at plan time."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("hfcommunity_spark")
+    pat = re.compile(
+        r"F\.broadcast\(\s*(?:%s)\b" % "|".join(_SF_SCALED_TABLES)
+    )
+    hits = [
+        f"{p}:{i}: {line.strip()}"
+        for p in sorted(pkg.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if pat.search(line)
+    ]
+    assert not hits, (
+        "hard broadcast hint on an SF-scaled table (use "
+        "maybe_broadcast):\n" + "\n".join(hits)
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the six faces that hard-hinted customer through round 11
+        "p4_resource_threshold_skip",
+        "a4_topk_customers_by_orders",
+        "j3_orders_per_nation",
+        "q3_unshipped_revenue_topk",
+        "a15_exact_mode_per_segment",
+        "q8_national_market_share",
+    ],
+)
+def test_size_gated_customer_broadcast_keeps_plan_shape(spark, name):
+    """At oracle scale customer's Catalyst size estimate sits far
+    under autoBroadcastJoinThreshold, so the size-gated hint must
+    still fire and the physical plan keeps its round-11 shape — a
+    BroadcastHashJoin, never a sort-merge exchange on the customer
+    edge."""
+    plan = _formatted_plan(spark, name)
+    assert "BroadcastHashJoin" in plan, name
+    assert "SortMergeJoin" not in plan, name
+
+
+def test_maybe_broadcast_gate_respects_threshold(spark):
+    """The gate itself: under the session threshold the hint is
+    applied (analyzed plan carries ResolvedHint); with the threshold
+    pinned below the frame's estimate, the frame comes back unhinted
+    so the planner/AQE keep the runtime decision; threshold -1
+    disables hinting outright."""
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.skew import maybe_broadcast
+
+    cust = read_table(spark, SF_ORACLE, "customer")
+
+    def hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10MB")
+        assert hinted(maybe_broadcast(cust))
+        spark.conf.set(key, "1b")
+        assert not hinted(maybe_broadcast(cust))
+        spark.conf.set(key, "-1")
+        assert not hinted(maybe_broadcast(cust))
+    finally:
+        spark.conf.set(key, prev)
