@@ -64,6 +64,57 @@ def _sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Fixed work units for the host-calibration sentinel — NEVER change
+# these without bumping the key names, or cross-round ratios lose
+# their meaning.
+_CAL_CPU_N = 5_000_000
+_CAL_SCAN_ROWS = 100_000_000
+
+
+def _calibrate(spark) -> dict:
+    """Host-speed sentinel (VERDICT r11 ask #2): two fixed-size work
+    units timed in the SAME process as the query pass, so a future
+    reader can normalize round-over-round ratios for host speed /
+    contention instead of re-running queries to adjudicate phantom
+    regressions (BENCH_r11's t_*/sim_* cluster read 2-4× slower
+    purely from a contended host).
+
+    - ``cpu_loop_sec``: a pure-Python integer loop (driver-side
+      single-core throughput — what per-fold fixed costs and driver-
+      local fast paths scale with).
+    - ``spark_scan_sec``: one constant-size JVM-side job
+      (``range(100M) → sum``), SF-independent — what codegen-bound
+      query time scales with.
+
+    min-of-3 each: calibration must measure the host's best, not its
+    average, to mirror the best-of-2 query estimator."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.session import default_parallelism
+
+    cpu = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        acc = 0
+        for i in range(_CAL_CPU_N):
+            acc += i * i
+        cpu = min(cpu, time.monotonic() - t0)
+    scan = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        spark.range(_CAL_SCAN_ROWS,
+                    numPartitions=default_parallelism()).select(
+            F.sum("id")
+        ).collect()
+        scan = min(scan, time.monotonic() - t0)
+    return {
+        "cpu_loop_sec": round(cpu, 4),
+        "cpu_loop_n": _CAL_CPU_N,
+        "spark_scan_sec": round(scan, 4),
+        "spark_scan_rows": _CAL_SCAN_ROWS,
+    }
+
+
 def _time_queries(spark, names) -> dict[str, float]:
     """best-of-2 per query: a single cold run is dominated by JVM/GC
     noise at this data size; min-of-two is the stable estimator."""
@@ -126,6 +177,7 @@ def main() -> None:
     spark = get_spark(app_name="hfcommunity-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark)
+    calibration = _calibrate(spark)
     timings = _time_queries(spark, sorted(all_queries()))
     spark.stop()
 
@@ -138,7 +190,7 @@ def main() -> None:
     solo = _run_solo(solo_names)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    full, line = build_payloads(timings, sf_val, solo)
+    full, line = build_payloads(timings, sf_val, solo, calibration)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -149,7 +201,8 @@ TAIL_BUDGET = 1900  # the driver records only the last 2000 stdout chars
 
 
 def build_payloads(timings: dict[str, float], sf_val,
-                   solo: dict[str, float] | None = None
+                   solo: dict[str, float] | None = None,
+                   calibration: dict | None = None
                    ) -> tuple[dict, str]:
     """Output discipline: the driver keeps only the LAST 2000 chars of
     stdout (BENCH_r01.json: tail=2000, parsed=null because round-1's
@@ -175,6 +228,18 @@ def build_payloads(timings: dict[str, float], sf_val,
         "full_map": "BENCH_FULL.json",
         "queries": {},
     }
+    if calibration:
+        full["calibration"] = calibration
+        full["calibration_note"] = (
+            "fixed work units timed in the query pass's process; "
+            "divide a round's query times by its calibration to "
+            "normalize out host speed/contention before comparing "
+            "rounds"
+        )
+        payload["calibration"] = {
+            k: calibration[k] for k in ("cpu_loop_sec", "spark_scan_sec")
+            if k in calibration
+        }
     if solo:
         full["solo"] = dict(sorted(solo.items()))
         full["solo_regime"] = (

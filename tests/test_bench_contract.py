@@ -53,3 +53,32 @@ def test_solo_regime_rides_the_line_and_full_payload():
     # and without a solo map neither artifact grows the keys
     full2, line2 = build_payloads(timings, 0.1, None)
     assert "solo" not in full2 and "solo" not in json.loads(line2)
+
+
+def test_calibration_rides_both_payloads_and_fits_budget():
+    """The host-calibration sentinel (round-11 verdict: BENCH_r11
+    carried phantom 2-4x regressions from a contended host that only
+    a re-run could adjudicate): when a calibration map is passed,
+    BENCH_FULL carries the full map + note and the stdout line carries
+    the two timing fields — still inside the driver's tail budget at a
+    large inventory; without one, neither payload grows the keys."""
+    from bench import _CAL_CPU_N, _CAL_SCAN_ROWS
+
+    timings = _fake_timings(400)
+    cal = {"cpu_loop_sec": 0.3123, "cpu_loop_n": _CAL_CPU_N,
+           "spark_scan_sec": 0.4567, "spark_scan_rows": _CAL_SCAN_ROWS}
+    solo = {"g_merge_base": 1.2345}
+    full, line = build_payloads(timings, 0.1, solo, cal)
+    assert len(line) <= TAIL_BUDGET + 1
+    d = json.loads(line)
+    assert d["calibration"] == {"cpu_loop_sec": 0.3123,
+                                "spark_scan_sec": 0.4567}
+    assert full["calibration"] == cal
+    assert "normalize" in full["calibration_note"]
+    # fixed work units are part of the artifact so a changed unit is
+    # visible, not silently incomparable
+    assert full["calibration"]["cpu_loop_n"] == _CAL_CPU_N
+    assert full["calibration"]["spark_scan_rows"] == _CAL_SCAN_ROWS
+    full2, line2 = build_payloads(timings, 0.1)
+    assert "calibration" not in full2
+    assert "calibration" not in json.loads(line2)
