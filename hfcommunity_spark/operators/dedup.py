@@ -1954,6 +1954,430 @@ def _delta_base_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# d_bucket count for the maintained per-doc stats layout: sized like
+# the postings' h-buckets — at deployment scale a stats table is
+# doc-count-sized, so bucket count scales with the table and bucket
+# SIZE stays constant (the graph.ASSIGN_ROWS_PER_BUCKET rule).
+SPAN_STATS_BUCKETS = 64
+
+
+def write_span_stats(stats: DataFrame, out_dir: str,
+                     buckets: int = SPAN_STATS_BUCKETS) -> str:
+    """Materialize the per-doc span stats as the doc-bucketed layout a
+    deployment upserts in place: parquet partitioned by
+    ``d_bucket = pmod(xxhash64(doc_id), buckets)`` (the
+    ``graph._bucket_expr`` single source of truth, so the driver-local
+    writer's Python twin ``graph._py_bucket`` prunes identically).
+    Repartitioned on the bucket key for one file per bucket
+    (:func:`write_span_postings`'s file-count rationale)."""
+    from hfcommunity_spark.operators.graph import _bucket_expr
+
+    (
+        stats.withColumn("d_bucket", _bucket_expr("doc_id", buckets))
+        .repartition(F.col("d_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("d_bucket")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def _span_local_read_buckets(dir_: str, bkts, columns,
+                             cap: int) -> dict[int, list] | None:
+    """Driver-side pruned read of the touched buckets of a span
+    layout (``graph._local_bucket_rows`` generalized to an arbitrary
+    column list).  Returns ``{bucket: [tuple, ...]}`` or None — BEFORE
+    any mutation — on a failed gate (missing layout treated per-bucket
+    as empty; unreadable/corrupt file or > ``cap`` total rows gate the
+    whole fold)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out: dict[int, list] = {}
+    total = 0
+    try:
+        for b in bkts:
+            d = os.path.join(dir_, f"d_bucket={b}")
+            rows: list = []
+            if os.path.isdir(d):
+                for fn in sorted(os.listdir(d)):
+                    if (fn.startswith(("_", "."))
+                            or not fn.endswith(".parquet")):
+                        continue
+                    t = pq.read_table(
+                        os.path.join(d, fn), columns=list(columns)
+                    )
+                    total += t.num_rows
+                    if total > cap:
+                        return None
+                    rows.extend(
+                        zip(*(t.column(c).to_pylist() for c in columns))
+                    )
+            out[b] = rows
+    except (OSError, pa.lib.ArrowException):
+        return None
+    return out
+
+
+def _span_local_write_buckets(dir_: str, pcol: str,
+                              by_bucket: dict[int, list],
+                              fields, append: bool) -> None:
+    """Driver-side bucket writer for the span layouts, staged-commit
+    (``graph._local_bucket_write`` discipline: the new file lands
+    while old files are still present; replace mode unlinks them only
+    after the write succeeds).  ``fields`` is the ordered
+    (name, pyarrow type) schema; ``append=True`` (postings deliveries)
+    never touches existing files."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for b, rows in by_bucket.items():
+        if not rows:
+            # stats buckets never empty out (the fold only adds or
+            # updates rows) and postings appends are built from the
+            # batch — an empty list means nothing to write
+            continue
+        d = os.path.join(dir_, f"{pcol}={b}")
+        old = (
+            [] if append else
+            [fn for fn in os.listdir(d)
+             if not fn.startswith(("_", "."))]
+            if os.path.isdir(d) else []
+        )
+        os.makedirs(d, exist_ok=True)
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table({
+                name: pa.array(cols[i], typ)
+                for i, (name, typ) in enumerate(fields)
+            }),
+            os.path.join(
+                d, f"part-00000-{uuid.uuid4().hex}.snappy.parquet"
+            ),
+            compression="snappy",
+        )
+        for fn in old:
+            os.unlink(os.path.join(d, fn))
+
+
+# Byte budget for the driver-local probe's pruned read of the
+# postings layout: checked against file sizes BEFORE any read.  At
+# bench scale the whole layout is a few MB; a deployment whose touched
+# buckets exceed this gets the distributed partition-pruned probe.
+SPAN_LOCAL_READ_BYTE_MAX = 256 << 20
+
+
+def _span_probe_local(postings_dir: str, hit, h_set,
+                      cap: int) -> list | None:
+    """Driver-side twin of :func:`_bucketed_span_probe`: read the
+    touched h-buckets' files with pyarrow and keep rows whose ``h``
+    is in the batch's hash set — a vectorized ``is_in`` kernel, NOT a
+    |h_set|-literal Spark In() (whose py4j marshalling + analysis cost
+    seconds per fold at ~10k hashes; the round-2 INSET lesson at 4×
+    the size).  Gates — all before any mutation anywhere: total file
+    bytes over :data:`SPAN_LOCAL_READ_BYTE_MAX`, filtered rows over
+    ``cap``, unreadable/corrupt files → None (distributed probe
+    runs)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    files: list[str] = []
+    total_bytes = 0
+    try:
+        for b in hit:
+            d = os.path.join(postings_dir, f"h_bucket={b}")
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if (fn.startswith(("_", "."))
+                        or not fn.endswith(".parquet")):
+                    continue
+                p = os.path.join(d, fn)
+                total_bytes += os.stat(p).st_size
+                if total_bytes > SPAN_LOCAL_READ_BYTE_MAX:
+                    return None
+                files.append(p)
+        if not files:
+            return []
+        # one multithreaded dataset scan over the touched files (4×
+        # a sequential per-file read_table loop at 64-file layouts —
+        # and the x17 layout accretes one file per bucket per
+        # delivery, so the probe's file count grows with history)
+        want = pa.array(sorted(h_set), pa.int64())
+        t = pads.dataset(files).to_table(
+            columns=["doc_id", "h", "c"],
+            filter=pc.field("h").isin(want),
+        )
+        if t.num_rows > cap:
+            return None
+        return list(
+            zip(t.column("doc_id").to_pylist(),
+                t.column("h").to_pylist(),
+                t.column("c").to_pylist())
+        )
+    except (OSError, pa.lib.ArrowException):
+        return None
+
+
+def _span_exploded_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) span rows WITHOUT the per-doc rollup — the local
+    fold's collect plan: split/explode/xxhash64 run JVM-side as a
+    map-only job (no exchange), the (doc, h) -> c rollup happens in
+    the driver dict.  Must stay in lockstep with
+    :func:`span_postings_frame`'s shingle arithmetic."""
+    with_words = docs.withColumn(
+        "w", F.split(F.col("text"), " ")
+    ).filter(F.size("w") >= NGRAM)
+    return with_words.select(
+        "doc_id",
+        F.explode(F.expr(_shingle_expr(NGRAM))).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+
+
+def _span_fold_local(spark, postings_dir: str, stats_dir: str,
+                     batch_spans: DataFrame, buckets: int,
+                     stats_buckets: int) -> bool:
+    """Driver-local twin of the bucketed span fold (VERDICT r11 #5 —
+    the x15 'files as the interface' lesson): the batch's postings and
+    the pruned probe COLLECT (guarded), the changed-stats arithmetic
+    runs as dict rollups in Python (value-identical to
+    :func:`_span_delta_changed_stats` — same nd_old/nd_batch window
+    math), and the results go straight to the bucketed FILES — batch
+    postings appended one file per touched h-bucket, changed stats
+    upserted via pruned per-bucket rewrites.  Nothing collected is
+    ever re-uploaded into a Spark plan (the round-trip trap that
+    killed round 11's arithmetic twin: ARCHITECTURE.md §5r); serving
+    reads the layout as parquet.
+
+    Returns False — before ANY mutation — when a gate fails (row caps
+    via ``graph.WRITER_LOCAL_ROW_MAX`` resolved at call time, probe
+    byte budget, non-local/unreadable layout); the caller then runs
+    the distributed fold on the same inputs.  At 100 TB the layouts
+    live on object storage, ``isdir`` fails, and the distributed path
+    is the one that runs."""
+    import os
+
+    from hfcommunity_spark.operators import graph as G
+
+    cap = G.WRITER_LOCAL_ROW_MAX
+    # collect the batch's EXPLODED spans (map-only job, no shuffle —
+    # split/explode/xxhash64 stay JVM-side) and roll up the per-doc
+    # multiplicities in Python: the groupBy the distributed
+    # span_postings_frame pays exists only to bound a corpus-scale
+    # frame, which a delivery batch is not
+    if not (os.path.isdir(postings_dir) and os.path.isdir(stats_dir)):
+        return False
+    exploded = batch_spans.limit(cap + 1).collect()
+    if len(exploded) > cap:
+        return False
+    return _span_fold_local_rows(
+        spark, postings_dir, stats_dir,
+        [(r.doc_id, r.h) for r in exploded], buckets, stats_buckets,
+    )
+
+
+def _span_fold_local_rows(spark, postings_dir: str, stats_dir: str,
+                          exploded: list, buckets: int,
+                          stats_buckets: int) -> bool:
+    """The driver-local fold over ALREADY-COLLECTED (doc_id, h) span
+    pairs — the seam the x17 lifecycle uses to split ONE whole-stream
+    collect into per-delivery folds (the x15 one-scan lesson), making
+    each fold pure Python + file IO with zero Spark jobs.  Same
+    pre-mutation gates as :func:`_span_fold_local`."""
+    import os
+    from collections import Counter, defaultdict
+
+    from hfcommunity_spark.operators import graph as G
+
+    cap = G.WRITER_LOCAL_ROW_MAX
+    if not (os.path.isdir(postings_dir) and os.path.isdir(stats_dir)):
+        return False
+    agg: dict[tuple, int] = {}
+    for d, h in exploded:
+        key = (d, h)
+        agg[key] = agg.get(key, 0) + 1
+    batch_rows = [(d, h, c) for (d, h), c in agg.items()]
+    if not batch_rows:
+        return True  # empty delivery: nothing to fold
+    h_set = {h for _, h, _ in batch_rows}
+    hit = sorted({h % buckets for h in h_set})
+    probe_rows = _span_probe_local(postings_dir, hit, h_set, cap)
+    if probe_rows is None:
+        return False
+    # the _span_delta_changed_stats arithmetic, driver-side: rows are
+    # unique per (doc_id, h), so per-h row counts ARE the cross-doc
+    # occurrence counts
+    nd_batch = Counter(h for _, h, _ in batch_rows)
+    nd_old = Counter(h for _, h, _ in probe_rows)
+    batch_stats: dict[int, list] = {}
+    for d, h, c in batch_rows:
+        s = batch_stats.setdefault(d, [0, 0])
+        s[0] += c
+        if nd_old[h] + nd_batch[h] >= 2:
+            s[1] += c
+    inc: dict[int, int] = defaultdict(int)
+    for d, h, c in probe_rows:
+        if nd_old[h] == 1:
+            inc[d] += c
+    # pruned read of the touched stats buckets — the LAST gate, still
+    # before any mutation
+    touched = set(batch_stats) | set(inc)
+    sbkts = sorted({G._py_bucket(d, stats_buckets) for d in touched})
+    data = _span_local_read_buckets(
+        stats_dir, sbkts, ("doc_id", "n_spans", "n_dup_spans"), cap
+    )
+    if data is None:
+        return False
+    stats_out: dict[int, list] = {}
+    for b, rows in data.items():
+        out = []
+        for d, ns, nd in rows:
+            if d in inc:
+                out.append((d, ns, nd + inc[d]))
+            elif d not in batch_stats:
+                out.append((d, ns, nd))
+            # a batch doc_id colliding with an existing stats row
+            # would violate the delivery contract; the fresh row
+            # below wins, matching the distributed upsert's anti-join
+        stats_out[b] = out
+    for d, (ns, nd) in batch_stats.items():
+        stats_out.setdefault(
+            G._py_bucket(d, stats_buckets), []
+        ).append((d, ns, nd))
+    # gates all passed — mutate: stats buckets rewritten (staged
+    # commit), batch postings appended one new file per h-bucket
+    import pyarrow as pa
+
+    i64 = pa.int64()
+    _span_local_write_buckets(
+        stats_dir, "d_bucket", stats_out,
+        (("doc_id", i64), ("n_spans", i64), ("n_dup_spans", i64)),
+        append=False,
+    )
+    post_out: dict[int, list] = {}
+    for d, h, c in batch_rows:
+        post_out.setdefault(h % buckets, []).append((d, h, c))
+    _span_local_write_buckets(
+        postings_dir, "h_bucket", post_out,
+        (("doc_id", i64), ("h", i64), ("c", i64)),
+        append=True,
+    )
+    return True
+
+
+def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
+                       arriving_docs: DataFrame,
+                       buckets: int = None,
+                       stats_buckets: int = SPAN_STATS_BUCKETS) -> None:
+    """Fold a delivery into the PERSISTED span layouts in place — the
+    maintained-table writer for the span-audit family: postings append
+    into their h-buckets, changed per-doc stats upsert into their
+    d-buckets, untouched rows never read or rewritten.  Driver-local
+    fast path when the layouts are local files and the delivery is
+    bounded (:func:`_span_fold_local`); otherwise the distributed
+    fold: :func:`span_index_delta_bucketed` computes the same two
+    frames, the stats upsert runs as a partition-pruned dynamic
+    overwrite, and :func:`append_span_postings` lands the batch
+    partition-aligned.  Parity between the paths is
+    test-locked (``tests/test_llmops.py``)."""
+    if buckets is None:
+        buckets = SPAN_H_BUCKETS
+    if not _span_fold_local(
+        spark, postings_dir, stats_dir,
+        _span_exploded_frame(arriving_docs),
+        buckets, stats_buckets,
+    ):
+        from hfcommunity_spark.operators.graph import (
+            _bucket_expr,
+            _bucket_ids,
+            _write_tasks,
+        )
+
+        stats = spark.read.parquet(stats_dir).select(
+            "doc_id", "n_spans", "n_dup_spans"
+        )
+        batch_postings, changed = span_index_delta_bucketed(
+            spark, postings_dir, stats, arriving_docs, buckets
+        )
+        # materialize the changed rows BEFORE mutating either layout
+        # they were derived from (postings probe + stats join)
+        changed = changed.localCheckpoint()
+        sbkts = _bucket_ids(changed, ["doc_id"], stats_buckets)
+        pruned = spark.read.parquet(stats_dir).filter(
+            F.col("d_bucket").isin(sbkts)
+        )
+        out = (
+            pruned.join(
+                F.broadcast(changed.select("doc_id")),
+                "doc_id", "left_anti",
+            )
+            .select("doc_id", "n_spans", "n_dup_spans")
+            .unionByName(changed)
+            .withColumn("d_bucket", _bucket_expr("doc_id", stats_buckets))
+        )
+        rows = out.localCheckpoint()  # cut lineage from the files
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                rows.repartition(
+                    _write_tasks(len(sbkts)), F.col("d_bucket")
+                )
+                .write.mode("overwrite")
+                .partitionBy("d_bucket")
+                .parquet(stats_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        append_span_postings(batch_postings, postings_dir, buckets)
+    spark.catalog.refreshByPath(postings_dir)
+    spark.catalog.refreshByPath(stats_dir)
+
+
+def _x17_pristine_layouts(spark: SparkSession, sf_dir: str) -> str:
+    """Base-slice span layouts materialized ONCE per (process, sf_dir)
+    — h-bucketed postings + d-bucketed stats, published atomically;
+    invocations copy to a private working dir because the fold
+    MUTATES the table (the x15 pristine-reset discipline)."""
+    import os
+    import tempfile
+
+    from hfcommunity_spark.operators.etlops import (
+        _publish_scratch_dir,
+        _stable_scratch_dir,
+    )
+
+    final, built = _stable_scratch_dir("hfc_x17_span_", sf_dir)
+    if built:
+        return final
+    base = tempfile.mkdtemp(
+        prefix="hfc_x17_span_tmp_", dir=os.path.dirname(final)
+    )
+    write_span_postings(
+        _delta_base_span_postings(spark, sf_dir),
+        os.path.join(base, "postings"),
+    )
+    write_span_stats(
+        _delta_base_span_stats(spark, sf_dir),
+        os.path.join(base, "stats"),
+    )
+    return _publish_scratch_dir(base, final)
+
+
 def _x17_oracle() -> str:
     arms = []
     for k in range(X17_DELIVERIES):
@@ -1990,64 +2414,130 @@ def x17_stream_maintained_spans(spark: SparkSession,
 
     Serving the WHOLE stats table per delivery is the test-scale
     oracle contract; a deployment upserts the changed rows into the
-    doc-partitioned audit table and queries it in place.  Since round
-    11 each fold materializes ONLY its delivery-bounded pieces (the
-    batch postings and the changed stats rows, inside
-    :func:`span_index_delta`); both maintained chains are unions of
-    those immutable pieces behind map-side broadcast anti-joins —
-    per-fold cost is independent of accumulated corpus size, the
-    property the sf1→sf3 growth step grades.  Everything the
-    invocation checkpoints is freed once the served union
-    materializes; the served snapshots are what the caller keeps."""
+    doc-partitioned audit table and queries it in place.
+
+    Round-12 lifecycle (VERDICT r11 #5 — the x15 lesson, files as the
+    interface): the standing state is the two PERSISTED bucketed
+    layouts (h-bucketed postings, d-bucketed stats), copied from a
+    once-per-process pristine build into a private working dir; each
+    delivery folds via :func:`span_fold_in_place` — the driver-local
+    pyarrow upsert when the delivery is bounded and the layout local,
+    the partition-pruned distributed writers otherwise — and serving
+    is ONE flat parquet scan of the stats layout per delivery.  No
+    union-of-pieces plan deepens across folds, no corpus-sized cached
+    frame is re-scanned per serve, and per-fold cost is bounded by
+    the delivery regardless of accumulated history."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
     from hfcommunity_spark.operators.graph import (
-        _eager_checkpoint,
         materialize_and_free,
         pinned_block_ids,
     )
+    from hfcommunity_spark.session import default_parallelism
 
-    # ensure the session-cached standing state materializes BEFORE the
-    # before/after block diff below, so only this invocation's fold
-    # intermediates land in the freed set
-    postings = _delta_base_span_postings(spark, sf_dir)
-    stats = _delta_base_span_stats(spark, sf_dir)
-    stats.count()
+    pristine = _x17_pristine_layouts(spark, sf_dir)
     arriving = _delta_arriving_docs(spark, sf_dir)
-
     before = pinned_block_ids(spark)
+
+    run = uuid.uuid4().hex[:12]
+    work = tempfile.mkdtemp(prefix=f"hfc_x17_work_{run}_")
+    pdir = os.path.join(work, "postings")
+    sdir = os.path.join(work, "stats")
+
+    def _link_or_copy(src: str, dst: str) -> None:
+        # hardlinks: the fold only ever ADDS files (postings append)
+        # or unlinks-and-replaces whole files (stats staged commit),
+        # never modifies one in place, so the pristine layout is safe
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    shutil.copytree(
+        os.path.join(pristine, "postings"), pdir,
+        copy_function=_link_or_copy,
+    )
+    shutil.copytree(
+        os.path.join(pristine, "stats"), sdir,
+        copy_function=_link_or_copy,
+    )
+    width = default_parallelism()
+    # ONE whole-stream collect splits every delivery's exploded spans
+    # by arrival (the x15 one-scan lesson): each fold then runs as
+    # pure Python + file IO (zero Spark jobs).  Guarded by the same
+    # row cap as the per-fold path; on overflow spans_by_k stays None
+    # and each fold falls back to span_fold_in_place, which re-gates
+    # per delivery.
+    from collections import defaultdict
+
+    from hfcommunity_spark.operators import graph as G
+
+    cap = G.WRITER_LOCAL_ROW_MAX
+    tagged = _span_exploded_frame(arriving).select(
+        "doc_id", "h",
+        F.expr(
+            f"(doc_id DIV {_DELTA_SPLIT_MOD}) % {X17_DELIVERIES}"
+        ).cast("int").alias("k"),
+    ).limit(cap + 1).collect()
+    spans_by_k: dict[int, list] | None = None
+    if len(tagged) <= cap:
+        spans_by_k = defaultdict(list)
+        for r in tagged:
+            spans_by_k[r.k].append((r.doc_id, r.h))
+
     served: list[DataFrame] = []
-    for k in range(X17_DELIVERIES):
-        batch = arriving.filter(
-            F.expr(
-                f"(doc_id DIV {_DELTA_SPLIT_MOD}) % {X17_DELIVERIES}"
-            ) == k
-        )
-        postings, stats = span_index_delta(postings, stats, batch)
-        # no per-fold stats re-checkpoint since round 11: the delta
-        # materializes its CHANGED rows internally (delivery-bounded),
-        # so the stats chain is base ∪ checkpointed pieces behind
-        # broadcast anti-joins — depth grows by one cheap map-side
-        # node per fold, and serving evaluates it over cached/local
-        # pieces only.  Re-checkpointing here materialized the whole
-        # corpus-sized stats table once per fold for nothing (the
-        # same lesson as the postings chain, round 10).
-        served.append(
-            stats.select(
-                F.lit(k).cast("int").alias("delivery_id"),
-                "doc_id", "n_spans", "n_dup_spans",
-                (
-                    F.col("n_dup_spans").cast("double")
-                    / F.col("n_spans")
-                ).alias("dup_ratio"),
+    try:
+        for k in range(X17_DELIVERIES):
+            folded = (
+                _span_fold_local_rows(
+                    spark, pdir, sdir, spans_by_k[k],
+                    SPAN_H_BUCKETS, SPAN_STATS_BUCKETS,
+                )
+                if spans_by_k is not None else False
             )
+            if not folded:
+                # gates failed before any mutation — the distributed
+                # fold runs on the same delivery
+                span_fold_in_place(
+                    spark, pdir, sdir,
+                    arriving.filter(
+                        F.expr(
+                            f"(doc_id DIV {_DELTA_SPLIT_MOD}) "
+                            f"% {X17_DELIVERIES}"
+                        ) == k
+                    ),
+                )
+            # per-delivery SNAPSHOT by hardlink (~ms): the staged-
+            # commit writers replace files by unlink+write, so linked
+            # snapshots keep the old inodes — all three serve states
+            # then materialize in ONE job at the end instead of one
+            # scan + checkpoint per fold (measured ~0.4 s/fold)
+            snap = os.path.join(work, f"serve{k}")
+            shutil.copytree(sdir, snap, copy_function=_link_or_copy)
+            served.append(
+                spark.read.parquet(snap).select(
+                    F.lit(k).cast("int").alias("delivery_id"),
+                    "doc_id", "n_spans", "n_dup_spans",
+                    (
+                        F.col("n_dup_spans").cast("double")
+                        / F.col("n_spans")
+                    ).alias("dup_ratio"),
+                )
+            )
+        out = served[0]
+        for s in served[1:]:
+            out = out.unionByName(s)
+        # ONE materialization of all three snapshots; the returned
+        # frame reads only its own blocks, so the working dir (and
+        # the snapshots) can go in the finally
+        return materialize_and_free(
+            spark, before, out.coalesce(width)
         )
-    out = served[0]
-    for s in served[1:]:
-        out = out.unionByName(s)
-    # materialize the union FIRST, then free every checkpoint block
-    # this invocation created — including span_index_delta's internal
-    # batch/probe checkpoints.  The returned frame reads only its own
-    # blocks; nothing else stays pinned per invocation.
-    return materialize_and_free(spark, before, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # --- source/domain hygiene gate (round 6) ---------------------------

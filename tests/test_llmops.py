@@ -782,3 +782,133 @@ def test_span_postings_append_lifecycle(spark, tmp_path):
         b = int(d.split("h_bucket=")[1])
         files = [x for x in os.listdir(d) if x.endswith(".parquet")]
         assert len(files) <= (2 if b in touched else 1), (d, files)
+
+
+def test_span_fold_in_place_local_equals_distributed_equals_rebuild(
+        spark, tmp_path):
+    """The round-12 persisted span fold (VERDICT r11 #5): folding two
+    sequential deliveries into the bucketed postings+stats layouts via
+    span_fold_in_place must leave IDENTICAL layout contents whether
+    the driver-local pyarrow path runs (default) or the cap forces the
+    distributed writers (WRITER_LOCAL_ROW_MAX pinned to 0), and both
+    must equal the from-scratch stats/postings over each prefix
+    corpus — including old docs whose n_dup_spans flips only because a
+    delivery re-used their spans."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+    from hfcommunity_spark.operators import graph as G
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    deliveries = [
+        docs.filter(F.col("doc_id") % 3 == 1),
+        docs.filter(F.col("doc_id") % 3 == 2),
+    ]
+
+    def fold_all(tag: str, cap: int | None) -> list[dict]:
+        pdir = str(tmp_path / tag / "postings")
+        sdir = str(tmp_path / tag / "stats")
+        dd.write_span_postings(dd.span_postings_frame(base), pdir)
+        dd.write_span_stats(
+            dd.span_stats_from_postings(dd.span_postings_frame(base)),
+            sdir,
+        )
+        snaps = []
+        old = G.WRITER_LOCAL_ROW_MAX
+        if cap is not None:
+            G.WRITER_LOCAL_ROW_MAX = cap
+        try:
+            for delivery in deliveries:
+                dd.span_fold_in_place(spark, pdir, sdir, delivery)
+                snaps.append({
+                    "stats": {
+                        tuple(r) for r in spark.read.parquet(sdir)
+                        .select("doc_id", "n_spans", "n_dup_spans")
+                        .collect()
+                    },
+                    "postings": {
+                        tuple(r) for r in spark.read.parquet(pdir)
+                        .select("doc_id", "h", "c").collect()
+                    },
+                })
+        finally:
+            G.WRITER_LOCAL_ROW_MAX = old
+        # layout hygiene: every file still lives under a bucket dir
+        assert all(
+            d.startswith("d_bucket=") for d in os.listdir(sdir)
+            if not d.startswith(("_", "."))
+        )
+        return snaps
+
+    local = fold_all("local", None)
+    dist = fold_all("dist", 0)
+    assert local == dist
+    # prefix-rebuild oracle for both folds
+    corpus = base
+    for k, delivery in enumerate(deliveries):
+        corpus = corpus.unionByName(delivery)
+        want_stats = {
+            tuple(r) for r in dd.span_stats_frame(corpus).collect()
+        }
+        want_post = {
+            tuple(r) for r in dd.span_postings_frame(corpus).collect()
+        }
+        assert local[k]["stats"] == want_stats, f"delivery {k}"
+        assert local[k]["postings"] == want_post, f"delivery {k}"
+    # the deliveries actually flipped an old doc (cross-slice dups)
+    base_stats = {
+        r.doc_id: r.n_dup_spans
+        for r in dd.span_stats_frame(base).collect()
+    }
+    assert any(
+        ns != base_stats[d]
+        for d, _, ns in local[-1]["stats"] if d in base_stats
+    )
+
+
+def test_span_fold_local_rows_schedules_zero_jobs(spark, tmp_path):
+    """The x17 fold discipline, pinned like the graph fold
+    (tests/test_graph.py): a pre-collected delivery folds into the
+    span layouts as pure Python + file IO — ZERO Spark jobs."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    pdir = str(tmp_path / "postings")
+    sdir = str(tmp_path / "stats")
+    dd.write_span_postings(dd.span_postings_frame(base), pdir)
+    dd.write_span_stats(
+        dd.span_stats_from_postings(dd.span_postings_frame(base)), sdir
+    )
+    exploded = [
+        (r.doc_id, r.h)
+        for r in dd._span_exploded_frame(
+            docs.filter(F.col("doc_id") % 3 == 1)
+        ).collect()
+    ]
+    sc = spark.sparkContext
+    group = "hfc-span-zero-job-fold"
+    sc.setJobGroup(group, "span fold must not schedule jobs")
+    try:
+        ok = dd._span_fold_local_rows(
+            spark, pdir, sdir, exploded,
+            dd.SPAN_H_BUCKETS, dd.SPAN_STATS_BUCKETS,
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert ok
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    # and it actually folded: the delivery's docs are in the stats
+    got = {r.doc_id for r in spark.read.parquet(sdir).collect()}
+    assert {d for d, _ in exploded} <= got
