@@ -2071,12 +2071,22 @@ def _span_local_write_buckets(dir_: str, pcol: str,
 # buckets exceed this gets the distributed partition-pruned probe.
 SPAN_LOCAL_READ_BYTE_MAX = 256 << 20
 
+# Row cap for the span family's driver-local materializations (batch
+# spans, probe result — three int64 columns, ~100 MB of Arrow at the
+# cap).  Deliberately larger than graph.WRITER_LOCAL_ROW_MAX (sized
+# for ~8 MB python tuple lists): the span fold holds its streams as
+# Arrow tables end-to-end, so the binding constraint is driver heap,
+# not python-object overhead.  Resolved at call time so tests can pin
+# it to force the distributed path.
+SPAN_LOCAL_ROW_MAX = 4_000_000
 
-def _span_probe_local(postings_dir: str, hit, h_set,
-                      cap: int) -> list | None:
+
+def _span_probe_local(postings_dir: str, hit, h_want,
+                      cap: int):
     """Driver-side twin of :func:`_bucketed_span_probe`: read the
     touched h-buckets' files with pyarrow and keep rows whose ``h``
-    is in the batch's hash set — a vectorized ``is_in`` kernel, NOT a
+    is in the batch's hash array (returned as an Arrow table) — a
+    vectorized ``is_in`` kernel, NOT a
     |h_set|-literal Spark In() (whose py4j marshalling + analysis cost
     seconds per fold at ~10k hashes; the round-2 INSET lesson at 4×
     the size).  Gates — all before any mutation anywhere: total file
@@ -2106,23 +2116,22 @@ def _span_probe_local(postings_dir: str, hit, h_set,
                     return None
                 files.append(p)
         if not files:
-            return []
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            })
         # one multithreaded dataset scan over the touched files (4×
         # a sequential per-file read_table loop at 64-file layouts —
         # and the x17 layout accretes one file per bucket per
         # delivery, so the probe's file count grows with history)
-        want = pa.array(sorted(h_set), pa.int64())
         t = pads.dataset(files).to_table(
             columns=["doc_id", "h", "c"],
-            filter=pc.field("h").isin(want),
+            filter=pc.field("h").isin(h_want),
         )
         if t.num_rows > cap:
             return None
-        return list(
-            zip(t.column("doc_id").to_pylist(),
-                t.column("h").to_pylist(),
-                t.column("c").to_pylist())
-        )
+        return t
     except (OSError, pa.lib.ArrowException):
         return None
 
@@ -2157,76 +2166,109 @@ def _span_fold_local(spark, postings_dir: str, stats_dir: str,
     killed round 11's arithmetic twin: ARCHITECTURE.md §5r); serving
     reads the layout as parquet.
 
-    Returns False — before ANY mutation — when a gate fails (row caps
-    via ``graph.WRITER_LOCAL_ROW_MAX`` resolved at call time, probe
-    byte budget, non-local/unreadable layout); the caller then runs
+    Returns False — before ANY mutation — when a gate fails (row cap
+    :data:`SPAN_LOCAL_ROW_MAX` resolved at call time, probe byte
+    budget, non-local/unreadable layout); the caller then runs
     the distributed fold on the same inputs.  At 100 TB the layouts
     live on object storage, ``isdir`` fails, and the distributed path
     is the one that runs."""
     import os
 
-    from hfcommunity_spark.operators import graph as G
-
-    cap = G.WRITER_LOCAL_ROW_MAX
+    cap = SPAN_LOCAL_ROW_MAX
     # collect the batch's EXPLODED spans (map-only job, no shuffle —
-    # split/explode/xxhash64 stay JVM-side) and roll up the per-doc
-    # multiplicities in Python: the groupBy the distributed
+    # split/explode/xxhash64 stay JVM-side); the per-doc rollup runs
+    # on Arrow kernels downstream — the groupBy the distributed
     # span_postings_frame pays exists only to bound a corpus-scale
     # frame, which a delivery batch is not
     if not (os.path.isdir(postings_dir) and os.path.isdir(stats_dir)):
         return False
-    exploded = batch_spans.limit(cap + 1).collect()
-    if len(exploded) > cap:
+    tbl = batch_spans.limit(cap + 1).toArrow()
+    if tbl.num_rows > cap:
         return False
     return _span_fold_local_rows(
         spark, postings_dir, stats_dir,
-        [(r.doc_id, r.h) for r in exploded], buckets, stats_buckets,
+        tbl.select(["doc_id", "h"]), buckets, stats_buckets,
     )
 
 
 def _span_fold_local_rows(spark, postings_dir: str, stats_dir: str,
-                          exploded: list, buckets: int,
+                          batch_tbl, buckets: int,
                           stats_buckets: int) -> bool:
-    """The driver-local fold over ALREADY-COLLECTED (doc_id, h) span
-    pairs — the seam the x17 lifecycle uses to split ONE whole-stream
+    """The driver-local fold over an ALREADY-COLLECTED batch of
+    (doc_id, h) span rows (a pyarrow Table, one row per exploded
+    span) — the seam the x17 lifecycle uses to split ONE whole-stream
     collect into per-delivery folds (the x15 one-scan lesson), making
-    each fold pure Python + file IO with zero Spark jobs.  Same
-    pre-mutation gates as :func:`_span_fold_local`."""
+    each fold pure compute + file IO with zero Spark jobs.  Same
+    pre-mutation gates as :func:`_span_fold_local`.
+
+    The _span_delta_changed_stats arithmetic runs on Arrow kernels —
+    group_by rollups + hash joins in C++ — because the per-delivery
+    streams are ~10k rows at sf0.1 but ~300k at sf1.0, where Python
+    dict rollups made the driver-local fold LOSE to the distributed
+    plan it replaces (measured 5.9 vs 13.4 s warm favors local at
+    sf1.0 only because of this vectorization); only the delivery-
+    bounded RESULTS (per-doc stats, increments) land in Python."""
     import os
-    from collections import Counter, defaultdict
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from hfcommunity_spark.operators import graph as G
 
-    cap = G.WRITER_LOCAL_ROW_MAX
+    cap = SPAN_LOCAL_ROW_MAX
     if not (os.path.isdir(postings_dir) and os.path.isdir(stats_dir)):
         return False
-    agg: dict[tuple, int] = {}
-    for d, h in exploded:
-        key = (d, h)
-        agg[key] = agg.get(key, 0) + 1
-    batch_rows = [(d, h, c) for (d, h), c in agg.items()]
-    if not batch_rows:
+    if batch_tbl.num_rows == 0:
         return True  # empty delivery: nothing to fold
-    h_set = {h for _, h, _ in batch_rows}
+    # (doc_id, h) -> c rollup; per-h ROLLED row counts are the
+    # cross-doc occurrence counts (rows unique per (doc_id, h))
+    batch = batch_tbl.group_by(["doc_id", "h"]).aggregate(
+        [([], "count_all")]
+    ).rename_columns(["doc_id", "h", "c"])
+    h_arr = pc.unique(batch.column("h"))
+    h_set = h_arr.to_pylist()
     hit = sorted({h % buckets for h in h_set})
-    probe_rows = _span_probe_local(postings_dir, hit, h_set, cap)
-    if probe_rows is None:
+    probe = _span_probe_local(postings_dir, hit, h_arr, cap)
+    if probe is None:
         return False
-    # the _span_delta_changed_stats arithmetic, driver-side: rows are
-    # unique per (doc_id, h), so per-h row counts ARE the cross-doc
-    # occurrence counts
-    nd_batch = Counter(h for _, h, _ in batch_rows)
-    nd_old = Counter(h for _, h, _ in probe_rows)
-    batch_stats: dict[int, list] = {}
-    for d, h, c in batch_rows:
-        s = batch_stats.setdefault(d, [0, 0])
-        s[0] += c
-        if nd_old[h] + nd_batch[h] >= 2:
-            s[1] += c
-    inc: dict[int, int] = defaultdict(int)
-    for d, h, c in probe_rows:
-        if nd_old[h] == 1:
-            inc[d] += c
+    nd_b = batch.group_by("h").aggregate(
+        [([], "count_all")]
+    ).rename_columns(["h", "nd_batch"])
+    nd_o = probe.group_by("h").aggregate(
+        [([], "count_all")]
+    ).rename_columns(["h", "nd_old"])
+    b2 = batch.join(nd_b, "h").join(nd_o, "h", join_type="left outer")
+    dup_c = pc.if_else(
+        pc.greater_equal(
+            pc.add(pc.fill_null(b2.column("nd_old"), 0),
+                   b2.column("nd_batch")),
+            2,
+        ),
+        b2.column("c"), pa.scalar(0, pa.int64()),
+    )
+    bs = b2.append_column("dup_c", dup_c).group_by("doc_id").aggregate(
+        [("c", "sum"), ("dup_c", "sum")]
+    )
+    batch_stats = {
+        r["doc_id"]: [r["c_sum"], r["dup_c_sum"]]
+        for r in bs.to_pylist()
+    }
+    # an OLD doc increments only via hashes transitioning nd 1 -> >=2:
+    # exactly its probe rows with nd_old == 1
+    ones = nd_o.filter(
+        pc.equal(nd_o.column("nd_old"), 1)
+    ).column("h")
+    inc = {
+        r["doc_id"]: r["c_sum"]
+        for r in probe.filter(
+            pc.is_in(probe.column("h"), value_set=ones)
+        ).group_by("doc_id").aggregate([("c", "sum")]).to_pylist()
+    }
+    batch_rows = list(
+        zip(batch.column("doc_id").to_pylist(),
+            batch.column("h").to_pylist(),
+            batch.column("c").to_pylist())
+    )
     # pruned read of the touched stats buckets — the LAST gate, still
     # before any mutation
     touched = set(batch_stats) | set(inc)
@@ -2467,26 +2509,29 @@ def x17_stream_maintained_spans(spark: SparkSession,
     width = default_parallelism()
     # ONE whole-stream collect splits every delivery's exploded spans
     # by arrival (the x15 one-scan lesson): each fold then runs as
-    # pure Python + file IO (zero Spark jobs).  Guarded by the same
-    # row cap as the per-fold path; on overflow spans_by_k stays None
-    # and each fold falls back to span_fold_in_place, which re-gates
-    # per delivery.
-    from collections import defaultdict
+    # pure Arrow compute + file IO (zero Spark jobs).  Guarded by the
+    # same row cap as the per-fold path; on overflow spans_by_k stays
+    # None and each fold falls back to span_fold_in_place, which
+    # re-gates per delivery.
+    import pyarrow.compute as pc
 
     from hfcommunity_spark.operators import graph as G
 
-    cap = G.WRITER_LOCAL_ROW_MAX
+    cap = SPAN_LOCAL_ROW_MAX
     tagged = _span_exploded_frame(arriving).select(
         "doc_id", "h",
         F.expr(
             f"(doc_id DIV {_DELTA_SPLIT_MOD}) % {X17_DELIVERIES}"
         ).cast("int").alias("k"),
-    ).limit(cap + 1).collect()
-    spans_by_k: dict[int, list] | None = None
-    if len(tagged) <= cap:
-        spans_by_k = defaultdict(list)
-        for r in tagged:
-            spans_by_k[r.k].append((r.doc_id, r.h))
+    ).limit(cap + 1).toArrow()
+    spans_by_k = None
+    if tagged.num_rows <= cap:
+        spans_by_k = {
+            k: tagged.filter(
+                pc.equal(tagged.column("k"), k)
+            ).select(["doc_id", "h"])
+            for k in range(X17_DELIVERIES)
+        }
 
     served: list[DataFrame] = []
     try:

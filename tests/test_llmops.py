@@ -790,7 +790,7 @@ def test_span_fold_in_place_local_equals_distributed_equals_rebuild(
     sequential deliveries into the bucketed postings+stats layouts via
     span_fold_in_place must leave IDENTICAL layout contents whether
     the driver-local pyarrow path runs (default) or the cap forces the
-    distributed writers (WRITER_LOCAL_ROW_MAX pinned to 0), and both
+    distributed writers (SPAN_LOCAL_ROW_MAX pinned to 0), and both
     must equal the from-scratch stats/postings over each prefix
     corpus — including old docs whose n_dup_spans flips only because a
     delivery re-used their spans."""
@@ -799,7 +799,6 @@ def test_span_fold_in_place_local_equals_distributed_equals_rebuild(
     from pyspark.sql import functions as F
 
     from hfcommunity_spark.operators import dedup as dd
-    from hfcommunity_spark.operators import graph as G
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet").select(
@@ -820,9 +819,9 @@ def test_span_fold_in_place_local_equals_distributed_equals_rebuild(
             sdir,
         )
         snaps = []
-        old = G.WRITER_LOCAL_ROW_MAX
+        old = dd.SPAN_LOCAL_ROW_MAX
         if cap is not None:
-            G.WRITER_LOCAL_ROW_MAX = cap
+            dd.SPAN_LOCAL_ROW_MAX = cap
         try:
             for delivery in deliveries:
                 dd.span_fold_in_place(spark, pdir, sdir, delivery)
@@ -838,7 +837,7 @@ def test_span_fold_in_place_local_equals_distributed_equals_rebuild(
                     },
                 })
         finally:
-            G.WRITER_LOCAL_ROW_MAX = old
+            dd.SPAN_LOCAL_ROW_MAX = old
         # layout hygiene: every file still lives under a bucket dir
         assert all(
             d.startswith("d_bucket=") for d in os.listdir(sdir)
@@ -891,12 +890,9 @@ def test_span_fold_local_rows_schedules_zero_jobs(spark, tmp_path):
     dd.write_span_stats(
         dd.span_stats_from_postings(dd.span_postings_frame(base)), sdir
     )
-    exploded = [
-        (r.doc_id, r.h)
-        for r in dd._span_exploded_frame(
-            docs.filter(F.col("doc_id") % 3 == 1)
-        ).collect()
-    ]
+    exploded = dd._span_exploded_frame(
+        docs.filter(F.col("doc_id") % 3 == 1)
+    ).toArrow().select(["doc_id", "h"])
     sc = spark.sparkContext
     group = "hfc-span-zero-job-fold"
     sc.setJobGroup(group, "span fold must not schedule jobs")
@@ -911,4 +907,4 @@ def test_span_fold_local_rows_schedules_zero_jobs(spark, tmp_path):
     assert sc.statusTracker().getJobIdsForGroup(group) == []
     # and it actually folded: the delivery's docs are in the stats
     got = {r.doc_id for r in spark.read.parquet(sdir).collect()}
-    assert {d for d, _ in exploded} <= got
+    assert set(exploded.column("doc_id").to_pylist()) <= got
