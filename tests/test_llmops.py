@@ -908,3 +908,72 @@ def test_span_fold_local_rows_schedules_zero_jobs(spark, tmp_path):
     # and it actually folded: the delivery's docs are in the stats
     got = {r.doc_id for r in spark.read.parquet(sdir).collect()}
     assert set(exploded.column("doc_id").to_pylist()) <= got
+
+
+def test_span_local_writers_stage_and_gate(tmp_path, monkeypatch):
+    """The span layouts' driver-local IO carries the same contracts as
+    the graph writers (round-11 advice class): (a) replace-mode bucket
+    rewrites stage the new file before unlinking old ones — a failed
+    write leaves the old contents intact; (b) corrupt parquet gates
+    the probe and the stats read to None (distributed fallback)
+    instead of raising."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    i64 = pa.int64()
+    sdir = tmp_path / "stats" / "d_bucket=3"
+    sdir.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([7], i64),
+                  "n_spans": pa.array([5], i64),
+                  "n_dup_spans": pa.array([1], i64)}),
+        str(sdir / "part-00000-old.snappy.parquet"),
+    )
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(pq, "write_table", boom)
+    try:
+        dd._span_local_write_buckets(
+            str(tmp_path / "stats"), "d_bucket",
+            {3: [(7, 5, 2)]},
+            (("doc_id", i64), ("n_spans", i64), ("n_dup_spans", i64)),
+            append=False,
+        )
+    except OSError:
+        pass
+    else:  # pragma: no cover - the stub always raises
+        raise AssertionError("write failure must propagate")
+    monkeypatch.undo()
+    got = dd._span_local_read_buckets(
+        str(tmp_path / "stats"), [3],
+        ("doc_id", "n_spans", "n_dup_spans"), 10_000,
+    )
+    assert got == {3: [(7, 5, 1)]}  # old contents intact
+    # successful rewrite replaces exactly
+    dd._span_local_write_buckets(
+        str(tmp_path / "stats"), "d_bucket", {3: [(7, 5, 2)]},
+        (("doc_id", i64), ("n_spans", i64), ("n_dup_spans", i64)),
+        append=False,
+    )
+    got = dd._span_local_read_buckets(
+        str(tmp_path / "stats"), [3],
+        ("doc_id", "n_spans", "n_dup_spans"), 10_000,
+    )
+    assert got == {3: [(7, 5, 2)]}
+    # corrupt file gates both readers to None
+    (sdir / "part-00001-bad.snappy.parquet").write_bytes(b"PAR1junk")
+    assert dd._span_local_read_buckets(
+        str(tmp_path / "stats"), [3],
+        ("doc_id", "n_spans", "n_dup_spans"), 10_000,
+    ) is None
+    pdir = tmp_path / "postings" / "h_bucket=0"
+    pdir.mkdir(parents=True)
+    (pdir / "part-00000-bad.snappy.parquet").write_bytes(b"PAR1junk")
+    assert dd._span_probe_local(
+        str(tmp_path / "postings"), [0],
+        pa.array([1], i64), 10_000,
+    ) is None
