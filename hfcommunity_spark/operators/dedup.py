@@ -2420,6 +2420,71 @@ def _x17_pristine_layouts(spark: SparkSession, sf_dir: str) -> str:
     return _publish_scratch_dir(base, final)
 
 
+@query("dd_span_fold_in_place_parity", _DUP_SPAN_ORACLE,
+       survey="X-UD5,D3,D4")
+def dd_span_fold_in_place_parity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The PUBLIC maintained-span-table writer as driver-hash
+    evidence: fold the whole arriving slice into a private copy of
+    the persisted bucketed layouts via :func:`span_fold_in_place` —
+    the gates pick the driver-local pyarrow upsert here (bounded
+    delivery, local fs) and the distributed partition-pruned writers
+    on object storage — then serve the per-doc stats from the stats
+    LAYOUT.  The oracle is the from-scratch
+    :func:`dup_span_stats_sql` over the full corpus, so hash equality
+    proves the in-place fold (postings append + stats upsert) equals
+    a rebuild.  Distinct from ``x17``: that face drives the streamed
+    one-scan lifecycle through the internal rows seam; this one
+    exercises the single-delivery writer API end-to-end, including
+    its gate dispatch.  Re-invocation is idempotent by construction
+    (fresh pristine copy per run — the D4 discipline)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hfcommunity_spark.operators.graph import (
+        materialize_and_free,
+        pinned_block_ids,
+    )
+    from hfcommunity_spark.session import default_parallelism
+
+    pristine = _x17_pristine_layouts(spark, sf_dir)
+    arriving = _delta_arriving_docs(spark, sf_dir)
+    before = pinned_block_ids(spark)
+    work = tempfile.mkdtemp(
+        prefix=f"hfc_spanfold_{uuid.uuid4().hex[:12]}_"
+    )
+    pdir = os.path.join(work, "postings")
+    sdir = os.path.join(work, "stats")
+
+    def _link_or_copy(src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    shutil.copytree(
+        os.path.join(pristine, "postings"), pdir,
+        copy_function=_link_or_copy,
+    )
+    shutil.copytree(
+        os.path.join(pristine, "stats"), sdir,
+        copy_function=_link_or_copy,
+    )
+    try:
+        span_fold_in_place(spark, pdir, sdir, arriving)
+        out = spark.read.parquet(sdir).select(
+            "doc_id", "n_spans", "n_dup_spans",
+            (
+                F.col("n_dup_spans").cast("double") / F.col("n_spans")
+            ).alias("dup_ratio"),
+        ).coalesce(default_parallelism())
+        return materialize_and_free(spark, before, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _x17_oracle() -> str:
     arms = []
     for k in range(X17_DELIVERIES):

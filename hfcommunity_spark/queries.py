@@ -290,8 +290,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multiplied through to exact integer-valued comparison
     "ret_maintained_bm25_parity",  # X-UD5, D3, A10, O2, J9 — the
     # maintained BM25 index under a delivery, full-rebuild oracle
-    "dd_maintained_pairs_parity",  # X-UD5, J6, J9, D3 — MinHash band
-    # + pair index under a delivery, hash-equal to the full rebuild
+    # (Round-12 rotation: dd_maintained_pairs_parity rotates out with
+    # its r8-r11 stamps intact — J6/J9 keep j12_fuzzy_blocked_join,
+    # D3 keeps the whole x14-x19 maintained family, X-UD5 keeps
+    # dozens — making room for the round-12 persisted span-table
+    # writer face below, which is this round's only entrant and so
+    # enters the window the round it lands.)
+    "dd_span_fold_in_place_parity",  # X-UD5, D3, D4 — the public
+    # maintained-span writer (span_fold_in_place): fold the arriving
+    # slice into private copies of the bucketed layouts (driver-local
+    # pyarrow upsert behind pre-mutation gates; distributed
+    # partition-pruned writers on gate failure), serve from the
+    # layout; from-scratch dup_span_stats oracle
     "q21_suppliers_kept_waiting",  # J2, J5, J8, A4, O1 — TPC-H Q21
     # sole-late-supplier, EXISTS/NOT-EXISTS re-expressed as one
     # per-order aggregate
