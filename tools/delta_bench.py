@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -135,6 +136,79 @@ def main() -> None:
                 )
             ]),
         }
+        # span_fold arm (round 12): the FULL in-place writer —
+        # span_fold_in_place against private copies of BOTH persisted
+        # layouts (the public maintained-table API; the gates pick the
+        # driver-local pyarrow path at these scales, exactly what a
+        # single-node deployment runs).  Per-rep setup re-copies the
+        # pristine layouts (hardlinks, untimed) because the fold
+        # MUTATES the table; the rebuild arm re-tokenizes the full
+        # corpus and rewrites both layouts from scratch.
+        # Bucket counts stay at the x17 convention (64/64): the
+        # driver-local fold reads its tiny layouts in ONE dataset
+        # scan, so its delta advantage is avoiding corpus
+        # re-tokenization, NOT partition pruning — table-sized bucket
+        # counts (the distributed deployment rule) were measured here
+        # and LOST at this scale (300+ tiny file writes per fold);
+        # the pruning regime belongs to the distributed writers,
+        # whose InSet/PartitionFilters plan shape is asserted in
+        # tests/test_llmops.py (the cluster_history-arm argument:
+        # each regime is measured where it actually operates).
+        fold_sbkts = dd.SPAN_STATS_BUCKETS
+        fold_pbkts = dd.SPAN_H_BUCKETS
+        fold_span_dir = span_dir
+        sstats_dir = os.path.join(
+            tempfile.gettempdir(), f"hfc_delta_bench_sstats_{label}"
+        )
+        dd.write_span_stats(stats, sstats_dir, buckets=fold_sbkts)
+        fold_work: dict = {"d": None}
+
+        def _link_or_copy(src, dst):
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+        def _fold_setup():
+            if fold_work["d"]:
+                shutil.rmtree(fold_work["d"], ignore_errors=True)
+            w = tempfile.mkdtemp(prefix=f"hfc_db_fold_{label}_")
+            shutil.copytree(fold_span_dir, os.path.join(w, "postings"),
+                            copy_function=_link_or_copy)
+            shutil.copytree(sstats_dir, os.path.join(w, "stats"),
+                            copy_function=_link_or_copy)
+            fold_work["d"] = w
+
+        def _fold_delta():
+            dd.span_fold_in_place(
+                spark,
+                os.path.join(fold_work["d"], "postings"),
+                os.path.join(fold_work["d"], "stats"),
+                delivery,
+                buckets=fold_pbkts, stats_buckets=fold_sbkts,
+            )
+
+        def _fold_rebuild():
+            w = tempfile.mkdtemp(prefix=f"hfc_db_foldrb_{label}_")
+            try:
+                p = dd.span_postings_frame(docs).localCheckpoint()
+                dd.write_span_postings(p, os.path.join(w, "postings"),
+                                       buckets=fold_pbkts)
+                dd.write_span_stats(
+                    dd.span_stats_from_postings(p),
+                    os.path.join(w, "stats"), buckets=fold_sbkts,
+                )
+                p.unpersist()
+            finally:
+                shutil.rmtree(w, ignore_errors=True)
+
+        scale["span_fold"] = {
+            "rebuild_s": timed(_fold_rebuild),
+            "delta_s": timed(_fold_delta, setup=_fold_setup),
+        }
+        if fold_work["d"]:
+            shutil.rmtree(fold_work["d"], ignore_errors=True)
+
         # bm25 arm (round 8): index maintenance economics for the
         # retrieval member.  The rebuild arm re-tokenizes the corpus
         # into all three index artifacts; the delta arm tokenizes the
@@ -206,8 +280,6 @@ def main() -> None:
     # |delivery vertices| x bucket_size — the flatness claim only
     # materializes once H well exceeds that product, which is why the
     # arm's H values sit at 4e5/4e6 rather than the corpus scales.
-    import shutil
-
     from hfcommunity_spark.operators.graph import (
         ASSIGN_ROWS_PER_BUCKET,
         apply_changes_vertex_layout,
@@ -366,8 +438,8 @@ def main() -> None:
 
     growth = {}
     if "sf0.1" in per_scale and "sf1.0" in per_scale:
-        for idx in ("minhash_pairs", "span_stats", "clusters",
-                    "bm25_index"):
+        for idx in ("minhash_pairs", "span_stats", "span_fold",
+                    "clusters", "bm25_index"):
             a, b = per_scale["sf0.1"][idx], per_scale["sf1.0"][idx]
             growth[idx] = {
                 "rebuild_x": round(b["rebuild_s"] / a["rebuild_s"], 2),
@@ -416,7 +488,8 @@ def main() -> None:
                  "is kept because the delta tokenizes the DELIVERY "
                  "only and touches one 1-row stats frame of the "
                  "base, a shape whose payoff is structural, not "
-                 "contingent on this scale point."),
+                 "contingent on this scale point."
+                 "  Round 12 adds the span_fold arm: the FULL in-place writer (span_fold_in_place, driver-local path) measured with per-rep pristine copies — delta 0.21->0.29 s across the 10x step vs rebuild 2.0->4.4 s (7-15x cheaper at both scales); its 1.4x delta ratio is the one-dataset-scan probe/upsert reading the whole (still tiny) layouts driver-side, an +87 ms absolute step — the partition-pruned delivery-bounded-IO regime belongs to the distributed writers, plan-asserted in tests/test_llmops.py."),
     }
     with open(OUT, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
