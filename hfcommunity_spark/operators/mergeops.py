@@ -605,6 +605,204 @@ def scd2_track_seed(dim: DataFrame, events: DataFrame,
     ).drop("_l")
 
 
+# Row cap for x19's driver-local one-scan fold, set at the MEASURED
+# crossover: at 1M events (sf1.0) the local twin wins 2.5 vs 3.5 s
+# warm; at 3M (sf3.0) it loses 7.9 vs 5.1 — the serve upload is
+# corpus-sized by contract and the open-state dict passes go
+# python-speed, so past ~2M rows the distributed lifecycle (whose
+# folds stay delivery-bounded) is the faster AND the scale-honest
+# path.  Resolved at call time so tests can pin it.
+X19_LOCAL_ROW_MAX = 2_000_000
+
+
+def _x19_fold_local(spark, ev: DataFrame, width: int):
+    """Driver-local twin of the x19 SCD2 stream lifecycle (the x15/x17
+    one-scan lesson applied to the merge family): ONE guarded Arrow
+    collect of the event feed, then the base build and every
+    delivery's :func:`scd2_delta_split` fold run as vectorized numpy
+    runs-collapse over the id-quartile slices — value-identical to the
+    distributed window pass (same (ts, event_id) sort, seed tiebreak
+    −1, in-order guard against the key's fold watermark, absorbed-
+    event watermark advance) — and the three serve states upload as
+    ONE local relation.  Three Spark jobs total (gate count,
+    collect, final checkpoint) instead of ~11 (base build, 3×3-job folds, serve).
+
+    Returns None — before any work beyond the collect — when a gate
+    fails (row cap, unexpected dtypes); an in-order-contract violation
+    RAISES (the distributed ``assert_true`` contract: corrupt folds
+    must fail loudly, not fall back).  Parity with the distributed
+    lifecycle is test-locked (``tests/test_mergeops.py``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    cap = X19_LOCAL_ROW_MAX
+    # cheap pre-gate: a bounded COUNT (no data transfer) decides
+    # before the Arrow collect pays to move rows — an over-cap feed
+    # otherwise shipped cap+1 rows to the driver just to learn it
+    # must fall back (measured ~1.5 s at the sf3 corpus)
+    n = ev.limit(cap + 1).count()
+    if n > cap or n == 0:
+        return None
+    t = ev.toArrow()
+    try:
+        uid = t.column("user_id").to_numpy()
+        eid = t.column("event_id").to_numpy()
+        tsv = t.column("ts").cast(pa.int64()).to_numpy()
+        etypes = np.asarray(t.column("event_type"))
+    except (pa.lib.ArrowException, ValueError):
+        return None
+    if uid.dtype != np.int64 or eid.dtype != np.int64:
+        return None
+    states, code = np.unique(etypes, return_inverse=True)
+    n_top = int(eid.max()) + 1
+    cuts = [(n_top * m + 3) // 4 for m in range(5)]
+
+    def runs_over(u, c, tt, tb):
+        """Gaps-and-islands over (key, state, ts, tiebreak) arrays:
+        returns per-run (key, state_code, valid_from, valid_to_or_-1,
+        has_valid_to) plus per-key max event ts — the exact
+        _scd2_runs collapse under the same (ts, tiebreak) sort."""
+        order = np.lexsort((tb, tt, u))
+        u, c, tt = u[order], c[order], tt[order]
+        first = np.empty(len(u), bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        change = first | np.concatenate(
+            ([True], c[1:] != c[:-1])
+        )
+        ru, rc, rf = u[change], c[change], tt[change]
+        last_run = np.empty(len(ru), bool)
+        last_run[-1] = True
+        last_run[:-1] = ru[1:] != ru[:-1]
+        rto = np.empty(len(ru), np.int64)
+        rto[:-1] = rf[1:]
+        rto[last_run] = -1
+        # per-key max ts = the ts of each key's LAST input row (sorted)
+        key_last = np.empty(len(u), bool)
+        key_last[-1] = True
+        key_last[:-1] = u[1:] != u[:-1]
+        return ru, rc, rf, rto, ~last_run, u[key_last], tt[key_last]
+
+    closed_u: list = []
+    closed_c: list = []
+    closed_f: list = []
+    closed_t: list = []
+    open_state: dict = {}   # uid -> (code, valid_from)
+    last_ts: dict = {}      # uid -> max folded event ts
+
+    def fold_slice(lo: int, hi: int, with_seeds: bool) -> None:
+        m = (eid >= lo) & (eid < hi)
+        d_u, d_c, d_t, d_b = uid[m], code[m], tsv[m], eid[m]
+        if not len(d_u):
+            return
+        if with_seeds:
+            aff = np.unique(d_u)
+            seeded = [k for k in aff.tolist() if k in open_state]
+            su = np.fromiter(seeded, np.int64, len(seeded))
+            sc = np.fromiter(
+                (open_state[k][0] for k in seeded), np.int64,
+                len(seeded),
+            )
+            st = np.fromiter(
+                (open_state[k][1] for k in seeded), np.int64,
+                len(seeded),
+            )
+            # in-order guard: every delivery event must be >= its
+            # key's fold watermark (complete check: _last_event_ts)
+            wm = {k: last_ts[k] for k in seeded}
+            if seeded:
+                aff_s = np.array(sorted(wm), np.int64)
+                wm_s = np.fromiter(
+                    (wm[k] for k in aff_s.tolist()), np.int64,
+                    len(aff_s),
+                )
+                idx = np.searchsorted(aff_s, d_u)
+                idx_ok = (idx < len(aff_s))
+                has = np.zeros(len(d_u), bool)
+                has[idx_ok] = aff_s[idx[idx_ok]] == d_u[idx_ok]
+                bad = has & (d_t < wm_s[np.minimum(idx, len(aff_s) - 1)])
+                if bad.any():
+                    i = int(np.argmax(bad))
+                    raise ValueError(
+                        f"scd2_delta: delivery event at {d_t[i]} "
+                        f"predates the key's fold watermark "
+                        f"{wm[int(d_u[i])]} for user_id={d_u[i]} — "
+                        "the in-order (watermark) delivery contract "
+                        "is violated"
+                    )
+            u2 = np.concatenate([su, d_u])
+            c2 = np.concatenate([sc, d_c])
+            t2 = np.concatenate([st, d_t])
+            b2 = np.concatenate(
+                [np.full(len(su), -1, np.int64), d_b]
+            )
+        else:
+            u2, c2, t2, b2 = d_u, d_c, d_t, d_b
+        ru, rc, rf, rto, has_to, ku, kt = runs_over(u2, c2, t2, b2)
+        closed_u.append(ru[has_to])
+        closed_c.append(rc[has_to])
+        closed_f.append(rf[has_to])
+        closed_t.append(rto[has_to])
+        op = ~has_to
+        for k, c_, f_ in zip(ru[op].tolist(), rc[op].tolist(),
+                             rf[op].tolist()):
+            open_state[k] = (c_, f_)
+        for k, mx in zip(ku.tolist(), kt.tolist()):
+            # seeds carry valid_from (<= the old watermark), so the
+            # per-key max over seed∪delivery can only advance it
+            last_ts[k] = max(last_ts.get(k, mx), mx)
+
+    fold_slice(0, cuts[1], with_seeds=False)
+    out_k: list = []
+    out_u: list = []
+    out_c: list = []
+    out_f: list = []
+    out_t: list = []
+    out_m: list = []   # valid_to null mask (True = null)
+    for k in range(X19_DELIVERIES):
+        fold_slice(cuts[k + 1], cuts[k + 2], with_seeds=True)
+        cu = np.concatenate(closed_u) if closed_u else np.empty(0, np.int64)
+        cc = np.concatenate(closed_c) if closed_c else np.empty(0, np.int64)
+        cf = np.concatenate(closed_f) if closed_f else np.empty(0, np.int64)
+        ct = np.concatenate(closed_t) if closed_t else np.empty(0, np.int64)
+        ou = np.fromiter(open_state.keys(), np.int64, len(open_state))
+        oc = np.fromiter(
+            (v[0] for v in open_state.values()), np.int64,
+            len(open_state),
+        )
+        of = np.fromiter(
+            (v[1] for v in open_state.values()), np.int64,
+            len(open_state),
+        )
+        n = len(cu) + len(ou)
+        out_k.append(np.full(n, k, np.int32))
+        out_u.append(np.concatenate([cu, ou]))
+        out_c.append(np.concatenate([cc, oc]))
+        out_f.append(np.concatenate([cf, of]))
+        out_t.append(np.concatenate([ct, np.zeros(len(ou), np.int64)]))
+        out_m.append(np.concatenate(
+            [np.zeros(len(cu), bool), np.ones(len(ou), bool)]
+        ))
+    vt = pa.timestamp("us")
+    tbl = pa.table({
+        "delivery_id": pa.array(np.concatenate(out_k), pa.int32()),
+        "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+        "state": pa.array(
+            states[np.concatenate(out_c)].tolist(), pa.string()
+        ),
+        "valid_from": pa.array(np.concatenate(out_f)).cast(vt),
+        "valid_to": pa.array(
+            np.concatenate(out_t), mask=np.concatenate(out_m)
+        ).cast(vt),
+    })
+    out = spark.createDataFrame(tbl).select(
+        "delivery_id", "user_id", "state",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+    )
+    return out.coalesce(width).localCheckpoint()
+
+
 def _x19_cut_sql(k: int) -> str:
     """Prefix-k corpus predicate over events, in exact integer
     arithmetic both engines reproduce bit-identically: event ids are
@@ -682,6 +880,11 @@ def x19_stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
+    # round 12: the one-scan driver-local twin (two Spark jobs total);
+    # gates fall back to the distributed lifecycle below unchanged
+    local = _x19_fold_local(spark, ev, width)
+    if local is not None:
+        return local
     n_top = ev.agg(
         (F.max("event_id") + 1).alias("n")
     ).collect()[0].n  # one-row bounded collect (the codebook rule)
