@@ -1528,6 +1528,70 @@ PR_JUMP = 150_000             # (1 - 0.85) * PR_SCALE
 PR_TOP_K = 20
 
 
+# Edge cap for the driver-local PageRank twin (the x19 crossover
+# discipline): two int64 columns at the cap is ~32 MB of Arrow.
+# Resolved at call time so tests can pin it to force the distributed
+# rounds.
+PR_LOCAL_EDGE_MAX = 2_000_000
+
+
+def _pagerank_local(edges: DataFrame, iters: int) -> DataFrame | None:
+    """Driver-local twin of :func:`pagerank_fixed`: one bounded COUNT
+    pre-gate, one Arrow collect of the edge list, then the integer
+    rounds as numpy factorize + bincount passes — value-identical to
+    the distributed join/groupBy rounds INCLUDING the drop-out
+    semantics (a node that receives no contribution leaves the rank
+    frame; its later contributions vanish with it).  Integer exactness
+    holds end-to-end: contributions are int64 floor-divs and the
+    per-dst sums stay far under 2**53, so the bincount accumulation
+    is exact.  Returns None on a failed gate (row cap, non-int64
+    keys); the distributed rounds run unchanged — the path a
+    1000-executor corpus takes."""
+    import numpy as np
+    import pyarrow as pa
+
+    cap = PR_LOCAL_EDGE_MAX
+    # ONE guarded collect (no COUNT pre-gate): the edge frame is
+    # typically a corpus DISTINCT, so a separate gate job would pay
+    # that shuffle twice — the over-cap penalty (shipping cap+1 rows
+    # once) is cheaper than doubling the under-cap path's only scan
+    t = edges.select("src", "dst").limit(cap + 1).toArrow()
+    if t.num_rows > cap or t.num_rows == 0:
+        return None
+    try:
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+    except (pa.lib.ArrowException, ValueError):
+        return None
+    if src.dtype != np.int64 or dst.dtype != np.int64:
+        return None
+    nodes, inv = np.unique(np.concatenate([src, dst]),
+                           return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src):]
+    deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    # rank frame starts as deg's key set: nodes WITH out-degree
+    present = deg > 0
+    pr = np.full(len(nodes), PR_SCALE, np.int64)
+    for _ in range(iters):
+        live = present[si]
+        contrib = pr[si[live]] // deg[si[live]]
+        s = np.zeros(len(nodes), np.int64)
+        np.add.at(s, di[live], contrib)
+        recv = np.zeros(len(nodes), bool)
+        recv[di[live]] = True
+        pr = np.where(recv, PR_JUMP + (85 * s) // 100, 0)
+        present = recv
+    out_n = nodes[present]
+    out_p = pr[present]
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        pa.table({
+            "node": pa.array(out_n, pa.int64()),
+            "pr": pa.array(out_p, pa.int64()),
+        })
+    )
+
+
 def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """``iters`` synchronous PageRank rounds over a directed edge list
     (src, dst), entirely in integer micro-units: contribution =
@@ -1548,6 +1612,9 @@ def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     both, so an unpersisted upstream (e.g. a DISTINCT over a fact
     table) would otherwise re-execute once per round per consumer —
     ~7x at 3 rounds."""
+    local = _pagerank_local(edges, iters)
+    if local is not None:
+        return local
     edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")

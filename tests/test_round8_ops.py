@@ -633,3 +633,22 @@ def test_fuzzy_block_single_word_names_not_dropped(spark):
         for r in fuzzy_blocked_pairs(names, max_dist=2).collect()
     }
     assert ("anvi", "anvil") in pairs
+
+
+def test_pagerank_local_twin_matches_distributed(spark, pr_edges):
+    """The round-12 driver-local PageRank twin must equal the
+    distributed join/groupBy rounds exactly — including the drop-out
+    semantics (nodes that receive no contribution leave the rank
+    frame) — with PR_LOCAL_EDGE_MAX pinned to 0 forcing the
+    distributed path on the same edges."""
+    from hfcommunity_spark.operators import graph as G
+    from hfcommunity_spark.operators.graph import pagerank_fixed
+
+    local = {tuple(r) for r in pagerank_fixed(pr_edges).collect()}
+    old = G.PR_LOCAL_EDGE_MAX
+    G.PR_LOCAL_EDGE_MAX = 0
+    try:
+        dist = {tuple(r) for r in pagerank_fixed(pr_edges).collect()}
+    finally:
+        G.PR_LOCAL_EDGE_MAX = old
+    assert local == dist and len(local) > 0
