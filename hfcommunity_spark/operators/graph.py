@@ -110,28 +110,44 @@ ANC_LOCAL_WORK_MAX = 2_000_000
 
 def _ancestors_local(commit_parents: DataFrame, start_shas: DataFrame,
                      max_hops: int) -> DataFrame | None:
-    """Driver-local twin of :func:`ancestors`: guarded collects of the
-    edge list and start set, then plain level-order BFS per start with
-    min-hop dedup — value-identical to the per-hop frontier joins
-    (BFS order gives the same minimal hop counts).  The distributed
-    walk pays ~2 jobs per hop of pure fixed cost on fixture-sized
-    DAGs; at a real 100 TB commit graph the work gate fails and the
-    checkpointed frontier loop below runs unchanged."""
+    """Driver-local twin of :func:`ancestors`: a compact Arrow collect
+    of the start set, a bounded COUNT pre-gate on the edge list, then
+    plain level-order BFS per start with min-hop dedup —
+    value-identical to the per-hop frontier joins (BFS order gives the
+    same minimal hop counts).
+
+    Gate shape (ADVICE r12, medium): the edge side is the one that is
+    corpus-sized on the 100 TB fallback path, so it is gated by
+    ``limit(cap+1).count()`` — a JVM-side job that ships NOTHING to
+    the driver — and the |starts| x |edges| work product is checked
+    BEFORE the single columnar ``toArrow`` transfer.  The r12 shape
+    (Row-object collect first, gate after) moved up to cap+1 driver
+    Rows per call just to learn it must fall back.
+
+    Start shas are DEDUPLICATED before the walk (ADVICE r12): the
+    distributed loop's distinct()+left_anti gives set semantics per
+    (sha, node), so a duplicated start row must not duplicate output
+    rows.  The distributed walk pays ~2 jobs per hop of pure fixed
+    cost on fixture-sized DAGs; at a real 100 TB commit graph the
+    gates fail on bounded counts alone and the checkpointed frontier
+    loop below runs unchanged."""
     cap = ANC_LOCAL_WORK_MAX
-    st = start_shas.select("sha").limit(cap + 1).collect()
-    if len(st) > cap:
+    st_t = start_shas.select("sha").limit(cap + 1).toArrow()
+    if st_t.num_rows > cap:
         return None
-    et = commit_parents.select(
-        "commit_sha", "parent_sha"
-    ).limit(cap + 1).collect()
-    if len(et) > cap or len(st) * len(et) > cap:
+    # dict.fromkeys: set semantics, deterministic first-seen order
+    starts = list(dict.fromkeys(st_t.column("sha").to_pylist()))
+    edges_df = commit_parents.select("commit_sha", "parent_sha")
+    n_edges = edges_df.limit(cap + 1).count()
+    if n_edges > cap or len(starts) * n_edges > cap:
         return None
+    et = edges_df.limit(cap + 1).toArrow()
     parents: dict = {}
-    for r in et:
-        parents.setdefault(r.commit_sha, []).append(r.parent_sha)
+    for c, p in zip(et.column("commit_sha").to_pylist(),
+                    et.column("parent_sha").to_pylist()):
+        parents.setdefault(c, []).append(p)
     rows = []
-    for s in st:
-        start = s.sha
+    for start in starts:
         hops = {start: 0}
         frontier = [start]
         for hop in range(1, max_hops + 1):

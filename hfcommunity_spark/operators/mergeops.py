@@ -624,8 +624,11 @@ def _x19_fold_local(spark, ev: DataFrame, width: int):
     distributed window pass (same (ts, event_id) sort, seed tiebreak
     −1, in-order guard against the key's fold watermark, absorbed-
     event watermark advance) — and the three serve states upload as
-    ONE local relation.  Three Spark jobs total (gate count,
-    collect, final checkpoint) instead of ~11 (base build, 3×3-job folds, serve).
+    ONE local relation.  Four Spark jobs total — the bounded gate
+    count (2: limit+count runs as two incremental-limit jobs), the
+    Arrow collect, the final checkpoint; pinned in
+    ``tests/test_fold_job_budget.py`` — instead of ~11 (base build,
+    3×3-job folds, serve).
 
     Returns None — before any work beyond the collect — when a gate
     fails (row cap, unexpected dtypes); an in-order-contract violation
@@ -880,8 +883,9 @@ def x19_stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    # round 12: the one-scan driver-local twin (two Spark jobs total);
-    # gates fall back to the distributed lifecycle below unchanged
+    # round 12: the one-scan driver-local twin (four Spark jobs,
+    # budget-pinned); gates fall back to the distributed lifecycle
+    # below unchanged
     local = _x19_fold_local(spark, ev, width)
     if local is not None:
         return local

@@ -107,6 +107,57 @@ def test_bm25_fold_job_budget(spark):
     assert dl.count() == 3
 
 
+def test_x19_local_twin_job_budget(spark):
+    """The x19 driver-local one-scan fold schedules exactly 4 jobs —
+    the bounded gate count (2: Spark executes limit+count as two
+    incremental-limit jobs), the single Arrow collect, and the final
+    local-relation checkpoint — independent of delivery count
+    (VERDICT r12 #5: a future edit that sneaks a per-delivery job into
+    the twin flips this test, not a bench number)."""
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators.mergeops import _x19_fold_local
+
+    ev = read_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ev.schema  # footer/schema job billed to the read, not the fold
+    with _job_budget(spark, 4, "x19-local-twin"):
+        out = _x19_fold_local(spark, ev, 8)
+    assert out is not None and len(out.columns) == 5
+
+
+def test_pagerank_local_twin_job_budget(spark):
+    """The PageRank driver-local twin is ONE guarded Arrow collect —
+    a single job covers gate + transfer (the documented no-pre-gate
+    trade: the edge frame is typically a corpus DISTINCT, a count
+    pre-gate would pay that shuffle twice)."""
+    from hfcommunity_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1)], "src long, dst long"
+    )
+    with _job_budget(spark, 1, "pagerank-local-twin"):
+        out = pagerank_fixed(edges, 3)
+    assert set(out.columns) == {"node", "pr"}
+
+
+def test_ancestors_local_twin_job_budget(spark):
+    """The ancestors driver-local twin schedules exactly 4 jobs: the
+    compact start-set Arrow collect (1), the bounded edge COUNT
+    pre-gate (2 incremental-limit jobs — ships nothing, ADVICE r12),
+    and the single edge Arrow collect (1)."""
+    from hfcommunity_spark.operators.graph import ancestors
+
+    edges = spark.createDataFrame(
+        [("c", "b"), ("b", "a"), ("d", "c")],
+        "commit_sha string, parent_sha string",
+    )
+    starts = spark.createDataFrame([("d",), ("c",)], "sha string")
+    with _job_budget(spark, 4, "ancestors-local-twin"):
+        out = ancestors(edges, starts, 3)
+    assert set(out.columns) == {"sha", "ancestor_sha", "hops"}
+
+
 def test_ivf_fold_job_budget(spark):
     """ivf_index_delta materializes exactly the delivery's assigned
     piece — ONE checkpoint job, never a job over the standing lists."""

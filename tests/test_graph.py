@@ -1298,3 +1298,58 @@ def test_ancestors_local_twin_matches_distributed(spark):
     capped = {tuple(r) for r in ancestors(edges, starts, 2).collect()}
     assert not any(s == "f" and a == "a" for s, a, _ in capped)
     assert ("f", "b", 2) in capped
+
+
+def test_ancestors_local_twin_dedups_duplicate_starts(spark):
+    """Duplicate start shas: the distributed loop's distinct()+
+    left_anti gives SET semantics per (sha, node), so the local twin
+    must not emit duplicated rows for a start listed twice (ADVICE
+    r12) — assert as a LIST (duplicates would survive a set compare)
+    and against the forced-distributed walk on the same input."""
+    from hfcommunity_spark.operators import graph as G
+    from hfcommunity_spark.operators.graph import ancestors
+
+    edges = spark.createDataFrame(
+        [("c", "b"), ("b", "a")], "commit_sha string, parent_sha string"
+    )
+    starts = spark.createDataFrame(
+        [("c",), ("c",), ("b",)], "sha string"
+    )
+    local = sorted(tuple(r) for r in ancestors(edges, starts, 3).collect())
+    assert local == sorted([
+        ("c", "b", 1), ("c", "a", 2), ("b", "a", 1),
+    ])
+    old = G.ANC_LOCAL_WORK_MAX
+    G.ANC_LOCAL_WORK_MAX = 0
+    try:
+        dist = sorted(
+            tuple(r) for r in ancestors(edges, starts, 3).collect()
+        )
+    finally:
+        G.ANC_LOCAL_WORK_MAX = old
+    assert local == dist
+
+
+def test_ancestors_local_gate_ships_nothing_over_cap(spark):
+    """The fallback decision must be learnable WITHOUT shipping the
+    edge list: with the work cap pinned below |starts| x |edges|, the
+    twin returns None off bounded counts and the distributed walk
+    still answers (the ADVICE r12 medium — the old gate collected
+    cap+1 Rows first).  Exercised by pinning the cap to the start
+    count so the starts pass but the work product fails."""
+    from hfcommunity_spark.operators import graph as G
+    from hfcommunity_spark.operators.graph import ancestors
+
+    edges = spark.createDataFrame(
+        [("c", "b"), ("b", "a"), ("d", "c")],
+        "commit_sha string, parent_sha string",
+    )
+    starts = spark.createDataFrame([("d",), ("c",)], "sha string")
+    old = G.ANC_LOCAL_WORK_MAX
+    G.ANC_LOCAL_WORK_MAX = 2  # starts fit (2 <= 2), 2*3 edges do not
+    try:
+        assert G._ancestors_local(edges, starts, 3) is None
+        got = {tuple(r) for r in ancestors(edges, starts, 3).collect()}
+    finally:
+        G.ANC_LOCAL_WORK_MAX = old
+    assert ("d", "a", 3) in got and ("c", "a", 2) in got

@@ -430,3 +430,66 @@ def test_maybe_broadcast_gate_respects_threshold(spark):
         assert not hinted(maybe_broadcast(cust))
     finally:
         spark.conf.set(key, prev)
+
+
+def test_maybe_broadcast_estimate_memoized(spark):
+    """The Catalyst size estimate is a plan-time constant per
+    (session, plan): one optimizer round-trip per distinct plan, the
+    gate decision thereafter reads the cache (VERDICT r12 #2).  The
+    poisoned-cache step proves the second call consults the cache
+    rather than re-deriving the estimate."""
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators import skew
+
+    before = dict(skew._EST_CACHE)
+    skew._EST_CACHE.clear()
+    try:
+        skew.maybe_broadcast(read_table(spark, SF_ORACLE, "customer"))
+        assert len(skew._EST_CACHE) == 1
+        cache_key, est = next(iter(skew._EST_CACHE.items()))
+        assert est > 0
+        # the same plan REBUILT from scratch lands on the same slot
+        skew.maybe_broadcast(read_table(spark, SF_ORACLE, "customer"))
+        assert len(skew._EST_CACHE) == 1
+        # poison: a huge cached estimate must flip the gate to
+        # unhinted even though the real frame is tiny
+        skew._EST_CACHE[cache_key] = 1 << 60
+        out = skew.maybe_broadcast(
+            read_table(spark, SF_ORACLE, "customer")
+        )
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+    finally:
+        skew._EST_CACHE.clear()
+        skew._EST_CACHE.update(before)
+
+
+def test_maybe_broadcast_estimate_failure_warns_once(spark):
+    """A failed size estimate (private API drift) must be OBSERVABLE:
+    one RuntimeWarning for the process, every affected frame returned
+    unhinted — never a silent regime change (ADVICE r12)."""
+    import warnings
+
+    from hfcommunity_spark.io import read_table
+    from hfcommunity_spark.operators import skew
+
+    class _Boom:
+        def queryExecution(self):
+            raise RuntimeError("private API changed shape")
+
+    prev_flag = skew._WARNED_NO_ESTIMATE
+    skew._WARNED_NO_ESTIMATE = False
+    try:
+        bad = read_table(spark, SF_ORACLE, "nation")
+        bad._jdf = _Boom()
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            out1 = skew.maybe_broadcast(bad)
+            out2 = skew.maybe_broadcast(bad)
+        runtime = [r for r in rec
+                   if issubclass(r.category, RuntimeWarning)
+                   and "maybe_broadcast" in str(r.message)]
+        assert len(runtime) == 1, runtime
+        assert out1 is bad and out2 is bad
+    finally:
+        skew._WARNED_NO_ESTIMATE = prev_flag
