@@ -2136,6 +2136,104 @@ def _span_probe_local(postings_dir: str, hit, h_want,
         return None
 
 
+def _span_fold_marker_path(postings_dir: str) -> str:
+    """The in-flight fold journal lives in the POSTINGS dir (not
+    stats): stats recovery rewrites its whole layout, which would
+    delete a marker living there before recovery finished.  The ``_``
+    prefix keeps it out of every parquet reader's file discovery
+    (Spark's file index and this module's own listers both skip
+    ``_``/``.`` names)."""
+    import os
+
+    return os.path.join(postings_dir, "_fold_inflight.json")
+
+
+def _span_fold_check_marker(postings_dir: str) -> None:
+    import os
+
+    if os.path.isfile(_span_fold_marker_path(postings_dir)):
+        raise RuntimeError(
+            "span layout has an in-flight fold marker "
+            f"({_span_fold_marker_path(postings_dir)}): a previous "
+            "fold died between the stats upsert and the postings "
+            "append; run recover_span_fold(spark, postings_dir, "
+            "stats_dir) before folding again"
+        )
+
+
+def _span_fold_write_marker(postings_dir: str,
+                            post_out: dict[int, list]) -> None:
+    """Journal the pre-fold state of every h-bucket this fold will
+    append into: the sorted file listing per touched bucket.  Written
+    BEFORE either layout mutates; removed after both writes land."""
+    import json
+    import os
+
+    snapshot = {}
+    for b in sorted(post_out):
+        d = os.path.join(postings_dir, f"h_bucket={b}")
+        snapshot[str(b)] = sorted(
+            fn for fn in (os.listdir(d) if os.path.isdir(d) else [])
+            if not fn.startswith(("_", ".")) and fn.endswith(".parquet")
+        )
+    with open(_span_fold_marker_path(postings_dir), "w") as fh:
+        json.dump({"postings_snapshot": snapshot}, fh)
+
+
+def recover_span_fold(spark, postings_dir: str, stats_dir: str,
+                      stats_buckets: int = SPAN_STATS_BUCKETS) -> bool:
+    """Recover the span layouts from a fold that died between its two
+    layout mutations (the marker :func:`_span_fold_write_marker` left
+    behind).  Idempotent; returns True if a recovery ran.
+
+    1. Roll the postings APPEND back: in each journaled h-bucket,
+       unlink files absent from the pre-fold snapshot (appends only
+       ever add files, so this restores the bucket exactly).
+    2. Rebuild the stats layout from the now-pre-fold postings via
+       :func:`span_stats_from_postings` — the touched d-buckets may
+       hold any mix of old/new files, and stats are DERIVED state, so
+       a rebuild is always consistent.  (At deployment scale this is
+       a full postings scan — acceptable for crash recovery, and the
+       same rebuild a deployment would run after losing ANY derived
+       layout.)
+    3. Remove the marker (last — a crash mid-recovery re-runs it).
+
+    The interrupted delivery itself was never recorded as folded, so
+    the caller re-folds it afterwards.  The DISTRIBUTED fold path's
+    writes go through Spark's output-commit protocol (visible files
+    appear only at job commit), so its crash recovery needs only step
+    2 plus a probe of whether the batch's postings landed; this
+    journal covers the driver-local path, whose two plain-file writes
+    have no commit protocol of their own."""
+    import json
+    import os
+
+    marker = _span_fold_marker_path(postings_dir)
+    if not os.path.isfile(marker):
+        return False
+    with open(marker) as fh:
+        snapshot = json.load(fh)["postings_snapshot"]
+    for b, keep in snapshot.items():
+        d = os.path.join(postings_dir, f"h_bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        keep_set = set(keep)
+        for fn in os.listdir(d):
+            if (fn.startswith(("_", "."))
+                    or not fn.endswith(".parquet")):
+                continue
+            if fn not in keep_set:
+                os.unlink(os.path.join(d, fn))
+    spark.catalog.refreshByPath(postings_dir)
+    rebuilt = span_stats_from_postings(
+        spark.read.parquet(postings_dir).select("doc_id", "h", "c")
+    ).localCheckpoint()  # materialize off the files before overwrite
+    write_span_stats(rebuilt, stats_dir, stats_buckets)
+    os.unlink(marker)
+    spark.catalog.refreshByPath(stats_dir)
+    return True
+
+
 def _span_exploded_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, h) span rows WITHOUT the per-doc rollup — the local
     fold's collect plan: split/explode/xxhash64 run JVM-side as a
@@ -2218,6 +2316,10 @@ def _span_fold_local_rows(spark, postings_dir: str, stats_dir: str,
     cap = SPAN_LOCAL_ROW_MAX
     if not (os.path.isdir(postings_dir) and os.path.isdir(stats_dir)):
         return False
+    # an in-flight marker means a previous fold died between its two
+    # layout mutations — folding on top would double-count (ADVICE
+    # r12); contract violations RAISE, never silently fall back
+    _span_fold_check_marker(postings_dir)
     if batch_tbl.num_rows == 0:
         return True  # empty delivery: nothing to fold
     # (doc_id, h) -> c rollup; per-h ROLLED row counts are the
@@ -2295,23 +2397,32 @@ def _span_fold_local_rows(spark, postings_dir: str, stats_dir: str,
             G._py_bucket(d, stats_buckets), []
         ).append((d, ns, nd))
     # gates all passed — mutate: stats buckets rewritten (staged
-    # commit), batch postings appended one new file per h-bucket
+    # commit), batch postings appended one new file per h-bucket.
+    # The two layouts mutate NON-atomically, so the cross-layout
+    # window is journaled (ADVICE r12): a pre-mutation marker records
+    # each touched h-bucket's file listing; a crash between the writes
+    # leaves the marker, the next fold attempt RAISES, and
+    # :func:`recover_span_fold` rolls the postings back to the
+    # snapshot and rebuilds stats from them — after which the same
+    # delivery can be re-folded without double-counting.
     import pyarrow as pa
 
     i64 = pa.int64()
+    post_out: dict[int, list] = {}
+    for d, h, c in batch_rows:
+        post_out.setdefault(h % buckets, []).append((d, h, c))
+    _span_fold_write_marker(postings_dir, post_out)
     _span_local_write_buckets(
         stats_dir, "d_bucket", stats_out,
         (("doc_id", i64), ("n_spans", i64), ("n_dup_spans", i64)),
         append=False,
     )
-    post_out: dict[int, list] = {}
-    for d, h, c in batch_rows:
-        post_out.setdefault(h % buckets, []).append((d, h, c))
     _span_local_write_buckets(
         postings_dir, "h_bucket", post_out,
         (("doc_id", i64), ("h", i64), ("c", i64)),
         append=True,
     )
+    os.unlink(_span_fold_marker_path(postings_dir))
     return True
 
 
@@ -2329,7 +2440,20 @@ def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
     frames, the stats upsert runs as a partition-pruned dynamic
     overwrite, and :func:`append_span_postings` lands the batch
     partition-aligned.  Parity between the paths is
-    test-locked (``tests/test_llmops.py``)."""
+    test-locked (``tests/test_llmops.py``).
+
+    Crash safety: a fold interrupted between the stats upsert and the
+    postings append leaves the two layouts inconsistent; the
+    driver-local path journals the window (see
+    :func:`recover_span_fold`) and this entry point REFUSES to fold
+    over a layout carrying an in-flight marker.  (On object storage
+    the local-file marker probe is a no-op — the distributed writers'
+    job-commit protocol plus the recovery discipline documented in
+    :func:`recover_span_fold` apply there.)"""
+    import os as _os
+
+    if _os.path.isdir(postings_dir):
+        _span_fold_check_marker(postings_dir)
     if buckets is None:
         buckets = SPAN_H_BUCKETS
     if not _span_fold_local(

@@ -871,6 +871,91 @@ def test_span_fold_in_place_local_equals_distributed_equals_rebuild(
     )
 
 
+def test_span_fold_crash_journal_and_recovery(spark, tmp_path,
+                                              monkeypatch):
+    """The cross-layout crash window (ADVICE r12): kill the local fold
+    AFTER the stats upsert but BEFORE the postings append.  The
+    in-flight marker must survive, every subsequent fold attempt must
+    RAISE (double-folding would double-count old docs' n_dup_spans),
+    recover_span_fold must restore the exact pre-fold layouts, and
+    re-folding the recovered delivery must equal a never-crashed
+    fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    delivery = docs.filter(F.col("doc_id") % 3 == 1)
+
+    def read_layouts(pdir, sdir):
+        spark.catalog.refreshByPath(pdir)
+        spark.catalog.refreshByPath(sdir)
+        return (
+            {tuple(r) for r in spark.read.parquet(pdir)
+             .select("doc_id", "h", "c").collect()},
+            {tuple(r) for r in spark.read.parquet(sdir)
+             .select("doc_id", "n_spans", "n_dup_spans").collect()},
+        )
+
+    def build(tag):
+        pdir = str(tmp_path / tag / "postings")
+        sdir = str(tmp_path / tag / "stats")
+        dd.write_span_postings(dd.span_postings_frame(base), pdir)
+        dd.write_span_stats(
+            dd.span_stats_from_postings(dd.span_postings_frame(base)),
+            sdir,
+        )
+        return pdir, sdir
+
+    # reference: the never-crashed fold
+    p_ok, s_ok = build("ok")
+    dd.span_fold_in_place(spark, p_ok, s_ok, delivery)
+    want = read_layouts(p_ok, s_ok)
+
+    # crash: stats landed, postings append did not
+    p_cr, s_cr = build("crash")
+    pristine = read_layouts(p_cr, s_cr)
+    real_write = dd._span_local_write_buckets
+
+    def dying_write(dir_, pcol, by_bucket, fields, append):
+        if append:
+            raise OSError("simulated crash before the postings append")
+        return real_write(dir_, pcol, by_bucket, fields, append)
+
+    monkeypatch.setattr(dd, "_span_local_write_buckets", dying_write)
+    try:
+        dd.span_fold_in_place(spark, p_cr, s_cr, delivery)
+        raise AssertionError("simulated crash did not propagate")
+    except OSError:
+        pass
+    monkeypatch.setattr(dd, "_span_local_write_buckets", real_write)
+
+    marker = dd._span_fold_marker_path(p_cr)
+    assert os.path.isfile(marker)
+    # the layouts are now INCONSISTENT (stats folded, postings not) —
+    # every fold entry refuses, both paths
+    try:
+        dd.span_fold_in_place(spark, p_cr, s_cr, delivery)
+        raise AssertionError("fold over an in-flight marker must raise")
+    except RuntimeError as exc:
+        assert "recover_span_fold" in str(exc)
+    # recovery restores the EXACT pre-fold layouts
+    assert dd.recover_span_fold(spark, p_cr, s_cr) is True
+    assert not os.path.isfile(marker)
+    assert read_layouts(p_cr, s_cr) == pristine
+    # recovery is idempotent (no marker -> no-op)
+    assert dd.recover_span_fold(spark, p_cr, s_cr) is False
+    # and the recovered delivery re-folds to the never-crashed state
+    dd.span_fold_in_place(spark, p_cr, s_cr, delivery)
+    assert read_layouts(p_cr, s_cr) == want
+
+
 def test_span_fold_local_rows_schedules_zero_jobs(spark, tmp_path):
     """The x17 fold discipline, pinned like the graph fold
     (tests/test_graph.py): a pre-collected delivery folds into the

@@ -43,10 +43,13 @@ def _worker(order: list[str], name: str) -> None:
     from hfcommunity_spark.queries import all_queries
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # rehearsal corpora need a large driver; smaller hosts can dial
+    # it down instead of failing outright at JVM launch (ADVICE r12)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", driver_mem)
         .appName(f"orderflip-{name}")
         .getOrCreate()
     )
@@ -81,7 +84,11 @@ def _worker(order: list[str], name: str) -> None:
 
 def main() -> None:
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    assert names, "usage: orderflip_attrib.py QUERY [QUERY ...]"
+    if not names:
+        # RuntimeError, not assert: asserts vanish under python -O and
+        # would turn bad usage / a dead worker into a downstream parse
+        # crash (ADVICE r12)
+        raise RuntimeError("usage: orderflip_attrib.py QUERY [QUERY ...]")
     here = os.path.abspath(__file__)
     for name in names:
         result = {}
@@ -91,7 +98,11 @@ def main() -> None:
                 [sys.executable, here, "--worker", ",".join(order), name],
                 capture_output=True, text=True, timeout=1800,
             )
-            assert proc.returncode == 0, proc.stderr[-2000:]
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"orderflip worker failed for {name} ({key}, "
+                    f"rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+                )
             result[key] = json.loads(
                 proc.stdout.strip().splitlines()[-1]
             )
