@@ -608,6 +608,47 @@ def test_merge_base_agrees_with_git_on_fixture_pairs(spark):
             assert rc == 0, (mbase, m)
 
 
+def test_merge_base_local_twin_matches_distributed(spark):
+    """The round-13 driver-local merge-base twin (driver-side
+    git_log_rows + Python BFS-meet) must equal the distributed
+    reach-set plan exactly — MB_LOCAL_WORK_MAX pinned to 0 forces the
+    map_fetch + ancestors + window pipeline on the same fixture."""
+    import hfcommunity_spark.operators.etlops as E
+
+    local = sorted(
+        tuple(r) for r in E.g_merge_base(spark, SF_ORACLE).collect()
+    )
+    assert len(local) == len(E._MB_PAIRS_BY_RANK)
+    old = E.MB_LOCAL_WORK_MAX
+    E.MB_LOCAL_WORK_MAX = 0
+    try:
+        dist = sorted(
+            tuple(r) for r in E.g_merge_base(spark, SF_ORACLE).collect()
+        )
+    finally:
+        E.MB_LOCAL_WORK_MAX = old
+    assert local == dist
+
+
+def test_merge_base_local_twin_schedules_zero_jobs(spark):
+    """Once the fixture repo is scratch-cached, the merge-base twin is
+    two git subprocesses + Python BFS + a local-relation upload — ZERO
+    Spark jobs at construction (the graph-fold discipline; VERDICT
+    r12 #5's budget net extended to the r13 twin)."""
+    import hfcommunity_spark.operators.etlops as E
+
+    E._fixture_dag_repo(spark, SF_ORACLE)  # warm the scratch cache
+    sc = spark.sparkContext
+    group = "hfc-merge-base-zero-job"
+    sc.setJobGroup(group, "merge-base twin must not schedule jobs")
+    try:
+        out = E._merge_base_local(spark, SF_ORACLE)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert out is not None
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+
+
 def test_fuzzy_block_single_word_names_not_dropped(spark):
     """A one-word name must land in block '' (matching the oracle's
     split_part semantics) — under ANSI mode a bare [1] index would
