@@ -240,6 +240,23 @@ def build_payloads(timings: dict[str, float], sf_val,
             k: calibration[k] for k in ("cpu_loop_sec", "spark_scan_sec")
             if k in calibration
         }
+        # pre-divided ratios (VERDICT r12 #4): round-over-round deltas
+        # read host-independently WITHOUT re-deriving — a query at
+        # ratio 10.0 this round and 10.2 last round is flat even if
+        # its wall seconds moved 20%
+        scan = calibration.get("spark_scan_sec")
+        if scan:
+            full["queries_scan_normalized"] = {
+                k: round(v / scan, 3) for k, v in full["queries"].items()
+            }
+            full["value_scan_normalized"] = round(total / scan, 2)
+            full["scan_normalized_note"] = (
+                "query time / spark_scan_sec (unitless multiples of "
+                "the fixed 100M-row scan sentinel measured in the "
+                "same process); compare THESE across rounds, not raw "
+                "seconds"
+            )
+            payload["value_scan_norm"] = round(total / scan, 2)
     if solo:
         full["solo"] = dict(sorted(solo.items()))
         full["solo_regime"] = (

@@ -273,9 +273,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # keeps pipe_curate_select_pack_shard, A7/A10/F11/X-UD5 keep
     # several members each — making room for the two new partsupp-free
     # TPC-H faces below.)
-    "q1_pricing_summary",  # A7, A10, P12, F11 — TPC-H Q1, the
-    # scan-shaped pricing summary; exact-DECIMAL sums incl. the
-    # narrow-cast three-factor charge term
+    # (Round-13 rotation: q1_pricing_summary rotates out with its
+    # r10-r12 stamps intact — A7 keeps ud3/q8/q17, A10 keeps
+    # pipe_curate_select_pack_shard/ret/x13/x14, P12 keeps
+    # t_clean_corpus_stats/q19, F11 keeps q8/q17/q19 — making room to
+    # RE-stamp g_merge_base, whose physical plan changed this round
+    # (the gated driver-local BFS-meet twin; declared semantics and
+    # oracle unchanged).  The rotation discipline treats a face whose
+    # plan materially changed like an entrant: driver-hash evidence
+    # the round it changes.)
+    "g_merge_base",  # J5, S7, W4 — BFS-meet merge-base over the
+    # commit DAG; driver-local twin round 13, recursive-CTE oracle
     "q19_disjunctive_revenue",  # P12, J3, F11 — TPC-H Q19 shape:
     # OR-of-ANDs split across both scans as PushedFilters
     # --- round-11 entrants: the last partsupp-free TPC-H faces ------

@@ -82,3 +82,28 @@ def test_calibration_rides_both_payloads_and_fits_budget():
     full2, line2 = build_payloads(timings, 0.1)
     assert "calibration" not in full2
     assert "calibration" not in json.loads(line2)
+
+
+def test_scan_normalized_ratios_ride_the_full_payload():
+    """Round-13 (VERDICT r12 #4): with a calibration present, the full
+    payload carries per-query time/spark_scan_sec ratios and a
+    normalized total, and the stdout line carries the normalized total
+    — host-independent deltas readable without re-derivation.  The
+    ratios must be exactly time/scan over the SAME query set."""
+    timings = _fake_timings(300)
+    cal = {"cpu_loop_sec": 0.3, "cpu_loop_n": 1,
+           "spark_scan_sec": 0.16, "spark_scan_rows": 1}
+    full, line = build_payloads(timings, 0.1, None, cal)
+    assert len(line) <= TAIL_BUDGET + 1
+    norm = full["queries_scan_normalized"]
+    assert set(norm) == set(timings)
+    for k, v in timings.items():
+        assert norm[k] == round(v / 0.16, 3)
+    assert full["value_scan_normalized"] == round(full["value"] / 0.16, 2)
+    assert json.loads(line)["value_scan_norm"] == (
+        full["value_scan_normalized"]
+    )
+    assert "spark_scan_sec" in full["scan_normalized_note"]
+    # a zero/absent scan sentinel must not divide by zero
+    full2, _ = build_payloads(timings, 0.1, None, {"cpu_loop_sec": 0.3})
+    assert "queries_scan_normalized" not in full2
