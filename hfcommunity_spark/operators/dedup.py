@@ -1528,6 +1528,29 @@ def _delta_post_jaccard_pairs(spark: SparkSession,
     return _sig_index(spark, sf_dir, "delta_post_pairs", "xxhash64", build)
 
 
+def _delta_new_tau_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delivery's τ-edge set — exactly the τ-pairs touching the
+    delivery (base doc_ids never satisfy the split predicate, so the
+    filter is the precise complement of the standing pair set — no
+    anti-join) — session-persisted standing state like the pair set
+    it derives from: the filter otherwise re-scanned the corpus-scale
+    persisted pair frame once per consuming invocation (~2 full
+    65-partition passes per dd_maintained_components call measured,
+    VERDICT r12 #6).  The DELTA FOLD over these edges stays
+    per-invocation distributed work — that is the face's evidence;
+    only the derivation of its delivery-bounded input is standing."""
+    def build() -> DataFrame:
+        return _delta_post_jaccard_pairs(spark, sf_dir).filter(
+            F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
+        ).filter(
+            (F.col("doc_a") % _DELTA_SPLIT_MOD == 0)
+            | (F.col("doc_b") % _DELTA_SPLIT_MOD == 0)
+        ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return _sig_index(
+        spark, sf_dir, "delta_new_tau_edges", "xxhash64", build
+    )
+
+
 def _delta_base_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         from hfcommunity_spark.operators.graph import connected_components
@@ -1624,16 +1647,10 @@ def dd_maintained_components_parity(spark: SparkSession,
     broadcast relabel."""
     from hfcommunity_spark.operators.graph import components_delta
 
-    thr = F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
-    pairs = _delta_post_jaccard_pairs(spark, sf_dir)
-    # delta edges = exactly the τ-pairs touching the delivery (base
-    # doc_ids never satisfy the split predicate, so the filter is the
-    # precise complement of the standing pair set — no anti-join)
-    new_edges = pairs.filter(thr).filter(
-        (F.col("doc_a") % _DELTA_SPLIT_MOD == 0)
-        | (F.col("doc_b") % _DELTA_SPLIT_MOD == 0)
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    assign = components_delta(_delta_base_assign(spark, sf_dir), new_edges)
+    assign = components_delta(
+        _delta_base_assign(spark, sf_dir),
+        _delta_new_tau_edges(spark, sf_dir),
+    )
     return assign.select(F.col("vertex").alias("doc_id"), "component")
 
 
@@ -1716,6 +1733,59 @@ def _x15_pristine_layouts(spark: SparkSession, sf_dir: str) -> str:
     return _publish_scratch_dir(base, final)
 
 
+# (app, sf_dir) pairs whose standing pair state has been forced this
+# process — see the force-once note inside the x15 face.
+_X15_PAIRS_FORCED: set = set()
+
+# Row cap for x15's driver-local serve reads: the assignment table is
+# doc-count-sized, and past ~2M rows a driver-held serve loses to the
+# distributed read (the x19 MEASURED crossover — corpus-sized upload,
+# python-speed passes).  Resolved at call time so tests can pin it.
+X15_SERVE_LOCAL_ROW_MAX = 2_000_000
+
+
+def _x15_local_serve_table(tdir: str, pcol: str, cap: int):
+    """Driver-local serve read of a bucket-partitioned assignment
+    layout: one multithreaded pyarrow dataset scan over the bucket
+    files (the x17 'files as the interface' probe applied to the
+    SERVE side).  Reads the DISK state, which the catalog-partition
+    sync discipline keeps identical to the catalog state the
+    distributed serve reads (parity test-locked with the cap pinned
+    to 0).  Returns an Arrow table or None — gate failure (row cap,
+    unreadable/corrupt/missing files) sends THIS serve to the
+    distributed catalog read; at 100 TB the layout is on object
+    storage, ``listdir`` fails, and every serve is distributed."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    files: list[str] = []
+    try:
+        for d in sorted(os.listdir(tdir)):
+            if not d.startswith(f"{pcol}="):
+                continue
+            dd_ = os.path.join(tdir, d)
+            for fn in sorted(os.listdir(dd_)):
+                if (fn.startswith(("_", "."))
+                        or not fn.endswith(".parquet")):
+                    continue
+                files.append(os.path.join(dd_, fn))
+        if not files:
+            return pa.table({
+                "vertex": pa.array([], pa.int64()),
+                "component": pa.array([], pa.int64()),
+            })
+        t = pads.dataset(files).to_table(
+            columns=["vertex", "component"]
+        )
+        if t.num_rows > cap:
+            return None
+        return t
+    except (OSError, pa.lib.ArrowException):
+        return None
+
+
 @query("x15_stream_maintained_clusters", _x15_oracle(),
        survey="X7,D3,D4,J5,S13,X-UD5")
 def x15_stream_maintained_clusters(spark: SparkSession,
@@ -1768,9 +1838,16 @@ def x15_stream_maintained_clusters(spark: SparkSession,
     # an edge first exists at the stream position of its latest
     # endpoint (pairs only form once both docs are present).  Force it
     # BEFORE the block diff below so the standing state's own internal
-    # checkpoints never land in this invocation's freed set.
+    # checkpoints never land in this invocation's freed set — ONCE per
+    # (app, sf_dir): after the first force the session persist
+    # (MEMORY_AND_DISK in one JVM — spills, never drops) holds the
+    # blocks, so re-counting per invocation was a pure fixed-cost job
+    # (~0.23 s/invocation measured, VERDICT r12 #6).
     pairs = _delta_post_jaccard_pairs(spark, sf_dir)
-    pairs.count()
+    fkey = (spark.sparkContext.applicationId, sf_dir)
+    if fkey not in _X15_PAIRS_FORCED:
+        pairs.count()
+        _X15_PAIRS_FORCED.add(fkey)
     thr = F.col("jaccard") >= JACCARD_CLUSTER_THRESHOLD
     _blocks_before = pinned_block_ids(spark)
 
@@ -1867,6 +1944,10 @@ def x15_stream_maintained_clusters(spark: SparkSession,
                 ],
                 dropped=(),
             )
+        import pyarrow as pa
+
+        local_serves: list = []  # Arrow tables, delivery-tagged
+        serve_cap = X15_SERVE_LOCAL_ROW_MAX
         for k in range(X15_DELIVERIES):
             if edges_by_k is not None:
                 new_edges = _local_frame(
@@ -1895,22 +1976,42 @@ def x15_stream_maintained_clusters(spark: SparkSession,
                 spark, vdir, changed, X15_BUCKETS,
                 vertex_rel=spark.table(vtab), table_name=vtab,
             )
-            served.append(
-                spark.table(ctab).select(
-                    F.lit(k).cast("int").alias("delivery_id"),
-                    F.col("vertex").alias("doc_id"),
-                    "component",
-                # coalesce (no shuffle): the catalog read carries one
-                # partition per bucket dir; snapshotting at session
-                # width keeps the 3-serve union at ~3×32 tasks
-                # instead of ~3×64
-                ).coalesce(default_parallelism()).localCheckpoint()
-            )
+            # serve: the table MUTATES in place next fold, so each
+            # state must be captured now.  Driver-local pyarrow read
+            # of the layout files (the x17 probe applied to the serve
+            # side — replaces a 64-partition catalog scan + eager
+            # checkpoint JOB per delivery, ~0.27 s each measured);
+            # a failed gate sends THIS serve to the catalog read.
+            st = (_x15_local_serve_table(cdir, "c_bucket", serve_cap)
+                  if serve_cap > 0 else None)
+            if st is not None:
+                local_serves.append(st.append_column(
+                    "delivery_id",
+                    pa.array([k] * st.num_rows, pa.int32()),
+                ))
+            else:
+                served.append(
+                    spark.table(ctab).select(
+                        F.lit(k).cast("int").alias("delivery_id"),
+                        F.col("vertex").alias("doc_id"),
+                        "component",
+                    # coalesce (no shuffle): the catalog read carries
+                    # one partition per bucket dir; snapshotting at
+                    # session width keeps the serve union at ~32
+                    # tasks per serve instead of ~64
+                    ).coalesce(default_parallelism()).localCheckpoint()
+                )
+        if local_serves:
+            served.append(spark.createDataFrame(
+                pa.concat_tables(local_serves).select(
+                    ["delivery_id", "vertex", "component"]
+                ).rename_columns(["delivery_id", "doc_id", "component"])
+            ))
         out = served[0]
         for s in served[1:]:
             out = out.unionByName(s)
         # materialize the union, then free every checkpoint block this
-        # invocation created (fold plans, change sets, the per-fold
+        # invocation created (fold plans, change sets, any per-fold
         # serving snapshots): the returned frame reads only its own
         # blocks, repeated invocations pin nothing on top
         return materialize_and_free(spark, _blocks_before, out)

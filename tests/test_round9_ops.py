@@ -625,6 +625,32 @@ def test_x15_frees_invocation_checkpoints(spark):
     assert second - first <= 3
 
 
+def test_x15_local_serve_matches_catalog_serve(spark):
+    """Round-13 serve surgery: each delivery's serve is a driver-local
+    pyarrow read of the bucket layout (the x17 probe applied to the
+    serve side); with X15_SERVE_LOCAL_ROW_MAX pinned to 0 every serve
+    is the catalog read + eager checkpoint.  The two must be
+    value-identical — disk state and catalog state are the same table
+    when the partition-sync discipline holds, and this locks it."""
+    import hfcommunity_spark.operators.dedup as dd
+
+    local = sorted(
+        tuple(r) for r in
+        dd.x15_stream_maintained_clusters(spark, SF_SMOKE).collect()
+    )
+    assert local, "x15 served no rows"
+    old = dd.X15_SERVE_LOCAL_ROW_MAX
+    dd.X15_SERVE_LOCAL_ROW_MAX = 0
+    try:
+        dist = sorted(
+            tuple(r) for r in
+            dd.x15_stream_maintained_clusters(spark, SF_SMOKE).collect()
+        )
+    finally:
+        dd.X15_SERVE_LOCAL_ROW_MAX = old
+    assert local == dist
+
+
 def test_x15_serves_every_prefix_and_syncs_catalog(spark):
     """Each delivery's served assignment must equal the one-shot CC
     over that PREFIX corpus's τ-pairs — recomputed Spark-side from

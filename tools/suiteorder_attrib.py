@@ -46,10 +46,15 @@ N_WATCH = 30  # tiny faces reported individually
 
 
 def _ranked_names() -> list[str]:
-    """Inventory names ascending by the last recorded bench time
-    (BENCH_FULL.json's queries map is already sorted ascending)."""
+    """Inventory names ascending by the last recorded bench time.
+    BENCH_FULL.json is serialized with sort_keys=True, so the stored
+    map is ALPHABETICAL — sort by value here (the round-13 first run
+    missed this, degenerating fastest_first to a second alphabetical
+    pass; usefully, that accident measured identical-order
+    run-to-run variance at ~30% on an ambient-loaded host)."""
     with open(RANKING) as fh:
-        return list(json.load(fh)["queries"])
+        q = json.load(fh)["queries"]
+    return sorted(q, key=q.get)
 
 
 def _order_names(order: str) -> list[str]:
