@@ -197,8 +197,14 @@ def main() -> None:
     sf = _sf_dir().rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="hfcommunity-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    _warm(spark, deep=True)
+    # ORDER MATTERS: calibrate after the SHALLOW warm (the r12 regime
+    # — keeps the sentinel comparable across rounds), THEN anneal.
+    # Calibrating after the deep pass halved the scan sentinel via
+    # JIT (0.16 -> 0.09 measured) and doubled every normalized ratio,
+    # breaking exactly the cross-round bridge it exists to provide.
+    _warm(spark)
     calibration = _calibrate(spark)
+    _warm(spark, deep=True)
     timings = _time_queries(spark, sorted(all_queries()))
     spark.stop()
 
