@@ -2726,6 +2726,47 @@ def _x17_oracle() -> str:
     return "\nUNION ALL\n".join(arms)
 
 
+def _x17_local_serve_table(sdir: str, cap: int):
+    """Driver-local serve read of the d-bucketed stats layout (the
+    round-13 x15 serve pattern): one pyarrow dataset scan over the
+    bucket files, dup_ratio computed as IEEE double division (bit-
+    identical to the JVM's).  Returns an Arrow table or None — gate
+    failure (row cap, unreadable/missing files) sends THIS serve back
+    to the hardlink-snapshot + distributed-read path; on object
+    storage ``listdir`` fails and every serve is distributed."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    files: list[str] = []
+    try:
+        for d in sorted(os.listdir(sdir)):
+            if not d.startswith("d_bucket="):
+                continue
+            dd_ = os.path.join(sdir, d)
+            for fn in sorted(os.listdir(dd_)):
+                if (fn.startswith(("_", "."))
+                        or not fn.endswith(".parquet")):
+                    continue
+                files.append(os.path.join(dd_, fn))
+        if not files:
+            return None  # a stats layout is never legitimately empty
+        t = pads.dataset(files).to_table(
+            columns=["doc_id", "n_spans", "n_dup_spans"]
+        )
+        if t.num_rows > cap:
+            return None
+        ratio = pc.divide(
+            t.column("n_dup_spans").cast(pa.float64()),
+            t.column("n_spans").cast(pa.float64()),
+        )
+        return t.append_column("dup_ratio", ratio)
+    except (OSError, pa.lib.ArrowException):
+        return None
+
+
 @query("x17_stream_maintained_spans", _x17_oracle(),
        survey="X7,D3,A7,J2,X-UD5")
 def x17_stream_maintained_spans(spark: SparkSession,
@@ -2803,6 +2844,7 @@ def x17_stream_maintained_spans(spark: SparkSession,
     # same row cap as the per-fold path; on overflow spans_by_k stays
     # None and each fold falls back to span_fold_in_place, which
     # re-gates per delivery.
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from hfcommunity_spark.operators import graph as G
@@ -2824,6 +2866,7 @@ def x17_stream_maintained_spans(spark: SparkSession,
         }
 
     served: list[DataFrame] = []
+    local_serves: list = []  # Arrow tables, delivery-tagged
     try:
         for k in range(X17_DELIVERIES):
             folded = (
@@ -2845,29 +2888,48 @@ def x17_stream_maintained_spans(spark: SparkSession,
                         ) == k
                     ),
                 )
-            # per-delivery SNAPSHOT by hardlink (~ms): the staged-
-            # commit writers replace files by unlink+write, so linked
-            # snapshots keep the old inodes — all three serve states
-            # then materialize in ONE job at the end instead of one
-            # scan + checkpoint per fold (measured ~0.4 s/fold)
-            snap = os.path.join(work, f"serve{k}")
-            shutil.copytree(sdir, snap, copy_function=_link_or_copy)
-            served.append(
-                spark.read.parquet(snap).select(
-                    F.lit(k).cast("int").alias("delivery_id"),
-                    "doc_id", "n_spans", "n_dup_spans",
-                    (
-                        F.col("n_dup_spans").cast("double")
-                        / F.col("n_spans")
-                    ).alias("dup_ratio"),
+            # serve: driver-local pyarrow read of the stats layout
+            # (round 13, the x15 serve pattern) — each
+            # spark.read.parquet(snapshot) plan cost ~0.25 s of
+            # driver-side footer inference over the 64 bucket files
+            # before any job ran; the local read is ~15 ms and all
+            # three states upload as ONE local relation.  A failed
+            # gate falls back to the hardlink snapshot (~ms; the
+            # staged-commit writers replace whole files, so linked
+            # snapshots keep the old inodes) + distributed read.
+            st = (_x17_local_serve_table(sdir, cap)
+                  if cap > 0 else None)
+            if st is not None:
+                local_serves.append(st.append_column(
+                    "delivery_id",
+                    pa.array([k] * st.num_rows, pa.int32()),
+                ))
+            else:
+                snap = os.path.join(work, f"serve{k}")
+                shutil.copytree(sdir, snap, copy_function=_link_or_copy)
+                served.append(
+                    spark.read.parquet(snap).select(
+                        F.lit(k).cast("int").alias("delivery_id"),
+                        "doc_id", "n_spans", "n_dup_spans",
+                        (
+                            F.col("n_dup_spans").cast("double")
+                            / F.col("n_spans")
+                        ).alias("dup_ratio"),
+                    )
                 )
-            )
+        if local_serves:
+            served.append(spark.createDataFrame(
+                pa.concat_tables(local_serves).select([
+                    "delivery_id", "doc_id", "n_spans",
+                    "n_dup_spans", "dup_ratio",
+                ])
+            ))
         out = served[0]
         for s in served[1:]:
             out = out.unionByName(s)
-        # ONE materialization of all three snapshots; the returned
-        # frame reads only its own blocks, so the working dir (and
-        # the snapshots) can go in the finally
+        # ONE materialization; the returned frame reads only its own
+        # blocks, so the working dir (and any snapshots) can go in
+        # the finally
         return materialize_and_free(
             spark, before, out.coalesce(width)
         )

@@ -871,6 +871,29 @@ def test_span_fold_in_place_local_equals_distributed_equals_rebuild(
     )
 
 
+def test_x17_local_serve_matches_snapshot_serve(spark, monkeypatch):
+    """Round-13 serve surgery on x17: the driver-local pyarrow serve
+    read of the stats layout must be value-identical (dup_ratio's
+    IEEE double division included) to the hardlink-snapshot +
+    distributed-read path it replaces — forced by gating the local
+    serve reader to None."""
+    from hfcommunity_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    local = sorted(
+        tuple(r) for r in
+        dd.x17_stream_maintained_spans(spark, sf).collect()
+    )
+    assert local, "x17 served no rows"
+    monkeypatch.setattr(dd, "_x17_local_serve_table",
+                        lambda sdir, cap: None)
+    snap = sorted(
+        tuple(r) for r in
+        dd.x17_stream_maintained_spans(spark, sf).collect()
+    )
+    assert local == snap
+
+
 def test_span_fold_crash_journal_and_recovery(spark, tmp_path,
                                               monkeypatch):
     """The cross-layout crash window (ADVICE r12): kill the local fold
