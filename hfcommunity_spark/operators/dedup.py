@@ -1737,11 +1737,16 @@ def _x15_pristine_layouts(spark: SparkSession, sf_dir: str) -> str:
 # process — see the force-once note inside the x15 face.
 _X15_PAIRS_FORCED: set = set()
 
-# Row cap for x15's driver-local serve reads: the assignment table is
-# doc-count-sized, and past ~2M rows a driver-held serve loses to the
-# distributed read (the x19 MEASURED crossover — corpus-sized upload,
-# python-speed passes).  Resolved at call time so tests can pin it.
-X15_SERVE_LOCAL_ROW_MAX = 2_000_000
+# Row cap for the maintained faces' driver-local serve reads (x15
+# assignment table, x17 stats table).  The three per-delivery serves
+# ACCUMULATE into one local-relation upload, so the binding constraint
+# is 3×cap total rows against the x19-measured upload loss point
+# (local lost at a 3M-row serve upload): cap 600k keeps the worst case
+# at 1.8M.  Measured at sf3.0 (≈40k rows/serve) the local read wins
+# 2.0 vs 2.8 s; a corpus whose serves exceed the cap takes the
+# distributed read per serve.  Resolved at call time so tests can pin.
+X15_SERVE_LOCAL_ROW_MAX = 600_000
+X17_SERVE_LOCAL_ROW_MAX = 600_000
 
 
 def _x15_local_serve_table(tdir: str, pcol: str, cap: int):
@@ -2897,8 +2902,8 @@ def x17_stream_maintained_spans(spark: SparkSession,
             # gate falls back to the hardlink snapshot (~ms; the
             # staged-commit writers replace whole files, so linked
             # snapshots keep the old inodes) + distributed read.
-            st = (_x17_local_serve_table(sdir, cap)
-                  if cap > 0 else None)
+            st = (_x17_local_serve_table(sdir, X17_SERVE_LOCAL_ROW_MAX)
+                  if X17_SERVE_LOCAL_ROW_MAX > 0 else None)
             if st is not None:
                 local_serves.append(st.append_column(
                     "delivery_id",
