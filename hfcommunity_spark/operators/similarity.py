@@ -1647,12 +1647,18 @@ def _ivf_base_lists(spark: SparkSession, sf_dir: str, emb: DataFrame,
 def ivf_index_delta(
     base_lists: DataFrame, arriving: DataFrame,
     centroids: list[list[float]],
-) -> DataFrame:
+    return_piece: bool = False,
+):
     """Fold a delivery into the standing IVF lists: assign ONLY the
     arriving vectors against the frozen codebook (one GEMM over the
     delivery) and append.  Per-cell counts are derived downstream from
     the folded lists' k-row aggregate — associative under union, so
-    the fold IS the maintenance.
+    the fold IS the maintenance.  ``return_piece=True`` additionally
+    returns the delivery's materialized piece, so a streamed caller
+    can maintain per-cell counts INCREMENTALLY from delivery-bounded
+    aggregates instead of re-aggregating the whole standing index per
+    fold (round 13 — the count maintenance now scales with the
+    delivery, like the fold itself).
 
     The assigned piece is MATERIALIZED here (delivery-bounded): every
     serving pass consumes the folded lists at least twice (the count
@@ -1664,11 +1670,11 @@ def ivf_index_delta(
     checkpoints must not scale with the standing index)."""
     from hfcommunity_spark.operators.kmeans import assign_cells
 
-    return base_lists.unionByName(
-        assign_cells(arriving, centroids).select(
-            "vec_id", "cell", "embedding"
-        ).localCheckpoint()
-    )
+    piece = assign_cells(arriving, centroids).select(
+        "vec_id", "cell", "embedding"
+    ).localCheckpoint()
+    folded = base_lists.unionByName(piece)
+    return (folded, piece) if return_piece else folded
 
 
 def _maint_ivf_oracle(corpus_pred: str = "TRUE") -> str:
@@ -1792,6 +1798,11 @@ def sim_maintained_ivf_parity(spark: SparkSession,
 
 X16_DELIVERIES = 3
 
+# (app, sf_dir) -> per-cell counts of the session-persisted BASE
+# lists (vec_id != 0) — standing state beside the lists themselves;
+# see the incremental-count note inside the x16 face.
+_X16_BASE_COUNTS: dict = {}
+
 
 def _x16_oracle() -> str:
     arms = []
@@ -1855,6 +1866,22 @@ def x16_stream_maintained_ann(spark: SparkSession,
         q[None, :].astype(np.float64), np.asarray(centroids, np.float64)
     )[0]
     order = sorted(range(len(centroids)), key=lambda i: (d2[i], i))
+    # per-cell counts maintained INCREMENTALLY (round 13): the base
+    # aggregate runs once per (app, sf_dir) — the counts of standing
+    # state ARE standing state — and each fold adds its delivery
+    # piece's delivery-bounded aggregate.  Associative under union,
+    # so the running dict equals the full-lists aggregate the r12
+    # shape re-ran per fold (index-scan per delivery — wrong growth).
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    base_counts = _X16_BASE_COUNTS.get(ckey)
+    if base_counts is None:
+        base_counts = {
+            r.cell: r.cnt
+            for r in lists.filter(F.col("vec_id") != 0)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        _X16_BASE_COUNTS[ckey] = base_counts
+    counts = dict(base_counts)
 
     before = pinned_block_ids(spark)
     served: list[DataFrame] = []
@@ -1864,12 +1891,13 @@ def x16_stream_maintained_ann(spark: SparkSession,
                 f"(vec_id DIV {_IVF_DELTA_MOD}) % {X16_DELIVERIES}"
             ) == k
         )
-        lists = ivf_index_delta(lists, batch, centroids)
-        counts = {
-            r.cell: r.cnt
-            for r in lists.filter(F.col("vec_id") != 0)
-            .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
+        lists, piece = ivf_index_delta(
+            lists, batch, centroids, return_piece=True
+        )
+        for r in (piece.filter(F.col("vec_id") != 0)
+                  .groupBy("cell")
+                  .agg(F.count(F.lit(1)).alias("cnt")).collect()):
+            counts[r.cell] = counts.get(r.cell, 0) + r.cnt
         probe, cum = [], 0
         for cell in order:
             if cum >= IVF_MIN_CAND:
