@@ -830,7 +830,14 @@ def g_commit_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, including through the rank-5 short-cut edge where
     paths of length 1 and 3 coexist.  Shas never cross the comparison
     boundary (DuckDB cannot compute them): both sides speak commit
-    MESSAGES, joined from the same scan."""
+    MESSAGES, joined from the same scan.
+
+    Bounded inputs take the driver-local twin first
+    (:func:`_commit_ancestors_local`, parity-locked, zero Spark
+    jobs); gate failure runs the distributed plan below unchanged."""
+    local = _commit_ancestors_local(spark, sf_dir)
+    if local is not None:
+        return local
     from hfcommunity_spark.operators.graph import (
         ancestors,
         materialize_and_free,
@@ -927,12 +934,78 @@ _MERGE_BASE_ORACLE = f"""
     """
 
 
-# Work budget for the merge-base driver-local twin: the reach build is
-# multi-source BFS from EVERY commit, so |commits| x |edges| bounds the
-# driver work — the same bound (and the same value) as
-# graph.ANC_LOCAL_WORK_MAX for the ancestors twin.  Resolved at call
-# time so tests can pin it to force the distributed plan.
+# Work budget for the fixture-DAG driver-local twins (merge-base and
+# commit-ancestors): the reach build is multi-source BFS from EVERY
+# commit, so |commits| x |edges| bounds the driver work — the same
+# bound (and the same value) as graph.ANC_LOCAL_WORK_MAX for the
+# ancestors operator twin.  Resolved at call time so tests can pin it
+# to force the distributed plan.
 MB_LOCAL_WORK_MAX = 2_000_000
+
+
+def _fixture_dag_local_reach(spark: SparkSession, sf_dir: str):
+    """Shared driver-local half of the fixture-DAG graph twins: run
+    the REAL git adapter driver-side (pre-gated by ``rev-list
+    --count`` — for a connected DAG work ≥ n·(n−1), so an over-cap
+    history never streams the full log), then min-hop BFS reach sets
+    from every commit.  Returns (msg_of_sha, reach) where reach maps
+    sha -> {ancestor_sha: min_hops, ...} INCLUDING self at hop 0, or
+    None on any gate failure (commit/work caps, unreadable repo) —
+    the caller then runs its distributed plan unchanged."""
+    base = _fixture_dag_repo(spark, sf_dir)
+    repo = os.path.join(base, "fixture")
+    cap = MB_LOCAL_WORK_MAX
+    try:
+        n = git_commit_count(repo)
+    except (OSError, subprocess.CalledProcessError, ValueError):
+        return None
+    if n == 0 or n * (n - 1) > cap:
+        return None
+    rows = git_log_rows(repo)
+    parents_of = {r["sha"]: r["parents"] for r in rows}
+    n_edges = sum(len(p) for p in parents_of.values())
+    if len(rows) * n_edges > cap:
+        return None
+    msg_of_sha = {r["sha"]: r["message"] for r in rows}
+    reach: dict[str, dict[str, int]] = {}
+    for start in msg_of_sha:
+        hops = {start: 0}
+        frontier = [start]
+        for hop in range(1, _ANCESTOR_MAX_HOPS + 1):
+            nxt = []
+            for node in frontier:
+                for p in parents_of.get(node, ()):
+                    if p not in hops:
+                        hops[p] = hop
+                        nxt.append(p)
+            if not nxt:
+                break
+            frontier = nxt
+        reach[start] = hops
+    return msg_of_sha, reach
+
+
+def _commit_ancestors_local(spark: SparkSession,
+                            sf_dir: str) -> DataFrame | None:
+    """Driver-local twin of :func:`g_commit_ancestors` (the round-13
+    merge-base twin's sibling — same fixture, same measured story:
+    the git subprocess is ~4 ms, the cost was the mapInPandas fetch
+    task + the ancestors walk + the two message joins).  Zero Spark
+    jobs once the fixture repo is scratch-cached; gate failure runs
+    the distributed plan unchanged."""
+    got = _fixture_dag_local_reach(spark, sf_dir)
+    if got is None:
+        return None
+    msg_of_sha, reach = got
+    out = [
+        (msg_of_sha[sha], msg_of_sha[anc], hop)
+        for sha, hops in reach.items()
+        for anc, hop in hops.items()
+        if hop > 0
+    ]
+    return spark.createDataFrame(
+        out, "message string, ancestor_message string, hops int"
+    )
 
 
 def _merge_base_local(spark: SparkSession,
@@ -958,49 +1031,21 @@ def _merge_base_local(spark: SparkSession,
     distributed path derives ranks from the ``documents`` table — the
     twin must not guess).  On a corpus-scale commit graph every gate
     fails and the distributed reach-set plan below runs unchanged."""
-    base = _fixture_dag_repo(spark, sf_dir)
-    repo = os.path.join(base, "fixture")
-    cap = MB_LOCAL_WORK_MAX
-    try:
-        n = git_commit_count(repo)
-    except (OSError, subprocess.CalledProcessError, ValueError):
+    got = _fixture_dag_local_reach(spark, sf_dir)
+    if got is None:
         return None
-    if n == 0 or n * (n - 1) > cap:
-        return None
-    rows = git_log_rows(repo)
-    parents_of = {r["sha"]: r["parents"] for r in rows}
-    n_edges = sum(len(p) for p in parents_of.values())
-    if len(rows) * n_edges > cap:
-        return None
+    msg_of_sha, reach = got
     # rank <-> message binding: the fixture encodes rank order as
     # ascending doc_id inside "dag doc <doc_id>" (ONE definition,
     # _fixture_dag_repo); a message outside that shape gates out
-    msg_of_sha = {r["sha"]: r["message"] for r in rows}
     try:
         by_doc = sorted(
-            (int(r["message"].removeprefix("dag doc ")), r["sha"])
-            for r in rows
+            (int(msg.removeprefix("dag doc ")), sha)
+            for sha, msg in msg_of_sha.items()
         )
     except ValueError:
         return None
     sha_of_rank = {rk: sha for rk, (_doc, sha) in enumerate(by_doc)}
-    # reach sets: min-hop BFS from every sha (self at hop 0), the
-    # driver twin of ancestors() ∪ hop-0 rows
-    reach: dict[str, dict[str, int]] = {}
-    for start in msg_of_sha:
-        hops = {start: 0}
-        frontier = [start]
-        for hop in range(1, _ANCESTOR_MAX_HOPS + 1):
-            nxt = []
-            for node in frontier:
-                for p in parents_of.get(node, ()):
-                    if p not in hops:
-                        hops[p] = hop
-                        nxt.append(p)
-            if not nxt:
-                break
-            frontier = nxt
-        reach[start] = hops
     out = []
     for rka, rkb in _MB_PAIRS_BY_RANK:
         sha_a, sha_b = sha_of_rank.get(rka), sha_of_rank.get(rkb)

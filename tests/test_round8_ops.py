@@ -608,6 +608,47 @@ def test_merge_base_agrees_with_git_on_fixture_pairs(spark):
             assert rc == 0, (mbase, m)
 
 
+def test_commit_ancestors_local_twin_matches_distributed(spark):
+    """Round-13: g_commit_ancestors shares the merge-base twin's
+    driver-local reach (same fixture, same gates) — forced to the
+    distributed map_fetch + ancestors + message-join plan with
+    MB_LOCAL_WORK_MAX pinned to 0, the two must agree exactly
+    (min-hops through the rank-5 short-cut edge included)."""
+    import hfcommunity_spark.operators.etlops as E
+
+    local = sorted(
+        tuple(r) for r in E.g_commit_ancestors(spark, SF_ORACLE).collect()
+    )
+    assert local, "no ancestry rows"
+    old = E.MB_LOCAL_WORK_MAX
+    E.MB_LOCAL_WORK_MAX = 0
+    try:
+        dist = sorted(
+            tuple(r) for r in
+            E.g_commit_ancestors(spark, SF_ORACLE).collect()
+        )
+    finally:
+        E.MB_LOCAL_WORK_MAX = old
+    assert local == dist
+
+
+def test_commit_ancestors_local_twin_schedules_zero_jobs(spark):
+    """Fixture cached -> the ancestors-face twin is two git
+    subprocesses + Python BFS + a local-relation upload: zero jobs."""
+    import hfcommunity_spark.operators.etlops as E
+
+    E._fixture_dag_repo(spark, SF_ORACLE)
+    sc = spark.sparkContext
+    group = "hfc-commit-anc-zero-job"
+    sc.setJobGroup(group, "ancestors twin must not schedule jobs")
+    try:
+        out = E._commit_ancestors_local(spark, SF_ORACLE)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert out is not None
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+
+
 def test_merge_base_local_twin_matches_distributed(spark):
     """The round-13 driver-local merge-base twin (driver-side
     git_log_rows + Python BFS-meet) must equal the distributed
