@@ -1884,20 +1884,34 @@ def x16_stream_maintained_ann(spark: SparkSession,
     counts = dict(base_counts)
 
     before = pinned_block_ids(spark)
+    # ONE arrival-tagged assignment of the whole arriving slice (the
+    # x14 one-pass lesson, round 13): one GEMM + one checkpoint + one
+    # (k, cell)-count collect replace three of each — every fold's
+    # piece is then a lazy filter over the checkpointed tagged frame.
+    # Value-identical to per-batch ivf_index_delta folds (assignment
+    # is per-row; the operator itself is unchanged and separately
+    # parity-locked).  At deployment scale deliveries arrive
+    # separately and the per-delivery operator fold is the path.
+    from hfcommunity_spark.operators.kmeans import assign_cells
+
+    tagged = assign_cells(arriving, centroids).select(
+        "vec_id", "cell", "embedding",
+        F.expr(
+            f"(vec_id DIV {_IVF_DELTA_MOD}) % {X16_DELIVERIES}"
+        ).cast("int").alias("karr"),
+    ).localCheckpoint()
+    piece_counts: dict = {}
+    for r in (tagged.filter(F.col("vec_id") != 0)
+              .groupBy("karr", "cell")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()):
+        piece_counts.setdefault(r.karr, {})[r.cell] = r.cnt
     served: list[DataFrame] = []
     for k in range(X16_DELIVERIES):
-        batch = arriving.filter(
-            F.expr(
-                f"(vec_id DIV {_IVF_DELTA_MOD}) % {X16_DELIVERIES}"
-            ) == k
+        lists = lists.unionByName(
+            tagged.filter(F.col("karr") == k).drop("karr")
         )
-        lists, piece = ivf_index_delta(
-            lists, batch, centroids, return_piece=True
-        )
-        for r in (piece.filter(F.col("vec_id") != 0)
-                  .groupBy("cell")
-                  .agg(F.count(F.lit(1)).alias("cnt")).collect()):
-            counts[r.cell] = counts.get(r.cell, 0) + r.cnt
+        for cell, cnt in piece_counts.get(k, {}).items():
+            counts[cell] = counts.get(cell, 0) + cnt
         probe, cum = [], 0
         for cell in order:
             if cum >= IVF_MIN_CAND:
