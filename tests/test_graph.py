@@ -1330,6 +1330,52 @@ def test_ancestors_local_twin_dedups_duplicate_starts(spark):
     assert local == dist
 
 
+def test_ancestors_local_property_random_dags(spark):
+    """Randomized-DAG parity sweep for the ancestors twin (the
+    round-13 gate rewrite): across seeded random DAGs — multiple
+    roots, diamond merges, duplicate edge rows, duplicate starts,
+    varying hop caps — the driver-local BFS must equal the forced
+    distributed frontier walk row for row."""
+    import random
+
+    from hfcommunity_spark.operators import graph as G
+    from hfcommunity_spark.operators.graph import ancestors
+
+    rng = random.Random(0xA13C)
+    for case in range(4):
+        n = rng.randint(6, 18)
+        edges = []
+        for child in range(1, n):
+            for parent in rng.sample(
+                range(child), k=min(child, rng.randint(1, 3))
+            ):
+                edges.append((f"c{child}", f"c{parent}"))
+        # duplicate edge rows: the distributed walk's per-hop
+        # distinct() absorbs them; the twin's visited-set must too
+        edges += [edges[i] for i in
+                  rng.sample(range(len(edges)), k=min(3, len(edges)))]
+        starts = [f"c{rng.randrange(n)}" for _ in range(rng.randint(1, 5))]
+        max_hops = rng.randint(1, 4)
+        edf = spark.createDataFrame(
+            edges, "commit_sha string, parent_sha string"
+        )
+        sdf = spark.createDataFrame(
+            [(s,) for s in starts], "sha string"
+        )
+        local = sorted(
+            tuple(r) for r in ancestors(edf, sdf, max_hops).collect()
+        )
+        old = G.ANC_LOCAL_WORK_MAX
+        G.ANC_LOCAL_WORK_MAX = 0
+        try:
+            dist = sorted(
+                tuple(r) for r in ancestors(edf, sdf, max_hops).collect()
+            )
+        finally:
+            G.ANC_LOCAL_WORK_MAX = old
+        assert local == dist, f"case {case}: {local} != {dist}"
+
+
 def test_ancestors_local_gate_ships_nothing_over_cap(spark):
     """The fallback decision must be learnable WITHOUT shipping the
     edge list: with the work cap pinned below |starts| x |edges|, the
