@@ -615,7 +615,29 @@ def scd2_track_seed(dim: DataFrame, events: DataFrame,
 X19_LOCAL_ROW_MAX = 2_000_000
 
 
-def _x19_fold_local(spark, ev: DataFrame, width: int):
+def _parquet_row_count(path: str) -> int | None:
+    """Exact row count of a local parquet file/dir from the footers —
+    a ZERO-Spark-job gate input (driver-side pyarrow metadata reads,
+    ~ms for a handful of files).  None on any failure — remote/object
+    storage, missing path, non-parquet — and the caller falls back to
+    the bounded JVM-side count."""
+    import pyarrow.dataset as pads
+
+    try:
+        ds = pads.dataset(path, format="parquet")
+        total = 0
+        for frag in ds.get_fragments():
+            md = frag.metadata
+            if md is None:
+                return None
+            total += md.num_rows
+        return total
+    except Exception:
+        return None
+
+
+def _x19_fold_local(spark, ev: DataFrame, width: int,
+                    n_rows_hint: int | None = None):
     """Driver-local twin of the x19 SCD2 stream lifecycle (the x15/x17
     one-scan lesson applied to the merge family): ONE guarded Arrow
     collect of the event feed, then the base build and every
@@ -624,11 +646,12 @@ def _x19_fold_local(spark, ev: DataFrame, width: int):
     distributed window pass (same (ts, event_id) sort, seed tiebreak
     −1, in-order guard against the key's fold watermark, absorbed-
     event watermark advance) — and the three serve states upload as
-    ONE local relation.  Four Spark jobs total — the bounded gate
-    count (2: limit+count runs as two incremental-limit jobs), the
-    Arrow collect, the final checkpoint; pinned in
-    ``tests/test_fold_job_budget.py`` — instead of ~11 (base build,
-    3×3-job folds, serve).
+    ONE local relation.  TWO Spark jobs — the Arrow collect and the
+    final checkpoint; pinned in ``tests/test_fold_job_budget.py`` —
+    instead of ~11 (base build, 3×3-job folds, serve); the gate is
+    the caller-provided ``n_rows_hint`` (an EXACT parquet-footer
+    count, round 13) falling back to a bounded JVM-side count (2
+    incremental-limit jobs) when no hint is available.
 
     Returns None — before any work beyond the collect — when a gate
     fails (row cap, unexpected dtypes); an in-order-contract violation
@@ -639,11 +662,15 @@ def _x19_fold_local(spark, ev: DataFrame, width: int):
     import pyarrow as pa
 
     cap = X19_LOCAL_ROW_MAX
-    # cheap pre-gate: a bounded COUNT (no data transfer) decides
-    # before the Arrow collect pays to move rows — an over-cap feed
-    # otherwise shipped cap+1 rows to the driver just to learn it
-    # must fall back (measured ~1.5 s at the sf3 corpus)
-    n = ev.limit(cap + 1).count()
+    # cheap pre-gate: decide before the Arrow collect pays to move
+    # rows — an over-cap feed otherwise shipped cap+1 rows to the
+    # driver just to learn it must fall back (measured ~1.5 s at the
+    # sf3 corpus).  The hint is exact-by-construction (parquet footer
+    # metadata of the unfiltered feed); without one, a bounded COUNT
+    # (no data transfer) runs JVM-side.
+    n = n_rows_hint
+    if n is None:
+        n = ev.limit(cap + 1).count()
     if n > cap or n == 0:
         return None
     t = ev.toArrow()
@@ -880,13 +907,21 @@ def x19_stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfcommunity_spark.session import default_parallelism
 
     width = default_parallelism()
+    import os
+
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    # round 12: the one-scan driver-local twin (four Spark jobs,
-    # budget-pinned); gates fall back to the distributed lifecycle
-    # below unchanged
-    local = _x19_fold_local(spark, ev, width)
+    # round 12/13: the one-scan driver-local twin (two Spark jobs,
+    # budget-pinned — the gate reads parquet footers driver-side; the
+    # projection drops no rows, so the table count IS the feed
+    # count); gates fall back to the distributed lifecycle unchanged
+    local = _x19_fold_local(
+        spark, ev, width,
+        n_rows_hint=_parquet_row_count(
+            os.path.join(sf_dir, "events.parquet")
+        ),
+    )
     if local is not None:
         return local
     n_top = ev.agg(

@@ -108,22 +108,39 @@ def test_bm25_fold_job_budget(spark):
 
 
 def test_x19_local_twin_job_budget(spark):
-    """The x19 driver-local one-scan fold schedules exactly 4 jobs —
-    the bounded gate count (2: Spark executes limit+count as two
-    incremental-limit jobs), the single Arrow collect, and the final
-    local-relation checkpoint — independent of delivery count
-    (VERDICT r12 #5: a future edit that sneaks a per-delivery job into
-    the twin flips this test, not a bench number)."""
+    """The x19 driver-local one-scan fold schedules exactly 2 jobs
+    when the caller supplies the parquet-footer row-count hint (the
+    Arrow collect + the final local-relation checkpoint), and 4
+    without one (the bounded gate count runs as two incremental-limit
+    jobs) — independent of delivery count (VERDICT r12 #5: a future
+    edit that sneaks a per-delivery job into the twin flips this
+    test, not a bench number)."""
     from hfcommunity_spark.io import read_table
-    from hfcommunity_spark.operators.mergeops import _x19_fold_local
+    from hfcommunity_spark.operators.mergeops import (
+        _parquet_row_count,
+        _x19_fold_local,
+    )
 
     ev = read_table(spark, "/root/testdata/sf0.01", "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
     ev.schema  # footer/schema job billed to the read, not the fold
-    with _job_budget(spark, 4, "x19-local-twin"):
-        out = _x19_fold_local(spark, ev, 8)
+    hint = _parquet_row_count("/root/testdata/sf0.01/events.parquet")
+    # the hint is EXACT: footer metadata equals the real count
+    assert hint == ev.count()
+    with _job_budget(spark, 2, "x19-local-twin-hinted"):
+        out = _x19_fold_local(spark, ev, 8, n_rows_hint=hint)
     assert out is not None and len(out.columns) == 5
+    with _job_budget(spark, 4, "x19-local-twin-unhinted"):
+        out2 = _x19_fold_local(spark, ev, 8)
+    assert out2 is not None
+    # an over-cap hint gates out with ZERO jobs (the 100 TB shape)
+    with _job_budget(spark, 0, "x19-local-twin-overcap"):
+        assert _x19_fold_local(
+            spark, ev, 8, n_rows_hint=10**12
+        ) is None
+    # unreadable/remote paths yield no hint, never a wrong one
+    assert _parquet_row_count("/nonexistent/events.parquet") is None
 
 
 def test_pagerank_local_twin_job_budget(spark):
