@@ -1400,6 +1400,21 @@ def minhash_band_delta(bands: DataFrame, pairs: DataFrame,
     # delivery-bounded; referenced by both the merged index and the
     # probe side of the candidate join — compute the signatures once
     new_bands = _minhash_bands(new_sigs, hash_mode).localCheckpoint()
+    return minhash_band_delta_from_bands(bands, pairs, new_bands)
+
+
+def minhash_band_delta_from_bands(bands: DataFrame, pairs: DataFrame,
+                                  new_bands: DataFrame,
+                                  ) -> tuple[DataFrame, DataFrame]:
+    """The band-level half of :func:`minhash_band_delta`: fold an
+    ALREADY-SIGNED delivery (its (doc_id, sig, band, bhash) rows) into
+    the maintained indexes.  Split out (round 13) so a caller holding
+    the delivery's band rows as standing state — signatures depend
+    only on the document's own shingles, so they are derivable state
+    exactly like the base index's — pays only the probe join +
+    scoring per invocation.  ``new_bands`` must be materialized or
+    cached by the caller (it feeds both the merged index and the
+    probe side)."""
     merged = bands.unionByName(new_bands)
     n, m = new_bands.alias("n"), merged.alias("m")
     new_is_lower = F.col("n.doc_id") < F.col("m.doc_id")
@@ -1481,6 +1496,23 @@ def _delta_base_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_index(
         spark, sf_dir, "delta_base_band_pairs", "sha2", build
     )
+
+
+def _delta_arriving_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARRIVING slice's band rows, session-persisted standing
+    state (round 13): a document's signature depends only on its own
+    shingles, so the delivery's band frame is derivable state exactly
+    like the base index's — re-signing the slice per invocation was
+    the probe face's largest fixed cost.  The probe JOIN stays
+    per-invocation work: that is the face's evidence."""
+    def build() -> DataFrame:
+        return _minhash_bands(
+            minhash_signatures(
+                _delta_arriving_docs(spark, sf_dir), hash_mode="sha2"
+            ),
+            "sha2",
+        )
+    return _sig_index(spark, sf_dir, "delta_arriving_bands", "sha2", build)
 
 
 def _delta_base_jaccard_postings(spark: SparkSession,
@@ -1600,13 +1632,15 @@ def dd_maintained_pairs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-delivery work is the batch's band rows probing the maintained
     index — bounded by the delivery, never a corpus self-join.  The
-    base band/pair frames are session-persisted standing state
-    (``_delta_base_bands``); the query's marginal cost IS the probe."""
-    _merged, pairs = minhash_band_delta(
+    base band/pair frames AND the delivery's band frame are
+    session-persisted standing state (``_delta_base_bands``,
+    ``_delta_arriving_bands`` — signatures derive from each doc's own
+    shingles, so the band rows are state, not probe work); the
+    query's marginal cost IS the probe join + scoring."""
+    _merged, pairs = minhash_band_delta_from_bands(
         _delta_base_bands(spark, sf_dir),
         _delta_base_band_pairs(spark, sf_dir),
-        _delta_arriving_docs(spark, sf_dir),
-        hash_mode="sha2",
+        _delta_arriving_bands(spark, sf_dir),
     )
     return pairs
 
