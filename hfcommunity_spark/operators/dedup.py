@@ -1498,13 +1498,25 @@ def _delta_base_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (app, sf_dir) pairs whose arriving-bands cache has been forced —
+# see _delta_arriving_bands.
+_ARRIVING_BANDS_FORCED: set = set()
+
+
 def _delta_arriving_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ARRIVING slice's band rows, session-persisted standing
     state (round 13): a document's signature depends only on its own
     shingles, so the delivery's band frame is derivable state exactly
     like the base index's — re-signing the slice per invocation was
     the probe face's largest fixed cost.  The probe JOIN stays
-    per-invocation work: that is the face's evidence."""
+    per-invocation work: that is the face's evidence.
+
+    Forced EAGERLY once per (app, sf_dir): the probe join consumes
+    this frame on BOTH sides (merged index + probe), and a lazy
+    persist materializing under two consumers in one job computed the
+    sha2 signing twice (measured 2× the sf3 cold when this was left
+    lazy — the hazard the pre-split operator's eager localCheckpoint
+    existed to prevent)."""
     def build() -> DataFrame:
         return _minhash_bands(
             minhash_signatures(
@@ -1512,7 +1524,12 @@ def _delta_arriving_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "sha2",
         )
-    return _sig_index(spark, sf_dir, "delta_arriving_bands", "sha2", build)
+    df = _sig_index(spark, sf_dir, "delta_arriving_bands", "sha2", build)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ARRIVING_BANDS_FORCED:
+        df.count()
+        _ARRIVING_BANDS_FORCED.add(key)
+    return df
 
 
 def _delta_base_jaccard_postings(spark: SparkSession,
