@@ -978,6 +978,34 @@ def test_span_fold_crash_journal_and_recovery(spark, tmp_path,
     dd.span_fold_in_place(spark, p_cr, s_cr, delivery)
     assert read_layouts(p_cr, s_cr) == want
 
+    # the STRONGEST crash point: both layouts written, crash before
+    # the marker removal (the double-count window — re-folding the
+    # delivery on top would double old docs' n_dup_spans).  Recovery
+    # must UNDO the completed postings append via the snapshot and
+    # re-folding must still land on the never-crashed state.
+    p_c2, s_c2 = build("crash2")
+    pristine2 = read_layouts(p_c2, s_c2)
+    real_unlink = os.unlink
+
+    def dying_unlink(path):
+        if path.endswith("_fold_inflight.json"):
+            raise OSError("simulated crash before marker removal")
+        return real_unlink(path)
+
+    monkeypatch.setattr("os.unlink", dying_unlink)
+    try:
+        dd.span_fold_in_place(spark, p_c2, s_c2, delivery)
+        raise AssertionError("simulated crash did not propagate")
+    except OSError:
+        pass
+    finally:
+        monkeypatch.setattr("os.unlink", real_unlink)
+    assert os.path.isfile(dd._span_fold_marker_path(p_c2))
+    assert dd.recover_span_fold(spark, p_c2, s_c2) is True
+    assert read_layouts(p_c2, s_c2) == pristine2
+    dd.span_fold_in_place(spark, p_c2, s_c2, delivery)
+    assert read_layouts(p_c2, s_c2) == want
+
 
 def test_span_fold_local_rows_schedules_zero_jobs(spark, tmp_path):
     """The x17 fold discipline, pinned like the graph fold
