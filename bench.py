@@ -206,6 +206,17 @@ def main() -> None:
     calibration = _calibrate(spark)
     _warm(spark, deep=True)
     timings = _time_queries(spark, sorted(all_queries()))
+    # second sentinel AFTER the pass (round 13): the host's bursty
+    # ambient load can differ between the calibration instant and the
+    # ~6-minute query pass — a large delta marks an intra-run burst
+    # the single reading would silently misprice.  cpu_loop_end is
+    # DIRECTLY start-comparable (pure Python, JIT-independent);
+    # spark_scan_end runs on a fully-annealed JVM, so compare it to
+    # other rounds' END readings (quiet hosts sit near 0.10), never
+    # to the start reading.
+    end = _calibrate(spark)
+    calibration["cpu_loop_sec_end"] = end["cpu_loop_sec"]
+    calibration["spark_scan_sec_end"] = end["spark_scan_sec"]
     spark.stop()
 
     solo_names = [n for n in SOLO_SENTINELS if n in timings]

@@ -107,3 +107,9 @@ def test_scan_normalized_ratios_ride_the_full_payload():
     # a zero/absent scan sentinel must not divide by zero
     full2, _ = build_payloads(timings, 0.1, None, {"cpu_loop_sec": 0.3})
     assert "queries_scan_normalized" not in full2
+    # end-of-pass sentinels ride the full calibration map verbatim
+    cal3 = dict(cal, cpu_loop_sec_end=0.31, spark_scan_sec_end=0.11)
+    full3, line3 = build_payloads(timings, 0.1, None, cal3)
+    assert full3["calibration"]["cpu_loop_sec_end"] == 0.31
+    assert full3["calibration"]["spark_scan_sec_end"] == 0.11
+    assert len(line3) <= TAIL_BUDGET + 1
