@@ -433,35 +433,97 @@ def test_maybe_broadcast_gate_respects_threshold(spark):
 
 
 def test_maybe_broadcast_estimate_memoized(spark):
-    """The Catalyst size estimate is a plan-time constant per
-    (session, plan): one optimizer round-trip per distinct plan, the
-    gate decision thereafter reads the cache (VERDICT r12 #2).  The
-    poisoned-cache step proves the second call consults the cache
-    rather than re-deriving the estimate."""
+    """The Catalyst size estimate is memoized per (session, plan,
+    input-file fingerprint): one optimizer round-trip per distinct
+    (plan, file state), the gate decision thereafter reads the cache
+    (VERDICT r12 #2).  The poisoned-cache step proves the second call
+    consults the cache rather than re-deriving the estimate."""
     from hfcommunity_spark.io import read_table
     from hfcommunity_spark.operators import skew
 
-    before = dict(skew._EST_CACHE)
-    skew._EST_CACHE.clear()
+    cache = skew._session_cache(spark)
+    before = dict(cache)
+    cache.clear()
     try:
         skew.maybe_broadcast(read_table(spark, SF_ORACLE, "customer"))
-        assert len(skew._EST_CACHE) == 1
-        cache_key, est = next(iter(skew._EST_CACHE.items()))
+        assert len(cache) == 1
+        cache_key, est = next(iter(cache.items()))
         assert est > 0
-        # the same plan REBUILT from scratch lands on the same slot
+        # the same plan REBUILT from scratch over UNCHANGED files
+        # lands on the same slot
         skew.maybe_broadcast(read_table(spark, SF_ORACLE, "customer"))
-        assert len(skew._EST_CACHE) == 1
+        assert len(cache) == 1
         # poison: a huge cached estimate must flip the gate to
         # unhinted even though the real frame is tiny
-        skew._EST_CACHE[cache_key] = 1 << 60
+        cache[cache_key] = 1 << 60
         out = skew.maybe_broadcast(
             read_table(spark, SF_ORACLE, "customer")
         )
         analyzed = out._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed
     finally:
-        skew._EST_CACHE.clear()
-        skew._EST_CACHE.update(before)
+        cache.clear()
+        cache.update(before)
+
+
+def test_maybe_broadcast_cache_misses_on_grown_inputs(spark, tmp_path):
+    """The staleness fix (ADVICE r13): Spark never demotes an explicit
+    broadcast hint, so a cached small estimate over inputs that have
+    since GROWN must not keep forcing the hint.  Growing the parquet
+    dir changes the input-file fingerprint → the same logical plan
+    re-derives its estimate; with the threshold pinned between the
+    two sizes, the hint flips off.  Also: non-file inputs are never
+    memoized, and the per-session cache is capped."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import skew
+
+    p = str(tmp_path / "growing_dim")
+    spark.range(10).withColumn("pad", F.lit("x" * 100)).write.mode(
+        "overwrite"
+    ).parquet(p)
+    cache = skew._session_cache(spark)
+    before = dict(cache)
+    cache.clear()
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+
+    def hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    try:
+        small_est = skew._size_estimate(spark.read.parquet(p))
+        spark.conf.set(key, str(small_est * 10) + "b")
+        assert hinted(skew.maybe_broadcast(spark.read.parquet(p)))
+        assert len(cache) == 1
+        # grow the table ~1000x past the pinned threshold; same path,
+        # same logical plan — but new files, so a NEW cache slot and
+        # a fresh (large) estimate that flips the gate
+        spark.range(200_000).withColumn(
+            "pad", F.lit("y" * 100)
+        ).write.mode("append").parquet(p)
+        out = skew.maybe_broadcast(spark.read.parquet(p))
+        assert not hinted(out)
+        assert len(cache) == 2  # old slot dead, new slot recorded
+        # in-memory (non-file) inputs never earn a slot
+        mem = spark.createDataFrame([(1,)], "a int")
+        assert skew._input_fingerprint(mem) is None
+        skew.maybe_broadcast(mem)
+        assert len(cache) == 2
+        # the cap bounds the cache: fill to MAX with synthetic slots,
+        # then one real insertion must evict rather than grow
+        cache.clear()
+        for i in range(skew._EST_CACHE_MAX):
+            cache[("synthetic", i)] = 1
+        p2 = str(tmp_path / "second_dim")
+        spark.range(5).write.parquet(p2)
+        assert skew._size_estimate(spark.read.parquet(p2)) is not None
+        assert len(cache) == skew._EST_CACHE_MAX
+        assert ("synthetic", 0) not in cache  # FIFO victim
+    finally:
+        spark.conf.set(key, prev)
+        cache.clear()
+        cache.update(before)
 
 
 def test_maybe_broadcast_estimate_failure_warns_once(spark):
