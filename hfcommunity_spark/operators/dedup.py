@@ -1828,10 +1828,12 @@ def _x15_local_serve_table(tdir: str, pcol: str, cap: int):
                     continue
                 files.append(os.path.join(dd_, fn))
         if not files:
-            return pa.table({
-                "vertex": pa.array([], pa.int64()),
-                "component": pa.array([], pa.int64()),
-            })
+            # an assignment layout is never legitimately empty (the
+            # base corpus always has vertices), so a pcol/layout
+            # drift must FALL BACK to the catalog read instead of
+            # silently serving zero rows (ADVICE r13) — matching the
+            # x17 sibling's contract
+            return None
         t = pads.dataset(files).to_table(
             columns=["vertex", "component"]
         )
@@ -2318,23 +2320,40 @@ def _span_fold_check_marker(postings_dir: str) -> None:
         )
 
 
+def _span_bucket_listing(postings_dir: str, b: int) -> list[str]:
+    import os
+
+    d = os.path.join(postings_dir, f"h_bucket={b}")
+    return sorted(
+        fn for fn in (os.listdir(d) if os.path.isdir(d) else [])
+        if not fn.startswith(("_", ".")) and fn.endswith(".parquet")
+    )
+
+
 def _span_fold_write_marker(postings_dir: str,
-                            post_out: dict[int, list]) -> None:
+                            touched_buckets) -> None:
     """Journal the pre-fold state of every h-bucket this fold will
     append into: the sorted file listing per touched bucket.  Written
-    BEFORE either layout mutates; removed after both writes land."""
+    BEFORE either layout mutates; removed after both writes land.
+    Written ATOMICALLY (temp file + rename, ADVICE r13): a crash
+    mid-marker-write must not leave a truncated JSON that breaks
+    :func:`recover_span_fold` itself — and because the rename is the
+    publish point, a missing-or-unparseable marker always means "no
+    layout mutation happened yet"."""
     import json
     import os
 
-    snapshot = {}
-    for b in sorted(post_out):
-        d = os.path.join(postings_dir, f"h_bucket={b}")
-        snapshot[str(b)] = sorted(
-            fn for fn in (os.listdir(d) if os.path.isdir(d) else [])
-            if not fn.startswith(("_", ".")) and fn.endswith(".parquet")
-        )
-    with open(_span_fold_marker_path(postings_dir), "w") as fh:
+    snapshot = {
+        str(b): _span_bucket_listing(postings_dir, b)
+        for b in sorted(touched_buckets)
+    }
+    marker = _span_fold_marker_path(postings_dir)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"postings_snapshot": snapshot}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, marker)
 
 
 def recover_span_fold(spark, postings_dir: str, stats_dir: str,
@@ -2356,20 +2375,37 @@ def recover_span_fold(spark, postings_dir: str, stats_dir: str,
     3. Remove the marker (last — a crash mid-recovery re-runs it).
 
     The interrupted delivery itself was never recorded as folded, so
-    the caller re-folds it afterwards.  The DISTRIBUTED fold path's
-    writes go through Spark's output-commit protocol (visible files
-    appear only at job commit), so its crash recovery needs only step
-    2 plus a probe of whether the batch's postings landed; this
-    journal covers the driver-local path, whose two plain-file writes
-    have no commit protocol of their own."""
+    the caller re-folds it afterwards.  BOTH fold paths journal this
+    window on local filesystems (r14): the driver-local path's two
+    plain-file writes have no commit protocol of their own, and while
+    the DISTRIBUTED path's individual writes go through Spark's
+    output-commit protocol (visible files appear only at job commit),
+    its stats overwrite and postings append are still two separate
+    jobs — the same marker brackets them, and the same rollback +
+    derived-stats rebuild recovers (test-locked for both paths in
+    tests/test_llmops.py).  On object storage the local marker probe
+    is a no-op and recovery is step 2 plus a batch-presence probe."""
     import json
     import os
 
     marker = _span_fold_marker_path(postings_dir)
     if not os.path.isfile(marker):
         return False
-    with open(marker) as fh:
-        snapshot = json.load(fh)["postings_snapshot"]
+    try:
+        with open(marker) as fh:
+            snapshot = json.load(fh)["postings_snapshot"]
+    except (ValueError, KeyError, OSError):
+        # Unparseable marker.  The marker is published by an atomic
+        # rename AFTER its full content is fsynced, and always BEFORE
+        # any layout mutation — so a corrupt one can only mean
+        # filesystem damage after the fact, or a marker written by a
+        # pre-r14 build (plain open/json.dump) that crashed mid-write,
+        # i.e. before anything mutated.  Either way the defensible
+        # recovery is: leave postings as they stand, rebuild stats
+        # from them (stats are derived state), drop the marker
+        # (ADVICE r13 — the old behavior crashed on json.load here,
+        # wedging the documented recovery path itself).
+        snapshot = {}
     for b, keep in snapshot.items():
         d = os.path.join(postings_dir, f"h_bucket={b}")
         if not os.path.isdir(d):
@@ -2600,12 +2636,13 @@ def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
     test-locked (``tests/test_llmops.py``).
 
     Crash safety: a fold interrupted between the stats upsert and the
-    postings append leaves the two layouts inconsistent; the
-    driver-local path journals the window (see
-    :func:`recover_span_fold`) and this entry point REFUSES to fold
-    over a layout carrying an in-flight marker.  (On object storage
-    the local-file marker probe is a no-op — the distributed writers'
-    job-commit protocol plus the recovery discipline documented in
+    postings append leaves the two layouts inconsistent; BOTH paths
+    journal the window on local filesystems (see
+    :func:`recover_span_fold`; distributed coverage added r14, ADVICE
+    r13) and this entry point REFUSES to fold over a layout carrying
+    an in-flight marker.  (On object storage the local-file marker
+    probe is a no-op — the distributed writers' job-commit protocol
+    plus the recovery discipline documented in
     :func:`recover_span_fold` apply there.)"""
     import os as _os
 
@@ -2647,6 +2684,22 @@ def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
             .withColumn("d_bucket", _bucket_expr("doc_id", stats_buckets))
         )
         rows = out.localCheckpoint()  # cut lineage from the files
+        # Journal the cross-layout window for the DISTRIBUTED writers
+        # too (ADVICE r13): each write individually goes through
+        # Spark's output-commit protocol, but the stats overwrite and
+        # the postings append are still two separate jobs — a crash
+        # between them previously left the layouts inconsistent with
+        # no marker and no refusal on the next fold.  On local
+        # filesystems (isdir succeeds) the same pre-mutation marker
+        # covers the window; recovery is the same rollback + stats
+        # rebuild.  The batch's touched buckets aren't known
+        # driver-side here, so snapshot ALL ≤``buckets`` h-bucket
+        # listings — a bounded driver-side listdir.  On object
+        # storage isdir is False and the marker stays a no-op, as
+        # documented.
+        journal = _os.path.isdir(postings_dir)
+        if journal:
+            _span_fold_write_marker(postings_dir, range(buckets))
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode"
         )
@@ -2667,6 +2720,8 @@ def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
         append_span_postings(batch_postings, postings_dir, buckets)
+        if journal:
+            _os.unlink(_span_fold_marker_path(postings_dir))
     spark.catalog.refreshByPath(postings_dir)
     spark.catalog.refreshByPath(stats_dir)
 

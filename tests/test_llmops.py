@@ -1007,6 +1007,167 @@ def test_span_fold_crash_journal_and_recovery(spark, tmp_path,
     assert read_layouts(p_c2, s_c2) == want
 
 
+def test_span_fold_distributed_crash_journal_and_recovery(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r13 ask #3 / ADVICE r13: the DISTRIBUTED span writers'
+    crash window gets the same discipline the local path earned in
+    r13.  With the local cap pinned to 0 (the 100 TB configuration),
+    kill the fold between the stats dynamic-overwrite and the postings
+    append, and again between the append and the marker removal.  In
+    both windows: the marker survives, the next fold attempt REFUSES
+    loudly, recover_span_fold restores the exact pre-fold layouts, and
+    re-folding the recovered delivery equals a never-crashed
+    distributed fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    delivery = docs.filter(F.col("doc_id") % 3 == 1)
+
+    def read_layouts(pdir, sdir):
+        spark.catalog.refreshByPath(pdir)
+        spark.catalog.refreshByPath(sdir)
+        return (
+            {tuple(r) for r in spark.read.parquet(pdir)
+             .select("doc_id", "h", "c").collect()},
+            {tuple(r) for r in spark.read.parquet(sdir)
+             .select("doc_id", "n_spans", "n_dup_spans").collect()},
+        )
+
+    def build(tag):
+        pdir = str(tmp_path / tag / "postings")
+        sdir = str(tmp_path / tag / "stats")
+        dd.write_span_postings(dd.span_postings_frame(base), pdir)
+        dd.write_span_stats(
+            dd.span_stats_from_postings(dd.span_postings_frame(base)),
+            sdir,
+        )
+        return pdir, sdir
+
+    monkeypatch.setattr(dd, "SPAN_LOCAL_ROW_MAX", 0)
+
+    # reference: the never-crashed DISTRIBUTED fold
+    p_ok, s_ok = build("ok")
+    dd.span_fold_in_place(spark, p_ok, s_ok, delivery)
+    want = read_layouts(p_ok, s_ok)
+
+    # window 1: stats overwritten, postings append never ran
+    p_cr, s_cr = build("crash")
+    pristine = read_layouts(p_cr, s_cr)
+    real_append = dd.append_span_postings
+
+    def dying_append(batch, out_dir, buckets=dd.SPAN_H_BUCKETS):
+        raise OSError("simulated crash before the postings append")
+
+    monkeypatch.setattr(dd, "append_span_postings", dying_append)
+    try:
+        dd.span_fold_in_place(spark, p_cr, s_cr, delivery)
+        raise AssertionError("simulated crash did not propagate")
+    except OSError:
+        pass
+    monkeypatch.setattr(dd, "append_span_postings", real_append)
+
+    marker = dd._span_fold_marker_path(p_cr)
+    assert os.path.isfile(marker), (
+        "the distributed writers must journal the cross-layout window"
+    )
+    try:
+        dd.span_fold_in_place(spark, p_cr, s_cr, delivery)
+        raise AssertionError("fold over an in-flight marker must raise")
+    except RuntimeError as exc:
+        assert "recover_span_fold" in str(exc)
+    assert dd.recover_span_fold(spark, p_cr, s_cr) is True
+    assert not os.path.isfile(marker)
+    assert read_layouts(p_cr, s_cr) == pristine
+    dd.span_fold_in_place(spark, p_cr, s_cr, delivery)
+    assert read_layouts(p_cr, s_cr) == want
+
+    # window 2 (the double-count window): BOTH distributed writes
+    # landed, crash before marker removal — recovery must UNDO the
+    # committed postings append via the snapshot
+    p_c2, s_c2 = build("crash2")
+    pristine2 = read_layouts(p_c2, s_c2)
+    real_unlink = os.unlink
+
+    def dying_unlink(path):
+        if path.endswith("_fold_inflight.json"):
+            raise OSError("simulated crash before marker removal")
+        return real_unlink(path)
+
+    monkeypatch.setattr("os.unlink", dying_unlink)
+    try:
+        dd.span_fold_in_place(spark, p_c2, s_c2, delivery)
+        raise AssertionError("simulated crash did not propagate")
+    except OSError:
+        pass
+    finally:
+        monkeypatch.setattr("os.unlink", real_unlink)
+    assert os.path.isfile(dd._span_fold_marker_path(p_c2))
+    assert dd.recover_span_fold(spark, p_c2, s_c2) is True
+    assert read_layouts(p_c2, s_c2) == pristine2
+    dd.span_fold_in_place(spark, p_c2, s_c2, delivery)
+    assert read_layouts(p_c2, s_c2) == want
+
+
+def test_recover_span_fold_tolerates_truncated_marker(
+        spark, tmp_path):
+    """ADVICE r13: an unparseable marker must not wedge the recovery
+    path itself.  The r14 marker is published by atomic rename, so a
+    truncated one can only be pre-r14 debris or filesystem damage —
+    either way recover_span_fold treats it as 'nothing mutated':
+    postings stand, stats rebuild from them, marker removed, folding
+    unblocked."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    delivery = docs.filter(F.col("doc_id") % 3 == 1)
+    pdir = str(tmp_path / "postings")
+    sdir = str(tmp_path / "stats")
+    dd.write_span_postings(dd.span_postings_frame(base), pdir)
+    dd.write_span_stats(
+        dd.span_stats_from_postings(dd.span_postings_frame(base)), sdir
+    )
+    pristine_stats = {
+        tuple(r) for r in spark.read.parquet(sdir)
+        .select("doc_id", "n_spans", "n_dup_spans").collect()
+    }
+    marker = dd._span_fold_marker_path(pdir)
+    with open(marker, "w") as fh:
+        fh.write('{"postings_snap')  # a mid-write crash's residue
+    # folding still refuses (marker present at all = refuse)
+    try:
+        dd.span_fold_in_place(spark, pdir, sdir, delivery)
+        raise AssertionError("fold over a truncated marker must raise")
+    except RuntimeError as exc:
+        assert "recover_span_fold" in str(exc)
+    # recovery neither crashes (the pre-r14 wedge) nor mutates
+    # postings; stats rebuild to the same derived values
+    assert dd.recover_span_fold(spark, pdir, sdir) is True
+    assert not os.path.isfile(marker)
+    spark.catalog.refreshByPath(sdir)
+    assert {
+        tuple(r) for r in spark.read.parquet(sdir)
+        .select("doc_id", "n_spans", "n_dup_spans").collect()
+    } == pristine_stats
+    # and the layout folds normally afterwards
+    dd.span_fold_in_place(spark, pdir, sdir, delivery)
+
+
 def test_span_fold_local_rows_schedules_zero_jobs(spark, tmp_path):
     """The x17 fold discipline, pinned like the graph fold
     (tests/test_graph.py): a pre-collected delivery folds into the
