@@ -51,7 +51,16 @@ SOLO_EXTRA_SLOWEST = 2  # plus the N in-suite slowest not already listed
 # the JVM on exactly that prefix removes the positional artifact from
 # the recorded numbers instead of letting it masquerade as
 # round-over-round drift (the r12 "diffuse sub-second floor").
-WARM_PREFIX = 30
+# Overridable for controlled experiments (VERDICT r13 ask #4 ran a
+# full-anneal control: SPARK_GRAFT_WARM_PREFIX=all); "all" anneals
+# the whole inventory, 0 disables annealing.  The recorded regime
+# string always carries the effective value.
+def _warm_prefix() -> int:
+    raw = os.environ.get("SPARK_GRAFT_WARM_PREFIX", "30").strip().lower()
+    return 10**9 if raw == "all" else int(raw)
+
+
+WARM_PREFIX = _warm_prefix()
 
 
 def _warm(spark, deep: bool = False) -> None:
@@ -113,13 +122,7 @@ def _calibrate(spark) -> dict:
 
     from hfcommunity_spark.session import default_parallelism
 
-    cpu = float("inf")
-    for _ in range(3):
-        t0 = time.monotonic()
-        acc = 0
-        for i in range(_CAL_CPU_N):
-            acc += i * i
-        cpu = min(cpu, time.monotonic() - t0)
+    cpu = _cal_cpu_loop()
     scan = float("inf")
     for _ in range(3):
         t0 = time.monotonic()
@@ -154,40 +157,124 @@ def _time_queries(spark, names) -> dict[str, float]:
     return timings
 
 
+def _cal_cpu_loop() -> float:
+    """The calibration's pure-Python work unit alone (min-of-3) — the
+    cheap per-subprocess host-speed probe the solo outlier guard
+    compares against the suite's reading."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        acc = 0
+        for i in range(_CAL_CPU_N):
+            acc += i * i
+        best = min(best, time.monotonic() - t0)
+    return round(best, 4)
+
+
 def _solo_worker(names: list[str]) -> None:
     """Subprocess entry: fresh session, warmup, time the given
-    queries, print one JSON map on the last line."""
+    queries, print one JSON object {"timings": ..., "cpu_loop_sec":
+    ...} on the last line.  The cpu sentinel rides along so the
+    parent can adjudicate a stalled solo (ambient load burst) without
+    re-running by hand (VERDICT r13 ask #2)."""
     from hfcommunity_spark.session import get_spark
 
     spark = get_spark(app_name="hfcommunity-bench-solo")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark)
-    print(json.dumps(_time_queries(spark, names)))
+    print(json.dumps({
+        "timings": _time_queries(spark, names),
+        "cpu_loop_sec": _cal_cpu_loop(),
+    }))
     spark.stop()
 
 
-def _run_solo(names: list[str]) -> dict[str, float] | None:
+# Solo outlier guard (VERDICT r13 ask #2): a solo is SUSPECT — re-run
+# once, record both attempts — when its time exceeds 3x its in-suite
+# time by more than half a second (3x of a 0.1 s face is noise, not a
+# stall), or when its subprocess's cpu sentinel departs >1.5x from
+# the suite's (the host was contended during that solo).  The r13
+# precedent: one 11.3 s g_commit_ancestors solo during a load burst
+# (ambient load on this host swings 0.1 -> 5 in minutes) had to be
+# adjudicated by hand.
+SOLO_RETRY_RATIO = 3.0
+SOLO_RETRY_FLOOR_SEC = 0.5
+SOLO_CAL_RATIO = 1.5
+
+
+def _solo_once(here: str, name: str) -> dict | None:
+    try:
+        out = subprocess.run(
+            [sys.executable, here, "--solo-worker", name],
+            capture_output=True, text=True, timeout=900,
+        )
+        parsed = json.loads(out.stdout.strip().splitlines()[-1])
+        if "timings" not in parsed:  # pre-r14 worker shape
+            parsed = {"timings": parsed, "cpu_loop_sec": None}
+        return parsed
+    except Exception as exc:  # solo numbers are additive evidence
+        # — never fail the whole bench over one sentinel
+        print(f"solo regime failed for {name}: {exc}",
+              file=sys.stderr)
+        return None
+
+
+def _solo_suspect(sec: float, insuite_sec: float | None,
+                  cpu: float | None, suite_cpu: float | None) -> str | None:
+    """The retry trigger, as a reason string (None = clean)."""
+    if (insuite_sec is not None
+            and sec > SOLO_RETRY_RATIO * insuite_sec
+            and sec - insuite_sec > SOLO_RETRY_FLOOR_SEC):
+        return (f"solo {sec:.2f}s > {SOLO_RETRY_RATIO:g}x in-suite "
+                f"{insuite_sec:.2f}s")
+    if (cpu is not None and suite_cpu is not None
+            and cpu > SOLO_CAL_RATIO * suite_cpu):
+        return (f"solo cpu sentinel {cpu:.3f}s > {SOLO_CAL_RATIO:g}x "
+                f"suite {suite_cpu:.3f}s (contended subprocess)")
+    return None
+
+
+def _run_solo(names: list[str],
+              insuite: dict[str, float] | None = None,
+              suite_cpu: float | None = None
+              ) -> tuple[dict[str, float] | None, dict[str, list]]:
     """ONE SUBPROCESS PER SENTINEL (ADVICE r10): a shared solo session
     would leak predecessor state into later sentinels (x15 after the
     graph trio inherited their caches), making 'fresh-session' a
     per-batch property rather than a per-number one.  Per-sentinel
     processes cost ~15 s of session startup each but every recorded
     solo number is now genuinely cold — the property the regime-
-    disagreement attribution relies on."""
+    disagreement attribution relies on.
+
+    Self-adjudicating (r14): a suspect solo (see :func:`_solo_suspect`)
+    re-runs ONCE; BOTH attempts land in the returned attempts map and
+    the headline number is the faster attempt — ambient-load bursts
+    stop spooking sentinels without hand re-runs."""
     here = os.path.abspath(__file__)
     solo: dict[str, float] = {}
+    attempts: dict[str, list] = {}
     for name in names:
-        try:
-            out = subprocess.run(
-                [sys.executable, here, "--solo-worker", name],
-                capture_output=True, text=True, timeout=900,
-            )
-            solo.update(json.loads(out.stdout.strip().splitlines()[-1]))
-        except Exception as exc:  # solo numbers are additive evidence
-            # — never fail the whole bench over one sentinel
-            print(f"solo regime failed for {name}: {exc}",
-                  file=sys.stderr)
-    return solo or None
+        first = _solo_once(here, name)
+        if first is None or name not in first["timings"]:
+            continue
+        sec = first["timings"][name]
+        cpu = first.get("cpu_loop_sec")
+        reason = _solo_suspect(
+            sec, (insuite or {}).get(name), cpu, suite_cpu)
+        if reason is None:
+            solo[name] = sec
+            continue
+        print(f"solo outlier guard: re-running {name} ({reason})",
+              file=sys.stderr)
+        rows = [{"sec": sec, "cpu_loop_sec": cpu, "flagged": reason}]
+        second = _solo_once(here, name)
+        if second is not None and name in second["timings"]:
+            rows.append({"sec": second["timings"][name],
+                         "cpu_loop_sec": second.get("cpu_loop_sec"),
+                         "flagged": None})
+        attempts[name] = rows
+        solo[name] = min(r["sec"] for r in rows)
+    return (solo or None), attempts
 
 
 def main() -> None:
@@ -225,10 +312,12 @@ def main() -> None:
             break
         if n not in solo_names:
             solo_names.append(n)
-    solo = _run_solo(solo_names)
+    solo, solo_attempts = _run_solo(
+        solo_names, timings, calibration.get("cpu_loop_sec"))
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    full, line = build_payloads(timings, sf_val, solo, calibration)
+    full, line = build_payloads(timings, sf_val, solo, calibration,
+                                solo_attempts)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -240,7 +329,8 @@ TAIL_BUDGET = 1900  # the driver records only the last 2000 stdout chars
 
 def build_payloads(timings: dict[str, float], sf_val,
                    solo: dict[str, float] | None = None,
-                   calibration: dict | None = None
+                   calibration: dict | None = None,
+                   solo_attempts: dict[str, list] | None = None
                    ) -> tuple[dict, str]:
     """Output discipline: the driver keeps only the LAST 2000 chars of
     stdout (BENCH_r01.json: tail=2000, parsed=null because round-1's
@@ -256,8 +346,12 @@ def build_payloads(timings: dict[str, float], sf_val,
         "unit": "sec",
         "sf": sf_val,
         "regime": ("in_suite (shared session, alphabetical; first-"
-                   f"{WARM_PREFIX} queries annealed untimed pre-pass "
-                   "— see ARCHITECTURE §5t)"),
+                   f"{min(WARM_PREFIX, len(timings))} queries annealed "
+                   "untimed pre-pass — see ARCHITECTURE §5t)"),
+        # the annealed names themselves (ADVICE r13): a reader
+        # comparing a face's raw seconds across rounds can see at a
+        # glance whether it sat inside the warm-only prefix
+        "annealed_prefix": sorted(timings)[:WARM_PREFIX],
     }
     payload = {
         "metric": "declared_query_inventory_total_runtime",
@@ -301,9 +395,13 @@ def build_payloads(timings: dict[str, float], sf_val,
         full["solo"] = dict(sorted(solo.items()))
         full["solo_regime"] = (
             "one fresh-session subprocess PER sentinel "
-            "(graph trio + x15 + in-suite slowest)"
+            "(graph trio + x15 + in-suite slowest); suspect solos "
+            "(>3x in-suite or contended cpu sentinel) auto-re-run "
+            "once, both attempts recorded, faster kept"
         )
         payload["solo"] = {k: round(v, 2) for k, v in sorted(solo.items())}
+        if solo_attempts:
+            full["solo_attempts"] = solo_attempts
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     for k, v in slowest:
         payload["queries"][k] = round(v, 2)

@@ -113,3 +113,106 @@ def test_scan_normalized_ratios_ride_the_full_payload():
     assert full3["calibration"]["cpu_loop_sec_end"] == 0.31
     assert full3["calibration"]["spark_scan_sec_end"] == 0.11
     assert len(line3) <= TAIL_BUDGET + 1
+
+
+def test_annealed_prefix_rides_the_full_payload():
+    """ADVICE r13: the annealed-prefix NAMES land in BENCH_FULL so a
+    reader comparing raw seconds across rounds can see whether a face
+    sat inside the warm-only prefix — and the stdout line stays
+    inside the tail budget (the list rides only the full payload)."""
+    from bench import WARM_PREFIX
+
+    timings = _fake_timings(200)
+    full, line = build_payloads(timings, 0.1)
+    assert full["annealed_prefix"] == sorted(timings)[:WARM_PREFIX]
+    assert str(min(WARM_PREFIX, 200)) in full["regime"]
+    assert len(line) <= TAIL_BUDGET + 1
+    assert "annealed_prefix" not in json.loads(line)
+
+
+def test_solo_outlier_guard_trigger_and_attempt_recording():
+    """VERDICT r13 ask #2: the solo self-adjudication.  The trigger
+    fires on >3x-in-suite (beyond the half-second floor) or a
+    contended subprocess cpu sentinel, and NOT on small-face noise;
+    recorded attempts ride BENCH_FULL (both attempts, flag reason on
+    the first) while the headline solo map keeps the faster number."""
+    from bench import _solo_suspect
+
+    # 3x a tiny face inside the floor: noise, no retry
+    assert _solo_suspect(0.3, 0.09, None, None) is None
+    # a genuine stall: 11.3 s vs 0.48 in-suite (the r13 precedent)
+    reason = _solo_suspect(11.3, 0.48, None, None)
+    assert reason and "in-suite" in reason
+    # contended subprocess: cpu sentinel 1.6x the suite's
+    reason2 = _solo_suspect(1.0, 0.9, 0.48, 0.29)
+    assert reason2 and "contended" in reason2
+    # quiet subprocess, agreeing regimes: clean
+    assert _solo_suspect(1.0, 0.9, 0.30, 0.29) is None
+
+    timings = _fake_timings(50)
+    solo = {"g_merge_base": 0.72}
+    attempts = {"g_commit_ancestors": [
+        {"sec": 11.3, "cpu_loop_sec": 0.51,
+         "flagged": "solo 11.30s > 3x in-suite 0.48s"},
+        {"sec": 0.49, "cpu_loop_sec": 0.29, "flagged": None},
+    ]}
+    full, line = build_payloads(timings, 0.1, solo, None, attempts)
+    assert full["solo_attempts"] == attempts
+    assert "auto-re-run" in full["solo_regime"]
+    assert len(line) <= TAIL_BUDGET + 1
+    # no attempts -> no key
+    full2, _ = build_payloads(timings, 0.1, solo, None, {})
+    assert "solo_attempts" not in full2
+
+
+def test_dist_bench_artifact_shape():
+    """VERDICT r13 ask #1: the caps-zeroed arm's artifact is
+    shape-locked — per-face seconds, the pinned caps inventory
+    (ALL caps, each 0), per-face + top-level (min) calibration,
+    scan-normalized ratios, and the six twin-gated faces in the
+    standing face list."""
+    from tools.dist_bench import CAPS, DIST_FACES, build_dist_payload
+
+    assert set(DIST_FACES) == {
+        "g_commit_ancestors", "g_merge_base", "g_pagerank_fixed_iter",
+        "x15_stream_maintained_clusters", "x17_stream_maintained_spans",
+        "x19_stream_scd2_dim",
+    }
+    caps = {f"{m.rsplit('.', 1)[-1]}.{a}": 0 for m, a in CAPS}
+    rows = [
+        {"name": n, "sec": 1.0 + i,
+         "calibration": {"cpu_loop_sec": 0.3 + i * 0.01,
+                         "cpu_loop_n": 5_000_000,
+                         "spark_scan_sec": 0.2 + i * 0.01,
+                         "spark_scan_rows": 100_000_000},
+         "caps_zeroed": caps}
+        for i, n in enumerate(DIST_FACES)
+    ]
+    p = build_dist_payload(rows, 0.1)
+    assert p["metric"] == "twin_gated_faces_distributed_path_runtime"
+    assert p["unit"] == "sec" and p["sf"] == 0.1
+    assert set(p["queries"]) == set(DIST_FACES)
+    assert p["value"] == round(sum(r["sec"] for r in rows), 4)
+    # every pinned cap is in the artifact, each at 0
+    assert p["caps_zeroed"] == caps and all(
+        v == 0 for v in p["caps_zeroed"].values())
+    # top-level calibration is the min across workers
+    assert p["calibration"] == {"cpu_loop_sec": 0.3, "spark_scan_sec": 0.2}
+    assert set(p["per_face_calibration"]) == set(DIST_FACES)
+    for n in DIST_FACES:
+        assert p["queries_scan_normalized"][n] == round(
+            p["queries"][n] / 0.2, 3)
+    assert p["value_scan_normalized"] == round(p["value"] / 0.2, 2)
+    assert "cap pinned to 0" in p["regime"]
+    # a committed BENCH_DIST.json must carry this shape too
+    import json
+    import os
+
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DIST.json")
+    if os.path.exists(art):
+        with open(art) as fh:
+            d = json.load(fh)
+        assert d["metric"] == p["metric"]
+        assert set(d["queries"]) == set(DIST_FACES)
+        assert all(v == 0 for v in d["caps_zeroed"].values())
