@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Caps-zeroed bench arm (VERDICT r13 ask #1): per-round perf evidence
+for the DISTRIBUTED plans behind the six twin-gated faces.
+
+Six faces take gated driver-local fast paths at bench scale
+(g_merge_base, g_commit_ancestors, g_pagerank_fixed_iter,
+x19_stream_scd2_dim, x15_stream_maintained_clusters,
+x17_stream_maintained_spans).  Their distributed plans — the ones the
+100 TB story depends on — are parity-locked for CORRECTNESS with the
+caps pinned to 0, but before r14 their PERFORMANCE had no per-round
+recording: the in-suite and solo numbers are twin numbers, so a silent
+distributed-path regression stayed invisible until the next sporadic
+scale rehearsal.
+
+This tool runs each face in a fresh subprocess session with EVERY
+driver-local cap pinned to 0 (the exact configuration the parity tests
+lock), times it best-of-2 at $SPARK_GRAFT_SF_DIR (default sf0.1), and
+writes BENCH_DIST.json with the same calibration block as bench.py —
+one artifact per round, shape-locked by tests/test_bench_contract.py.
+
+Usage:  python tools/dist_bench.py            # all six, writes artifact
+        python tools/dist_bench.py --only g_merge_base   # subset, stdout only
+        python tools/dist_bench.py --worker NAME         # (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# Every driver-local fast-path cap, by module attribute.  Pinning all
+# of them to 0 in the worker forces each face onto its distributed
+# plan — the same pinning the per-face parity tests apply
+# (tests/test_graph.py, test_mergeops.py, test_llmops.py).
+CAPS = (
+    ("hfcommunity_spark.operators.etlops", "MB_LOCAL_WORK_MAX"),
+    ("hfcommunity_spark.operators.graph", "ANC_LOCAL_WORK_MAX"),
+    ("hfcommunity_spark.operators.graph", "PR_LOCAL_EDGE_MAX"),
+    ("hfcommunity_spark.operators.graph", "QUOTIENT_LOCAL_EDGE_MAX"),
+    ("hfcommunity_spark.operators.graph", "WRITER_LOCAL_ROW_MAX"),
+    ("hfcommunity_spark.operators.dedup", "X15_SERVE_LOCAL_ROW_MAX"),
+    ("hfcommunity_spark.operators.dedup", "X17_SERVE_LOCAL_ROW_MAX"),
+    ("hfcommunity_spark.operators.dedup", "SPAN_LOCAL_ROW_MAX"),
+    ("hfcommunity_spark.operators.dedup", "SPAN_LOCAL_READ_BYTE_MAX"),
+    ("hfcommunity_spark.operators.mergeops", "X19_LOCAL_ROW_MAX"),
+)
+
+DIST_FACES = (
+    "g_commit_ancestors",
+    "g_merge_base",
+    "g_pagerank_fixed_iter",
+    "x15_stream_maintained_clusters",
+    "x17_stream_maintained_spans",
+    "x19_stream_scd2_dim",
+)
+
+
+def _sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _pin_caps() -> dict[str, int]:
+    import importlib
+
+    pinned = {}
+    for mod_name, attr in CAPS:
+        mod = importlib.import_module(mod_name)
+        assert hasattr(mod, attr), f"cap moved: {mod_name}.{attr}"
+        setattr(mod, attr, 0)
+        pinned[f"{mod_name.rsplit('.', 1)[-1]}.{attr}"] = 0
+    return pinned
+
+
+def _worker(name: str) -> None:
+    """Fresh session, ALL caps pinned to 0, shallow warm, best-of-2
+    timing + the bench calibration pair; one JSON line on stdout."""
+    pinned = _pin_caps()
+    from bench import _calibrate, _warm
+
+    from hfcommunity_spark.queries import all_queries
+    from hfcommunity_spark.session import get_spark
+
+    spark = get_spark(app_name="hfcommunity-bench-dist")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark)
+    cal = _calibrate(spark)
+    spec = all_queries()[name]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        spec.spark(spark, _sf_dir()).count()
+        best = min(best, time.monotonic() - t0)
+    print(json.dumps({
+        "name": name,
+        "sec": round(best, 4),
+        "calibration": cal,
+        "caps_zeroed": pinned,
+    }))
+    spark.stop()
+
+
+def build_dist_payload(rows: list[dict], sf_val) -> dict:
+    """The BENCH_DIST.json shape (locked by
+    tests/test_bench_contract.py): per-face seconds + per-face
+    calibration, a top-level calibration (min across workers — the
+    host's best, mirroring the min-of-3 discipline), scan-normalized
+    ratios, and the caps inventory actually pinned."""
+    queries = {r["name"]: r["sec"] for r in rows}
+    total = round(sum(queries.values()), 4)
+    cals = {r["name"]: r["calibration"] for r in rows}
+    out = {
+        "metric": "twin_gated_faces_distributed_path_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": dict(sorted(queries.items())),
+        "caps_zeroed": rows[0]["caps_zeroed"] if rows else {},
+        "regime": (
+            "one fresh-session subprocess per face; every driver-"
+            "local cap pinned to 0 (the distributed plans the 100 TB "
+            "story depends on); shallow warm, best-of-2"
+        ),
+        "per_face_calibration": dict(sorted(cals.items())),
+    }
+    cpu = [c["cpu_loop_sec"] for c in cals.values()
+           if c.get("cpu_loop_sec")]
+    scan = [c["spark_scan_sec"] for c in cals.values()
+            if c.get("spark_scan_sec")]
+    if cpu and scan:
+        out["calibration"] = {
+            "cpu_loop_sec": min(cpu),
+            "spark_scan_sec": min(scan),
+        }
+        out["queries_scan_normalized"] = {
+            k: round(v / min(scan), 3) for k, v in queries.items()
+        }
+        out["value_scan_normalized"] = round(total / min(scan), 2)
+    return out
+
+
+def main(argv: list[str]) -> None:
+    if len(argv) > 1 and argv[1] == "--worker":
+        _worker(argv[2])
+        return
+    only = None
+    if len(argv) > 2 and argv[1] == "--only":
+        only = set(argv[2].split(","))
+    faces = [f for f in DIST_FACES if only is None or f in only]
+    here = os.path.abspath(__file__)
+    rows = []
+    for name in faces:
+        t0 = time.monotonic()
+        out = subprocess.run(
+            [sys.executable, here, "--worker", name],
+            capture_output=True, text=True, timeout=1800,
+        )
+        try:
+            rows.append(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(f"{name}: {rows[-1]['sec']}s "
+                  f"(wall {time.monotonic() - t0:.0f}s)", file=sys.stderr)
+        except Exception:
+            print(f"dist worker failed for {name}:\n{out.stderr[-2000:]}",
+                  file=sys.stderr)
+            raise
+    sf = _sf_dir().rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    payload = build_dist_payload(rows, sf_val)
+    line = json.dumps(payload, separators=(",", ":"))
+    if only is None:
+        with open(os.path.join(_REPO, "BENCH_DIST.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    print(line)
+
+
+if __name__ == "__main__":
+    main(sys.argv)
