@@ -1130,10 +1130,30 @@ def _bucketed_span_probe(spark: SparkSession, postings_dir: str,
     )
     if hs.count() <= _SPAN_PROBE_INSET_MAX:
         h_list = [r.h for r in hs.collect()]
-        probe = pruned.filter(F.col("h").isin(h_list))
+        probe = pruned.filter(_bigint_in_expr("h", h_list))
     else:
         probe = pruned.join(F.broadcast(hs), "h", "left_semi")
     return probe.select("doc_id", "h", "c")
+
+
+def _bigint_in_expr(col: str, values) -> Column:
+    """``col IN (<values>)`` built as ONE SQL string instead of
+    ``F.col(col).isin(list)`` — the py4j varargs form marshals every
+    literal through the gateway one object at a time (measured r14:
+    6.6 s to BUILD the 10.9k-hash probe filter at sf0.1 vs 0.8 s for
+    the parsed string, identical pushed-InSet scan plan).  Long.MIN
+    can't be written as a bare SQL literal (the parser applies unary
+    minus to an overflowing positive), so it goes through a folded
+    CAST; an empty set is ``false`` (SQL ``IN ()`` doesn't parse),
+    matching ``isin([])``'s no-rows semantics."""
+    if not values:
+        return F.lit(False)
+    parts = [
+        "CAST('-9223372036854775808' AS BIGINT)"
+        if v == -(1 << 63) else str(int(v))
+        for v in values
+    ]
+    return F.expr(f"{col} IN ({','.join(parts)})")
 
 
 @query("dd_dup_span_ratio", _DUP_SPAN_ORACLE, survey="X-UD5,J2,A7")

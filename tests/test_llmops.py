@@ -523,6 +523,32 @@ def test_maintained_index_deltas_tolerate_empty_deliveries(spark):
     assert {(r.vertex, r.component) for r in a3.collect()} == want
 
 
+def test_bigint_in_expr_matches_isin(spark):
+    """The SQL-string IN builder (r14: F.col().isin(list) marshals
+    every literal through py4j one at a time — 6.6 s to build the
+    10.9k-hash probe filter vs 0.8 s parsed): value parity with isin
+    on positives/negatives/Long.MIN/Long.MAX, false on empty, and the
+    filter still reaches the scan as a pushed In predicate."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.operators import dedup as dd
+
+    lo, hi = -(1 << 63), (1 << 63) - 1
+    vals = [0, 7, -7, lo, hi]
+    df = spark.createDataFrame(
+        [(v,) for v in [0, 1, 7, -7, lo, lo + 1, hi, hi - 1]], "h bigint"
+    )
+    got = {r.h for r in df.filter(dd._bigint_in_expr("h", vals)).collect()}
+    want = {r.h for r in df.filter(F.col("h").isin(vals)).collect()}
+    assert got == want == {0, 7, -7, lo, hi}
+    assert df.filter(dd._bigint_in_expr("h", [])).count() == 0
+    plan = (
+        df.filter(dd._bigint_in_expr("h", [1, 2, 3]))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "IN" in plan.upper()
+
+
 def test_span_index_delta_bucketed_tolerates_empty_delivery(spark, tmp_path):
     """The bucketed span delta under an empty drop: no changed stats,
     no batch postings, and the empty bucket/hash lists must not break
