@@ -1095,27 +1095,21 @@ def span_index_delta_bucketed(spark: SparkSession, postings_dir: str,
     batch_postings = span_postings_frame(
         arriving_docs, wide=False
     ).localCheckpoint()
-    hs = batch_postings.select("h").distinct().localCheckpoint()
-    hit = sorted(
-        r.b
-        for r in hs.select(
-            F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
-        ).distinct().collect()
-    )
     # the probe STAYS checkpointed here (unlike the in-memory delta,
     # whose probe reads session-cached frames): the changed-stats
     # rollup feeds two output arms, and without materialization the
     # partition-pruned PARQUET scan would run once per arm — doubling
     # the delta's only IO
     probe = _bucketed_span_probe(
-        spark, postings_dir, hs, hit
+        spark, postings_dir, batch_postings, buckets
     ).localCheckpoint()
     changed = _span_delta_changed_stats(probe, batch_postings, stats)
     return batch_postings, changed
 
 
 def _bucketed_span_probe(spark: SparkSession, postings_dir: str,
-                         hs: DataFrame, hit: list) -> DataFrame:
+                         batch_postings: DataFrame,
+                         buckets: int) -> DataFrame:
     """The ONE read the bucketed span delta performs: partition-pruned
     to the batch's h-buckets, then filtered to the batch's exact hash
     set — as a pushed InSet scan predicate when the set is
@@ -1124,14 +1118,40 @@ def _bucketed_span_probe(spark: SparkSession, postings_dir: str,
     whole probe costs at this selectivity), with the semi-join as the
     fallback for very large deliveries.  Plan shape locked by
     ``tests/test_llmops.py`` (PartitionFilters on h_bucket + a pushed
-    In(h, ...) data filter)."""
-    pruned = spark.read.parquet(postings_dir).filter(
-        F.col("h_bucket").isin(hit)
+    In(h, ...) data filter).
+
+    r14 job-count surgery: the delivery's hash set gates, lists, and
+    bucket-resolves in ONE ``limit(cap+1)`` Arrow collect off the
+    checkpointed batch (buckets derived driver-side — Python ``%``
+    on a positive modulus matches ``F.pmod`` for negative hashes);
+    the previous shape ran distinct-checkpoint + bucket-collect +
+    count-gate + list-collect as FOUR driver actions per delivery,
+    each a fixed-cost Spark job at bench scale.  Only the rare
+    over-cap branch still computes the distinct frame and its bucket
+    set as Spark jobs (it must — the set no longer fits the
+    driver)."""
+    sample = (
+        batch_postings.select("h").distinct()
+        .limit(_SPAN_PROBE_INSET_MAX + 1).toArrow()
     )
-    if hs.count() <= _SPAN_PROBE_INSET_MAX:
-        h_list = [r.h for r in hs.collect()]
+    if sample.num_rows <= _SPAN_PROBE_INSET_MAX:
+        h_list = sample.column("h").to_pylist()
+        hit = sorted({h % buckets for h in h_list})
+        pruned = spark.read.parquet(postings_dir).filter(
+            F.col("h_bucket").isin(hit)
+        )
         probe = pruned.filter(_bigint_in_expr("h", h_list))
     else:
+        hs = batch_postings.select("h").distinct().localCheckpoint()
+        hit = sorted(
+            r.b
+            for r in hs.select(
+                F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
+            ).distinct().collect()
+        )
+        pruned = spark.read.parquet(postings_dir).filter(
+            F.col("h_bucket").isin(hit)
+        )
         probe = pruned.join(F.broadcast(hs), "h", "left_semi")
     return probe.select("doc_id", "h", "c")
 

@@ -730,15 +730,9 @@ def test_span_delta_bucketed_probe_pushes_inset_predicate(spark, tmp_path):
     out = str(tmp_path / "probe_layout")
     dd.write_span_postings(dd.span_postings_frame(corpus), out)
     batch_postings = dd.span_postings_frame(delivery).localCheckpoint()
-    hs = batch_postings.select("h").distinct().localCheckpoint()
-    hit = sorted(
-        r.b
-        for r in hs.select(
-            F.pmod(F.col("h"), F.lit(dd.SPAN_H_BUCKETS)).cast("int")
-            .alias("b")
-        ).distinct().collect()
+    probe = dd._bucketed_span_probe(
+        spark, out, batch_postings, dd.SPAN_H_BUCKETS
     )
-    probe = dd._bucketed_span_probe(spark, out, hs, hit)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     import re
 
@@ -747,6 +741,22 @@ def test_span_delta_bucketed_probe_pushes_inset_predicate(spark, tmp_path):
     # "in(h#...")
     assert re.search(r"PartitionFilters: \[[^\]]*h_bucket", plan), plan
     assert re.search(r"PushedFilters: \[[^\]]*In\(h", plan), plan
+    # the over-cap semi-join branch (forced by pinning the cap) must
+    # return the same probe rows and negative hashes must land in the
+    # same buckets driver-side (Python %) as JVM-side (pmod)
+    want = sorted(tuple(r) for r in probe.collect())
+    old = dd._SPAN_PROBE_INSET_MAX
+    dd._SPAN_PROBE_INSET_MAX = 0
+    try:
+        via_join = dd._bucketed_span_probe(
+            spark, out, batch_postings, dd.SPAN_H_BUCKETS
+        )
+        assert sorted(tuple(r) for r in via_join.collect()) == want
+    finally:
+        dd._SPAN_PROBE_INSET_MAX = old
+    assert any(
+        r.h < 0 for r in batch_postings.select("h").collect()
+    ), "fixture delivery carries no negative hash; bucket-parity untested"
 
 
 def test_span_postings_append_lifecycle(spark, tmp_path):
