@@ -57,7 +57,18 @@ SOLO_EXTRA_SLOWEST = 2  # plus the N in-suite slowest not already listed
 # string always carries the effective value.
 def _warm_prefix() -> int:
     raw = os.environ.get("SPARK_GRAFT_WARM_PREFIX", "30").strip().lower()
-    return 10**9 if raw == "all" else int(raw)
+    if raw == "all":
+        return 10**9
+    try:
+        n = int(raw)
+    except ValueError:
+        # a typo'd override must not kill the run (dist_bench workers
+        # import this module) or silently record a nonsense regime —
+        # fall back to the default, loudly
+        print(f"SPARK_GRAFT_WARM_PREFIX={raw!r} is not an int or "
+              "'all'; using default 30", file=sys.stderr)
+        return 30
+    return max(0, n)  # negative would anneal a nonsense slice
 
 
 WARM_PREFIX = _warm_prefix()
@@ -92,6 +103,14 @@ def _warm(spark, deep: bool = False) -> None:
 
 def _sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_value():
+    """The sf label for payloads, parsed from the dir name — shared
+    with tools/dist_bench.py so the two artifacts can never record a
+    different sf for the same round."""
+    sf = _sf_dir().rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
 
 
 # Fixed work units for the host-calibration sentinel — NEVER change
@@ -281,7 +300,6 @@ def main() -> None:
     from hfcommunity_spark.queries import all_queries
     from hfcommunity_spark.session import get_spark
 
-    sf = _sf_dir().rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="hfcommunity-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # ORDER MATTERS: calibrate after the SHALLOW warm (the r12 regime
@@ -312,11 +330,18 @@ def main() -> None:
             break
         if n not in solo_names:
             solo_names.append(n)
+    # baseline the contention guard on the QUIETER of the two suite
+    # cpu readings: a burst during the start calibration would
+    # otherwise inflate the baseline and mask a contended solo (ratio
+    # vs an equally-contended baseline ≈ 1), disabling the guard in
+    # exactly the windows it exists for
+    suite_cpus = [c for c in (calibration.get("cpu_loop_sec"),
+                              calibration.get("cpu_loop_sec_end"))
+                  if c is not None]
     solo, solo_attempts = _run_solo(
-        solo_names, timings, calibration.get("cpu_loop_sec"))
+        solo_names, timings, min(suite_cpus, default=None))
 
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    full, line = build_payloads(timings, sf_val, solo, calibration,
+    full, line = build_payloads(timings, _sf_value(), solo, calibration,
                                 solo_attempts)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:

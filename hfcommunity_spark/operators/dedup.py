@@ -2394,6 +2394,20 @@ def _span_fold_write_marker(postings_dir: str,
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, marker)
+    # fsync the DIRECTORY too: the rename's durability is a dirent
+    # update — without this, power loss (vs process crash) could drop
+    # the rename while the later layout mutations persist, leaving
+    # inconsistent layouts with no marker and no refusal.  Best-effort
+    # (some filesystems refuse O_RDONLY dir fsync): the journal is
+    # then process-crash-safe, power-crash-likely, same as before.
+    try:
+        dfd = os.open(postings_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def recover_span_fold(spark, postings_dir: str, stats_dir: str,

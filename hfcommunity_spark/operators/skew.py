@@ -57,21 +57,26 @@ def _threshold_bytes(spark: SparkSession) -> int:
 # which AQE revisits), so a small-when-cached frame that has since
 # grown would get force-broadcast — an executor OOM at scale.  Hence
 # the fingerprint: the entry is keyed by the plan's resolved input
-# file listing (+ sizes for local files), so growth that adds,
+# file listing with per-file (size, mtime_ns), so growth that adds,
 # removes, or rewrites files misses the cache and re-derives; inputs
-# with no file listing (in-memory, views over non-file sources) are
-# never memoized at all.
+# with no file listing (in-memory, views over non-file sources) or
+# any non-local/non-stat-able URI (hdfs:/s3a: — no content metadata
+# to observe a same-name rewrite) are never memoized at all.
 _EST_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
 _EST_CACHE_MAX = 256  # per session; FIFO eviction
 _WARNED_NO_ESTIMATE = False
 
 
 def _input_fingerprint(df: DataFrame) -> tuple | None:
-    """A best-effort fingerprint of the frame's resolved input files:
-    the sorted URI listing, each local ``file:`` URI carrying its
-    (size, mtime_ns).  Returns None — "do not memoize" — when the
-    plan has no file inputs or the listing fails: only known-static
-    file-backed inputs earn a cache entry."""
+    """A fingerprint of the frame's resolved input files: the sorted
+    URI listing with each file's (size, mtime_ns).  Returns None —
+    "do not memoize" — when the plan has no file inputs, the listing
+    fails, or ANY input is not a stat-able local ``file:`` URI: a
+    remote URI (hdfs:/s3a:) or a failed stat carries no content
+    metadata, so a same-name in-place rewrite would fingerprint
+    identically and keep serving the stale estimate — the exact
+    staleness this key exists to rule out.  Only inputs whose change
+    is observable earn a cache entry; everything else re-derives."""
     try:
         uris = df.inputFiles()
     except Exception:
@@ -80,15 +85,14 @@ def _input_fingerprint(df: DataFrame) -> tuple | None:
         return None
     parts = []
     for u in sorted(uris):
-        meta: tuple = ()
-        if u.startswith("file:"):
-            try:
-                st = os.stat(u[len("file:"):] if not u.startswith("file://")
-                             else u[len("file://"):])
-                meta = (st.st_size, st.st_mtime_ns)
-            except OSError:
-                meta = ("?",)
-        parts.append((u, meta))
+        if not u.startswith("file:"):
+            return None
+        try:
+            st = os.stat(u[len("file:"):] if not u.startswith("file://")
+                         else u[len("file://"):])
+        except OSError:
+            return None
+        parts.append((u, st.st_size, st.st_mtime_ns))
     return tuple(parts)
 
 

@@ -63,7 +63,9 @@ DIST_FACES = (
 
 
 def _sf_dir() -> str:
-    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bench import _sf_dir as bench_sf_dir
+
+    return bench_sf_dir()
 
 
 def _pin_caps() -> dict[str, int]:
@@ -72,7 +74,12 @@ def _pin_caps() -> dict[str, int]:
     pinned = {}
     for mod_name, attr in CAPS:
         mod = importlib.import_module(mod_name)
-        assert hasattr(mod, attr), f"cap moved: {mod_name}.{attr}"
+        if not hasattr(mod, attr):
+            # an explicit raise, not assert: under python -O the
+            # assert would vanish and setattr would create a DEAD
+            # attribute — the face would silently run its twin while
+            # the artifact claims the distributed path was measured
+            raise RuntimeError(f"cap moved: {mod_name}.{attr}")
         setattr(mod, attr, 0)
         pinned[f"{mod_name.rsplit('.', 1)[-1]}.{attr}"] = 0
     return pinned
@@ -150,8 +157,19 @@ def main(argv: list[str]) -> None:
         _worker(argv[2])
         return
     only = None
-    if len(argv) > 2 and argv[1] == "--only":
+    if len(argv) > 1 and argv[1] == "--only":
+        if len(argv) < 3:
+            raise SystemExit(
+                "--only requires a comma-separated face list; a bare "
+                "--only would run ALL faces and overwrite BENCH_DIST.json"
+            )
         only = set(argv[2].split(","))
+        unknown = only - set(DIST_FACES)
+        if unknown:
+            raise SystemExit(
+                f"unknown face(s) {sorted(unknown)}; "
+                f"choose from {list(DIST_FACES)}"
+            )
     faces = [f for f in DIST_FACES if only is None or f in only]
     here = os.path.abspath(__file__)
     rows = []
@@ -169,9 +187,9 @@ def main(argv: list[str]) -> None:
             print(f"dist worker failed for {name}:\n{out.stderr[-2000:]}",
                   file=sys.stderr)
             raise
-    sf = _sf_dir().rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    payload = build_dist_payload(rows, sf_val)
+    from bench import _sf_value
+
+    payload = build_dist_payload(rows, _sf_value())
     line = json.dumps(payload, separators=(",", ":"))
     if only is None:
         with open(os.path.join(_REPO, "BENCH_DIST.json"), "w") as fh:
