@@ -62,6 +62,14 @@ def _threshold_bytes(spark: SparkSession) -> int:
 # with no file listing (in-memory, views over non-file sources) or
 # any non-local/non-stat-able URI (hdfs:/s3a: — no content metadata
 # to observe a same-name rewrite) are never memoized at all.
+# Fingerprint cost (r14, measured): the marginal cost over the
+# analysis every path pays is the inputFiles() listing — ~1 ms on the
+# single-file dims the real gate sites read, ~70 ms on a 64-file
+# layout with a fresh frame per call.  For many-file inputs whose
+# optimization is cheap the memo can be net-neutral; it stays because
+# its value case (expensive-to-optimize frames over static few-file
+# dims, the measured 290→7 ms) is the shape the gated call sites
+# actually have, and the fingerprint is what makes the cache SAFE.
 _EST_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
 _EST_CACHE_MAX = 256  # per session; FIFO eviction
 _WARNED_NO_ESTIMATE = False
