@@ -216,3 +216,52 @@ def test_dist_bench_artifact_shape():
         assert d["metric"] == p["metric"]
         assert set(d["queries"]) == set(DIST_FACES)
         assert all(v == 0 for v in d["caps_zeroed"].values())
+
+
+def test_warm_prefix_env_validation(monkeypatch):
+    """r14 review fix: a typo'd SPARK_GRAFT_WARM_PREFIX must not kill
+    the bench (dist_bench workers import the module) or record a
+    negative-slice regime — malformed falls back to the default 30,
+    negatives clamp to 0, 'all' means the whole inventory."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_WARM_PREFIX", "all")
+    assert bench._warm_prefix() == 10**9
+    monkeypatch.setenv("SPARK_GRAFT_WARM_PREFIX", "bogus")
+    assert bench._warm_prefix() == 30
+    monkeypatch.setenv("SPARK_GRAFT_WARM_PREFIX", "-3")
+    assert bench._warm_prefix() == 0
+    monkeypatch.setenv("SPARK_GRAFT_WARM_PREFIX", " 12 ")
+    assert bench._warm_prefix() == 12
+
+
+def test_dist_bench_only_arg_validation():
+    """r14 review fix: a bare --only (would run ALL faces and clobber
+    the artifact) and unknown face names must refuse loudly instead
+    of running zero faces and printing an empty payload."""
+    import pytest
+
+    from tools.dist_bench import main
+
+    with pytest.raises(SystemExit, match="requires"):
+        main(["dist_bench.py", "--only"])
+    with pytest.raises(SystemExit, match="unknown face"):
+        main(["dist_bench.py", "--only", "g_typo"])
+
+
+def test_solo_guard_baselines_on_quieter_sentinel():
+    """r14 review fix: the solo contention guard compares against the
+    QUIETER of the suite's start/end cpu sentinels — a burst during
+    the start calibration must not raise the baseline and mask an
+    equally-contended solo."""
+    import bench
+
+    # contended solo (0.6) vs quiet baseline (0.28): flagged
+    assert bench._solo_suspect(1.0, None, 0.6, 0.28) is not None
+    # same solo vs a burst-inflated baseline (0.6): NOT flagged —
+    # which is why main() must pass min(start, end), not start
+    assert bench._solo_suspect(1.0, None, 0.6, 0.6) is None
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "min(suite_cpus" in src
