@@ -181,6 +181,7 @@ def test_dist_bench_artifact_shape():
     caps = {f"{m.rsplit('.', 1)[-1]}.{a}": 0 for m, a in CAPS}
     rows = [
         {"name": n, "sec": 1.0 + i,
+         "attempts": [1.3 + i, 1.0 + i],
          "calibration": {"cpu_loop_sec": 0.3 + i * 0.01,
                          "cpu_loop_n": 5_000_000,
                          "spark_scan_sec": 0.2 + i * 0.01,
@@ -189,6 +190,11 @@ def test_dist_bench_artifact_shape():
         for i, n in enumerate(DIST_FACES)
     ]
     p = build_dist_payload(rows, 0.1)
+    # raw attempt pairs ride along (r14) so spread is visible, and
+    # the headline stays the min of each pair
+    assert set(p["query_attempts"]) == set(DIST_FACES)
+    for n in DIST_FACES:
+        assert p["queries"][n] == min(p["query_attempts"][n])
     assert p["metric"] == "twin_gated_faces_distributed_path_runtime"
     assert p["unit"] == "sec" and p["sf"] == 0.1
     assert set(p["queries"]) == set(DIST_FACES)

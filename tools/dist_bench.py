@@ -99,14 +99,20 @@ def _worker(name: str) -> None:
     _warm(spark)
     cal = _calibrate(spark)
     spec = all_queries()[name]
-    best = float("inf")
+    attempts = []
     for _ in range(2):
         t0 = time.monotonic()
         spec.spark(spark, _sf_dir()).count()
-        best = min(best, time.monotonic() - t0)
+        attempts.append(round(time.monotonic() - t0, 4))
     print(json.dumps({
         "name": name,
-        "sec": round(best, 4),
+        "sec": min(attempts),
+        # both attempt times, in run order (r14): the span-fold faces
+        # showed ~30 % min-to-min spread across recordings, so the
+        # artifact carries the raw attempts — a future reader can
+        # tell a tight pair (trustworthy min) from a wild one before
+        # calling a cross-round delta a regression
+        "attempts": attempts,
         "calibration": cal,
         "caps_zeroed": pinned,
     }))
@@ -128,6 +134,10 @@ def build_dist_payload(rows: list[dict], sf_val) -> dict:
         "unit": "sec",
         "sf": sf_val,
         "queries": dict(sorted(queries.items())),
+        "query_attempts": {
+            r["name"]: r["attempts"] for r in sorted(
+                rows, key=lambda r: r["name"]) if r.get("attempts")
+        },
         "caps_zeroed": rows[0]["caps_zeroed"] if rows else {},
         "regime": (
             "one fresh-session subprocess per face; every driver-"
