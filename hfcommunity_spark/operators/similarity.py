@@ -1937,3 +1937,246 @@ def x16_stream_maintained_ann(spark: SparkSession,
     # so the union materializes once here; every invocation-created
     # block (the per-delivery assigned pieces) is then freed
     return materialize_and_free(spark, before, out)
+
+
+# --- product quantization + ADC (round 14) ---------------------------
+#
+# The third quantization rung after IVF (coarse cells) and SQ8
+# (per-dim scalar codes): PQ splits each vector into PQ_M orthogonal
+# subspaces, k-means-quantizes each subspace independently, and stores
+# only the M one-byte-ish codes per vector — the memory layout behind
+# billion-vector ANN (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011).  Scoring is ASYMMETRIC (ADC): the
+# query stays un-quantized, and sim(q, x) is approximated from M
+# lookup-table reads — no embedding read at query time at all.  At
+# 100 TB the codes table is ~DIM/PQ_SUB bytes per vector vs 4·DIM for
+# the raw floats, and the scoring plan below touches ONLY the codes
+# column (check ReadSchema) plus 2·M·PQ_K literal doubles.
+
+PQ_M = 4            # subspaces
+PQ_SUB = DIM // PQ_M
+PQ_K = 8            # centroids per subspace codebook
+PQ_ITERS = 2
+
+_PQ_CODEBOOK_CACHE = SessionCache(persist=False)
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              emb_col: str = "embedding") -> DataFrame:
+    """PQ codes per row: for each subspace m, the index of the nearest
+    codebook centroid (squared euclidean, ties -> lowest index, numpy
+    argmin first-occurrence).  Map-side only — one GEMM-shaped argmin
+    per (subspace, Arrow batch), no shuffle; the SQL mirror is a
+    ROW_NUMBER over (list_distance, cell) per subspace."""
+    cents = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @F.pandas_udf("array<integer>")
+    def _codes(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=object)
+        m_rows = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        out = np.empty((len(m_rows), len(cents)), dtype=np.int32)
+        for m, c in enumerate(cents):
+            sub = m_rows[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+            d = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            out[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return emb.withColumn("codes", _codes(F.col(emb_col)))
+
+
+def pq_fit(emb: DataFrame, cache_key: str | None = None
+           ) -> list[list[list[float]]]:
+    """The M per-subspace codebooks, trained with the repo's
+    deterministic Lloyd convention (operators/kmeans.py: init = the
+    PQ_K lowest vec_ids' subvectors, first-occurrence argmin, float64
+    means, empty cells carry their previous centroid) — so the SQL
+    oracle can unroll training exactly, like ``_kmeans_ivf_oracle``.
+
+    All M subspaces train in ONE pass per iteration: the assignment is
+    a single :func:`pq_encode` (one vectorized UDF), and the update is
+    one (m, cell, dim)-keyed aggregate over the exploded codes — 1 + 
+    PQ_ITERS Spark jobs total, vs M x PQ_ITERS x 2 if each subspace
+    ran :func:`kmeans_fit` separately.  A trained codebook is an index
+    artifact (M x PQ_K x PQ_SUB floats), cached per table dir like the
+    k-means codebook above."""
+
+    def build() -> list[list[list[float]]]:
+        init = emb.orderBy("vec_id").limit(PQ_K).select("embedding").collect()
+        if len(init) < PQ_K:
+            raise ValueError(
+                f"pq_fit: need at least {PQ_K} rows to seed codebooks, "
+                f"got {len(init)}"
+            )
+        books = [
+            [
+                [float(v) for v in r[0][m * PQ_SUB:(m + 1) * PQ_SUB]]
+                for r in init
+            ]
+            for m in range(PQ_M)
+        ]
+        for _ in range(PQ_ITERS):
+            assigned = pq_encode(emb, books)
+            ex = assigned.select(
+                F.posexplode("codes").alias("m", "cell"),
+                F.col("embedding"),
+            )
+            sums = (
+                ex.select(
+                    "m", "cell",
+                    F.posexplode(
+                        F.expr(f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})")
+                    ).alias("dim", "v"),
+                )
+                .groupBy("m", "cell", "dim")
+                .agg(F.sum(F.col("v").cast("double")).alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: PQ_M x PQ_K x PQ_SUB rows
+            )
+            new_books = [[list(c) for c in b] for b in books]
+            cnt: dict[tuple[int, int], int] = {}
+            for r in sums:
+                new_books[r.m][r.cell][r.dim] = 0.0
+                cnt[(r.m, r.cell)] = r.n
+            for r in sums:
+                new_books[r.m][r.cell][r.dim] += r.s / cnt[(r.m, r.cell)]
+            books = new_books
+        return books
+
+    if cache_key is None:
+        return build()
+    return _PQ_CODEBOOK_CACHE.get_or_build(
+        emb.sparkSession, (cache_key, "pq", PQ_M, PQ_K, PQ_ITERS), build
+    )
+
+
+def _pq_adc_oracle(m_count: int = None, k: int = None,
+                   iters: int = None) -> str:
+    """The PQ/ADC pipeline as exact SQL: per-subspace training unrolls
+    like ``_kmeans_ivf_oracle`` (the same deterministic convention),
+    the final per-subspace assignment picks each vector's centroid,
+    and the ADC score is rebuilt from inner products against those
+    centroids — term order in the sum matches the Spark expression
+    exactly, so the only cross-engine drift is sub-ulp float noise
+    under the 4-decimal round."""
+    m_count = PQ_M if m_count is None else m_count
+    k = PQ_K if k is None else k
+    iters = PQ_ITERS if iters is None else iters
+    parts = [f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    dims AS (SELECT unnest(range(1, {PQ_SUB + 1})) AS dim)"""]
+    for m in range(m_count):
+        lo = m * PQ_SUB + 1
+        hi = (m + 1) * PQ_SUB
+        parts.append(f""",
+    s{m} AS (SELECT vec_id, list_slice(emb, {lo}, {hi}) AS emb FROM e),
+    c0_{m} AS (SELECT vec_id AS cell, emb AS centroid FROM s{m}
+               ORDER BY vec_id LIMIT {k})""")
+        for i in range(1, iters + 1):
+            parts.append(f""",
+    a{i}_{m} AS (
+      SELECT s.vec_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id
+               ORDER BY list_distance(s.emb, c.centroid), c.cell) AS rn
+      FROM s{m} s, c{i - 1}_{m} c),
+    m{i}_{m} AS (
+      SELECT a.cell, d.dim, SUM(s2.emb[d.dim]) / COUNT(*) AS v
+      FROM a{i}_{m} a JOIN s{m} s2 USING (vec_id), dims d
+      WHERE a.rn = 1 GROUP BY a.cell, d.dim),
+    c{i}_{m} AS (
+      SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
+      FROM c{i - 1}_{m} p LEFT JOIN (
+        SELECT cell, list(v ORDER BY dim) AS centroid
+        FROM m{i}_{m} GROUP BY cell) n USING (cell))""")
+        parts.append(f""",
+    f_{m} AS (
+      SELECT s.vec_id, c.centroid,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id
+               ORDER BY list_distance(s.emb, c.centroid), c.cell) AS rn
+      FROM s{m} s, c{iters}_{m} c),
+    g_{m} AS (SELECT vec_id, centroid FROM f_{m} WHERE rn = 1)""")
+    joins = "".join(
+        f"\n      JOIN g_{m} ON g_{m}.vec_id = e.vec_id" for m in range(m_count)
+    )
+    d_terms = ",\n             ".join(
+        f"list_inner_product(list_slice(q.q_emb, {m * PQ_SUB + 1}, "
+        f"{(m + 1) * PQ_SUB}), g_{m}.centroid) AS d{m}"
+        for m in range(m_count)
+    )
+    n_terms = ",\n             ".join(
+        f"list_inner_product(g_{m}.centroid, g_{m}.centroid) AS n{m}"
+        for m in range(m_count)
+    )
+    d_sum = " + ".join(f"d{m}" for m in range(m_count))
+    n_sum = " + ".join(f"n{m}" for m in range(m_count))
+    parts.append(f""",
+    q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+    adc AS (
+      SELECT e.vec_id,
+             {d_terms},
+             {n_terms}
+      FROM e{joins}, q
+      WHERE e.vec_id <> 0),
+    scored AS (
+      SELECT adc.vec_id,
+             ({d_sum}) / (sqrt({n_sum})
+               * sqrt(list_inner_product(q.q_emb, q.q_emb))) AS sim
+      FROM adc, q),
+    top AS (SELECT vec_id, sim FROM scored
+            ORDER BY sim DESC, vec_id LIMIT {TOP_K})
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER)
+             AS rank,
+           ROUND(sim, 4)::DOUBLE AS sim_rounded
+    FROM top
+    """)
+    return "".join(parts)
+
+
+@query("sim_pq_adc_topk", _pq_adc_oracle(), survey="X-UD5,J9,A12")
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring: the
+    corpus is stored as PQ_M nearest-centroid codes per vector
+    (:func:`pq_encode` — map-side vectorized argmin per subspace over
+    the :func:`pq_fit` codebooks), the query stays un-quantized, and
+    the approximate cosine is rebuilt JVM-side from 2 x PQ_M
+    ``element_at`` reads against literal lookup tables (query-centroid
+    inner products and centroid self-products, computed driver-side
+    from the PQ_K x PQ_SUB codebooks) — downstream of the codes
+    column the scoring reads NO embeddings, which is the whole point
+    of PQ at scale: a deployment stores the codes (DIM/PQ_SUB small
+    ints per vector vs 4*DIM raw bytes) and its query scan reads only
+    them plus 2 x PQ_M x PQ_K literal doubles, with the top-k as the
+    standard TakeOrderedAndProject heap.  (This face encodes inline
+    because the corpus here is ephemeral test data; the codes column
+    is the materialization boundary.)  Deterministic end to end (the Lloyd
+    convention of ``sim_kmeans_ivf_topk``; identical codes =>
+    identical sim, ties break by vec_id in both engines), so the
+    DuckDB oracle reproduces training, encoding, and ADC exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, cache_key=sf_dir)
+    q = _query_vector(emb, cache_key=sf_dir)
+    q_norm = float(np.sqrt(np.dot(q, q)))
+    codes = pq_encode(emb, books)
+    d_sum = None
+    n_sum = None
+    for m in range(PQ_M):
+        qm = q[m * PQ_SUB:(m + 1) * PQ_SUB]
+        lut_dot = [float(np.dot(qm, np.asarray(c, np.float64)))
+                   for c in books[m]]
+        lut_sq = [float(np.dot(np.asarray(c, np.float64),
+                               np.asarray(c, np.float64)))
+                  for c in books[m]]
+        idx = F.col("codes").getItem(m) + F.lit(1)
+        d_m = F.element_at(F.array(*[F.lit(v) for v in lut_dot]), idx)
+        n_m = F.element_at(F.array(*[F.lit(v) for v in lut_sq]), idx)
+        d_sum = d_m if d_sum is None else d_sum + d_m
+        n_sum = n_m if n_sum is None else n_sum + n_m
+    scored = codes.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        (d_sum / (F.sqrt(n_sum) * F.lit(q_norm))).alias("sim"),
+    )
+    return _rank_topk(scored, with_sim=True)

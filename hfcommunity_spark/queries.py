@@ -128,10 +128,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # quantizer IVF below, which gained an exact unrolled-Lloyd oracle
     # this round (VERDICT r9 ask #3: the last declared query without
     # hash evidence).)
-    "sim_kmeans_ivf_topk",  # X-UD5, J9, A12 — IVF over a REAL learned
-    # k-means codebook; oracle unrolls the three deterministic Lloyd
-    # rounds in SQL (seeded init, first-occurrence argmin, empty-cell
-    # carryover), margin-locked in tests/test_kmeans.py
+    # (Round-14 rotation: sim_kmeans_ivf_topk rotates out with its
+    # r10-r13 stamps intact — the PQ/ADC face below carries the same
+    # X-UD5/J9/A12 trio — making room for the round-14 product-
+    # quantization entrant, the third quantization rung after IVF and
+    # SQ8.)
+    "sim_pq_adc_topk",  # X-UD5, J9, A12 — product-quantized ANN with
+    # asymmetric-distance scoring; oracle unrolls the per-subspace
+    # Lloyd training and rebuilds the ADC score from the assigned
+    # centroids; margin+recall-locked in tests/test_ann_recall.py
     "pipe_curation_end_to_end",  # X-UD5, J2, J5, U3, A9, F1, W4 —
     # round-5 flagship: the four-stage curation pipeline as ONE
     # hash-checked composition (quality -> exact dedup -> near-dup

@@ -74,3 +74,49 @@ def test_matryoshka_rerank_recall(spark, exact_topk):
     assert _recall(got, exact_topk) >= 0.5
     by_rank = {r.rank: r.vec_id for r in got}
     assert by_rank[1] in exact_topk
+
+
+def test_pq_adc_recall_and_margins(spark, exact_topk):
+    """PQ/ADC (r14): a 4x8 product code is a deliberately coarse
+    quantizer (12 bits/vector vs 2048 raw), so the honest floor is
+    recall well above random-k (20/499 ~ 0.04) — measured 0.25-0.40 at
+    the checked SFs — with determinism doing the real hash-gate work.
+    Also locks the cross-engine decision margins the oracle relies on:
+    every top-k sim sits far from a 4-decimal rounding boundary and
+    adjacent ranks are separated by >=1e-5 or exactly tied (identical
+    codes => identical sim, ties broken by vec_id in both engines)."""
+    got = sim.sim_pq_adc_topk(spark, SF).collect()
+    assert len(got) == 20
+    assert _recall(got, exact_topk) >= 0.2
+    sims = [r.sim_rounded for r in got]
+    assert sims == sorted(sims, reverse=True)
+    # margin evidence: recompute un-rounded sims via the same LUTs
+    import numpy as np
+
+    from hfcommunity_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF, "embeddings")
+    books = sim.pq_fit(emb, cache_key=SF)
+    q = sim._query_vector(emb, cache_key=SF)
+    qn = float(np.sqrt(np.dot(q, q)))
+    rows = sim.pq_encode(emb, books).filter(
+        F.col("vec_id") != 0).select("vec_id", "codes").collect()
+    luts_d = [[float(np.dot(q[m * sim.PQ_SUB:(m + 1) * sim.PQ_SUB],
+                            np.asarray(c))) for c in books[m]]
+              for m in range(sim.PQ_M)]
+    luts_s = [[float(np.dot(np.asarray(c), np.asarray(c)))
+               for c in books[m]] for m in range(sim.PQ_M)]
+    scored = sorted(
+        ((sum(luts_d[m][r.codes[m]] for m in range(sim.PQ_M))
+          / (np.sqrt(sum(luts_s[m][r.codes[m]]
+                         for m in range(sim.PQ_M))) * qn), r.vec_id)
+         for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top = scored[:20]
+    for s, _vid in top:
+        y = abs(s) * 10000 + 0.5
+        assert abs(y - round(y)) / 10000 > 1e-9  # vs ~1e-12 noise
+    for (sa, _), (sb, _) in zip(top, top[1:]):
+        assert sa == sb or sa - sb > 1e-5
