@@ -164,6 +164,13 @@ QUERIES = [
     # partial agg, linear in rows), warm probes the session codebook
     # (cell-pruned scoring, ~flat).
     ("sim_kmeans_ivf_topk", "coarse-prune-rerank", 1.0),
+    # round 14: product-quantization ADC — cold charges the one-pass
+    # multi-subspace PQ fit (per iteration: one vectorized encode +
+    # one (m, cell, dim)-keyed partial agg, linear in rows) and the
+    # encode; warm probes the session codebook (codes scan + literal
+    # LUT arithmetic, linear scan with a top-k heap, ~flat
+    # per-row cost).
+    ("sim_pq_adc_topk", "coarse-prune-rerank", 1.0),
     # round 11 (r10 verdict #4, closing r9 ask #8): the two TPC-H
     # faces added in r10 — both scan-bound single-pass aggregates
     # over lineitem with plan-asserted pushdown (q19 additionally
