@@ -102,12 +102,36 @@ def test_lsh_probe_is_a_pruning_filter(spark):
         assert plan.index("ArrowEvalPython") > plan.index("InMemoryRelation")
 
 
+def test_pq_adc_plan_shape(spark):
+    """The PQ/ADC scale claims, plan-asserted (r14): the face reads
+    ONLY (vec_id, embedding) with the vec_id filter pushed to the
+    scan, runs exactly ONE Python stage (the vectorized encode — the
+    ADC arithmetic downstream of the codes column is pure JVM
+    element_at/sqrt over literal arrays), and the top-k is the
+    TakeOrderedAndProject heap with no exchange below it."""
+    plan = _formatted_plan(spark, "sim_pq_adc_topk")
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "vec_id" in read_schema and "embedding" in read_schema
+    assert "label" not in read_schema  # pruned: 2 of the 3 columns
+    assert "Not(EqualTo(vec_id,0))" in plan
+    import re
+
+    # formatted plans print each node twice (tree + detail section):
+    # count node HEADERS — exactly one Python stage
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # heap merge, no shuffle anywhere
+    assert "element_at" in plan  # the ADC LUT reads stayed JVM-side
+
+
 def test_sim_topk_no_global_window(spark):
     """No single-partition Exchange feeding a Window in any sim_* plan:
     rank is derived after the k-row limit, so the only unpartitioned
     window runs over ≤k rows post-TakeOrderedAndProject."""
     for name in ("sim_bruteforce_topk", "sim_lsh_bucketed_topk",
-                 "sim_ivf_topk", "sim_kmeans_ivf_topk"):
+                 "sim_ivf_topk", "sim_kmeans_ivf_topk", "sim_pq_adc_topk"):
         plan = _formatted_plan(spark, name)
         assert "TakeOrderedAndProject" in plan, name
         # formatted plans print the root first, so the rank Window must
