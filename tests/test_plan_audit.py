@@ -566,7 +566,12 @@ def test_maybe_broadcast_estimate_failure_warns_once(spark):
     prev_flag = skew._WARNED_NO_ESTIMATE
     skew._WARNED_NO_ESTIMATE = False
     try:
-        bad = read_table(spark, SF_ORACLE, "nation")
+        # .alias() wraps a FRESH python DataFrame: read_table memoizes
+        # the analyzed relation per (app, sf_dir, table), so mutating
+        # the returned object in place would corrupt the shared frame
+        # for every later test in the process (the r14 order-dependent
+        # failure pair in test_views_and_sink)
+        bad = read_table(spark, SF_ORACLE, "nation").alias("estfail")
         bad._jdf = _Boom()
         with warnings.catch_warnings(record=True) as rec:
             warnings.simplefilter("always")
