@@ -1001,7 +1001,12 @@ def _span_delta_changed_stats(probe: DataFrame,
         # materialized once (delivery-bounded): BOTH output arms read
         # it, and the caller checkpoints the final changed rows too —
         # without this the union+window+rollup pipeline runs once per
-        # arm inside that single materialization
+        # arm inside that single materialization.  (r14 re-measured:
+        # removing this checkpoint does NOT let ReuseExchange dedupe
+        # the two arms — the old-docs arm consumes ``pre`` through a
+        # BROADCAST build, and exchange reuse does not cross a
+        # broadcast boundary, so the window pipeline ran twice and
+        # the fold got slower; the checkpoint stays.)
     ).localCheckpoint()
     batch_stats = pre.filter(F.col("is_new") == 1).select(
         "doc_id",
@@ -1072,6 +1077,22 @@ def span_index_delta(postings: DataFrame, stats: DataFrame,
     return merged, carried.unionByName(changed)
 
 
+# Explicit read schemas for the two maintained span layouts
+# (r14, guide §5/§6: every ``spark.read.parquet`` of a bucketed layout
+# pays a driver-side footer-inference pass over the ≤64 bucket files
+# before any job runs — measured 0.26 s/read on the stats layout and
+# ~0.23 s on the postings probe at sf0.1; the layouts' schemas are
+# pinned by their writers, so inference re-derives a constant).  The
+# partition column rides in the schema, which skips the footer read
+# while leaving partition discovery (and therefore pruning) intact.
+_SPAN_POSTINGS_READ_SCHEMA = (
+    "doc_id BIGINT, h BIGINT, c BIGINT, h_bucket INT"
+)
+_SPAN_STATS_READ_SCHEMA = (
+    "doc_id BIGINT, n_spans BIGINT, n_dup_spans BIGINT, d_bucket INT"
+)
+
+
 def span_index_delta_bucketed(spark: SparkSession, postings_dir: str,
                               stats: DataFrame,
                               arriving_docs: DataFrame,
@@ -1137,7 +1158,9 @@ def _bucketed_span_probe(spark: SparkSession, postings_dir: str,
     if sample.num_rows <= _SPAN_PROBE_INSET_MAX:
         h_list = sample.column("h").to_pylist()
         hit = sorted({h % buckets for h in h_list})
-        pruned = spark.read.parquet(postings_dir).filter(
+        pruned = spark.read.schema(
+            _SPAN_POSTINGS_READ_SCHEMA
+        ).parquet(postings_dir).filter(
             F.col("h_bucket").isin(hit)
         )
         probe = pruned.filter(_bigint_in_expr("h", h_list))
@@ -1149,7 +1172,9 @@ def _bucketed_span_probe(spark: SparkSession, postings_dir: str,
                 F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
             ).distinct().collect()
         )
-        pruned = spark.read.parquet(postings_dir).filter(
+        pruned = spark.read.schema(
+            _SPAN_POSTINGS_READ_SCHEMA
+        ).parquet(postings_dir).filter(
             F.col("h_bucket").isin(hit)
         )
         probe = pruned.join(F.broadcast(hs), "h", "left_semi")
@@ -1970,21 +1995,28 @@ def x15_stream_maintained_clusters(spark: SparkSession,
     from pyspark.sql import types as T
 
     edge_cap = X15_DELIVERIES * QUOTIENT_LOCAL_EDGE_MAX + 1
-    split_rows = (
-        pairs.filter(thr)
-        .select(
-            F.greatest(_arrival("doc_a"), _arrival("doc_b")).alias("k"),
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
-        )
-        .filter(F.col("k") >= 0)
-        .limit(edge_cap)
-        .collect()
-    )
     edges_by_k: dict[int, list] | None = None
-    if len(split_rows) < edge_cap:
-        edges_by_k = {}
-        for r in split_rows:
-            edges_by_k.setdefault(r.k, []).append((r.src, r.dst))
+    # cap pinned to 0 means "never local": skip the guarded collect
+    # outright instead of running a limit(1) job whose answer is
+    # already known (r14 — one wasted job in the caps-zeroed arm)
+    if QUOTIENT_LOCAL_EDGE_MAX > 0:
+        split_rows = (
+            pairs.filter(thr)
+            .select(
+                F.greatest(
+                    _arrival("doc_a"), _arrival("doc_b")
+                ).alias("k"),
+                F.col("doc_a").alias("src"),
+                F.col("doc_b").alias("dst"),
+            )
+            .filter(F.col("k") >= 0)
+            .limit(edge_cap)
+            .collect()
+        )
+        if len(split_rows) < edge_cap:
+            edges_by_k = {}
+            for r in split_rows:
+                edges_by_k.setdefault(r.k, []).append((r.src, r.dst))
     edge_schema = T.StructType([
         T.StructField("src", T.LongType()),
         T.StructField("dst", T.LongType()),
@@ -2070,35 +2102,51 @@ def x15_stream_maintained_clusters(spark: SparkSession,
                 assign_rel=spark.table(ctab), table_name=ctab,
                 return_changes=True,
             )
-            apply_changes_vertex_layout(
-                spark, vdir, changed, X15_BUCKETS,
-                vertex_rel=spark.table(vtab), table_name=vtab,
-            )
-            # serve: the table MUTATES in place next fold, so each
-            # state must be captured now.  Driver-local pyarrow read
-            # of the layout files (the x17 probe applied to the serve
-            # side — replaces a 64-partition catalog scan + eager
-            # checkpoint JOB per delivery, ~0.27 s each measured);
-            # a failed gate sends THIS serve to the catalog read.
-            st = (_x15_local_serve_table(cdir, "c_bucket", serve_cap)
-                  if serve_cap > 0 else None)
-            if st is not None:
-                local_serves.append(st.append_column(
-                    "delivery_id",
-                    pa.array([k] * st.num_rows, pa.int32()),
-                ))
-            else:
-                served.append(
-                    spark.table(ctab).select(
-                        F.lit(k).cast("int").alias("delivery_id"),
-                        F.col("vertex").alias("doc_id"),
-                        "component",
-                    # coalesce (no shuffle): the catalog read carries
-                    # one partition per bucket dir; snapshotting at
-                    # session width keeps the serve union at ~32
-                    # tasks per serve instead of ~64
-                    ).coalesce(default_parallelism()).localCheckpoint()
+            # the vertex-projection write and the SERVE are
+            # independent (the serve reads the c layout, the writer
+            # mutates the v layout; ``changed`` is materialized), so
+            # they overlap from a driver thread (guide §2.6) — the
+            # next fold's endpoint lookups read the v layout, so the
+            # write is joined before this iteration ends
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as _ex:
+                vfut = _ex.submit(
+                    apply_changes_vertex_layout,
+                    spark, vdir, changed, X15_BUCKETS,
+                    vertex_rel=spark.table(vtab), table_name=vtab,
                 )
+                # serve: the table MUTATES in place next fold, so
+                # each state must be captured now.  Driver-local
+                # pyarrow read of the layout files (the x17 probe
+                # applied to the serve side — replaces a 64-partition
+                # catalog scan + eager checkpoint JOB per delivery,
+                # ~0.27 s each measured); a failed gate sends THIS
+                # serve to the catalog read.
+                st = (_x15_local_serve_table(cdir, "c_bucket",
+                                             serve_cap)
+                      if serve_cap > 0 else None)
+                if st is not None:
+                    local_serves.append(st.append_column(
+                        "delivery_id",
+                        pa.array([k] * st.num_rows, pa.int32()),
+                    ))
+                else:
+                    served.append(
+                        spark.table(ctab).select(
+                            F.lit(k).cast("int").alias("delivery_id"),
+                            F.col("vertex").alias("doc_id"),
+                            "component",
+                        # coalesce (no shuffle): the catalog read
+                        # carries one partition per bucket dir;
+                        # snapshotting at session width keeps the
+                        # serve union at ~32 tasks per serve instead
+                        # of ~64
+                        ).coalesce(
+                            default_parallelism()
+                        ).localCheckpoint()
+                    )
+                vfut.result()
         if local_serves:
             served.append(spark.createDataFrame(
                 pa.concat_tables(local_serves).select(
@@ -2715,7 +2763,9 @@ def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
             _write_tasks,
         )
 
-        stats = spark.read.parquet(stats_dir).select(
+        stats = spark.read.schema(
+            _SPAN_STATS_READ_SCHEMA
+        ).parquet(stats_dir).select(
             "doc_id", "n_spans", "n_dup_spans"
         )
         batch_postings, changed = span_index_delta_bucketed(
@@ -2725,7 +2775,9 @@ def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
         # they were derived from (postings probe + stats join)
         changed = changed.localCheckpoint()
         sbkts = _bucket_ids(changed, ["doc_id"], stats_buckets)
-        pruned = spark.read.parquet(stats_dir).filter(
+        pruned = spark.read.schema(
+            _SPAN_STATS_READ_SCHEMA
+        ).parquet(stats_dir).filter(
             F.col("d_bucket").isin(sbkts)
         )
         out = (
@@ -2761,19 +2813,40 @@ def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
         try:
-            (
-                rows.repartition(
-                    _write_tasks(len(sbkts)), F.col("d_bucket")
+            # the two layout writes are independent (disjoint dirs,
+            # both consume checkpointed frames with no lineage through
+            # the files being mutated), so they run CONCURRENTLY from
+            # a driver thread (guide §2.6: overlap independent jobs —
+            # each write is a handful of small tasks plus a commit, so
+            # sequential execution paid two full fixed costs per fold;
+            # measured r14: 1.46 vs 0.93 s per fold for the pair at
+            # sf0.1).  The crash-journal window is unchanged: the
+            # marker is written before either write starts and removed
+            # only after BOTH have committed.  The append ignores the
+            # session-global dynamic-overwrite mode (mode=append), so
+            # sharing the conf window is safe.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _stats_write() -> None:
+                (
+                    rows.repartition(
+                        _write_tasks(len(sbkts)), F.col("d_bucket")
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("d_bucket")
+                    .parquet(stats_dir)
                 )
-                .write.mode("overwrite")
-                .partitionBy("d_bucket")
-                .parquet(stats_dir)
-            )
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(_stats_write)
+                append_span_postings(
+                    batch_postings, postings_dir, buckets
+                )
+                fut.result()
         finally:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
-        append_span_postings(batch_postings, postings_dir, buckets)
         if journal:
             _os.unlink(_span_fold_marker_path(postings_dir))
     spark.catalog.refreshByPath(postings_dir)
@@ -2864,7 +2937,9 @@ def dd_span_fold_in_place_parity(spark: SparkSession,
     )
     try:
         span_fold_in_place(spark, pdir, sdir, arriving)
-        out = spark.read.parquet(sdir).select(
+        out = spark.read.schema(
+            _SPAN_STATS_READ_SCHEMA
+        ).parquet(sdir).select(
             "doc_id", "n_spans", "n_dup_spans",
             (
                 F.col("n_dup_spans").cast("double") / F.col("n_spans")
@@ -3015,20 +3090,24 @@ def x17_stream_maintained_spans(spark: SparkSession,
     from hfcommunity_spark.operators import graph as G
 
     cap = SPAN_LOCAL_ROW_MAX
-    tagged = _span_exploded_frame(arriving).select(
-        "doc_id", "h",
-        F.expr(
-            f"(doc_id DIV {_DELTA_SPLIT_MOD}) % {X17_DELIVERIES}"
-        ).cast("int").alias("k"),
-    ).limit(cap + 1).toArrow()
     spans_by_k = None
-    if tagged.num_rows <= cap:
-        spans_by_k = {
-            k: tagged.filter(
-                pc.equal(tagged.column("k"), k)
-            ).select(["doc_id", "h"])
-            for k in range(X17_DELIVERIES)
-        }
+    # cap pinned to 0 means "never local": skip the guarded Arrow
+    # collect outright instead of running a limit(1) job whose answer
+    # is already known (r14 — one wasted job in the caps-zeroed arm)
+    if cap > 0:
+        tagged = _span_exploded_frame(arriving).select(
+            "doc_id", "h",
+            F.expr(
+                f"(doc_id DIV {_DELTA_SPLIT_MOD}) % {X17_DELIVERIES}"
+            ).cast("int").alias("k"),
+        ).limit(cap + 1).toArrow()
+        if tagged.num_rows <= cap:
+            spans_by_k = {
+                k: tagged.filter(
+                    pc.equal(tagged.column("k"), k)
+                ).select(["doc_id", "h"])
+                for k in range(X17_DELIVERIES)
+            }
 
     served: list[DataFrame] = []
     local_serves: list = []  # Arrow tables, delivery-tagged
@@ -3073,7 +3152,9 @@ def x17_stream_maintained_spans(spark: SparkSession,
                 snap = os.path.join(work, f"serve{k}")
                 shutil.copytree(sdir, snap, copy_function=_link_or_copy)
                 served.append(
-                    spark.read.parquet(snap).select(
+                    spark.read.schema(
+                        _SPAN_STATS_READ_SCHEMA
+                    ).parquet(snap).select(
                         F.lit(k).cast("int").alias("delivery_id"),
                         "doc_id", "n_spans", "n_dup_spans",
                         (
@@ -3455,12 +3536,23 @@ def append_span_postings(batch_postings: DataFrame, out_dir: str,
     never with writer parallelism.  Periodic per-bucket compaction is
     ordinary table maintenance, orthogonal to the delta path; probes
     via :func:`affected_docs_pruned` see appended rows immediately
-    (lifecycle-locked in tests/test_llmops.py)."""
+    (lifecycle-locked in tests/test_llmops.py).
+
+    The writer-task count follows the stats writer's
+    :func:`~hfcommunity_spark.operators.graph._write_tasks` rule
+    (~16 buckets per task) instead of the session shuffle width
+    (r14, guide §2.3/§6: a delivery-sized append through a width-32
+    exchange paid 32 task setups + commits to move a few thousand
+    rows — measured 1.52 s vs 0.62 s per append at sf0.1, identical
+    one-file-per-touched-bucket layout since hash-partitioning on the
+    bucket key maps each bucket to exactly one writer task)."""
+    from hfcommunity_spark.operators.graph import _write_tasks
+
     (
         batch_postings.withColumn(
             "h_bucket", F.pmod(F.col("h"), F.lit(buckets)).cast("int")
         )
-        .repartition(F.col("h_bucket"))
+        .repartition(_write_tasks(buckets), F.col("h_bucket"))
         .write.mode("append")
         .partitionBy("h_bucket")
         .parquet(out_dir)
@@ -3490,7 +3582,9 @@ def affected_docs_pruned(spark: SparkSession, postings_dir: str,
             F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("b")
         ).distinct().collect()
     )
-    pruned = spark.read.parquet(postings_dir).filter(
+    pruned = spark.read.schema(
+        _SPAN_POSTINGS_READ_SCHEMA
+    ).parquet(postings_dir).filter(
         F.col("h_bucket").isin(hit)
     )
     return (

@@ -1406,7 +1406,11 @@ def component_merge_plan_pruned(
     e0 = new_edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
-    if vt.simpleString() == "bigint":
+    # cap pinned to 0 means "never local": skip the guarded probe
+    # collect outright instead of running a limit(1) job whose answer
+    # is already known (r14 — one wasted job per fold in the
+    # caps-zeroed distributed arm)
+    if QUOTIENT_LOCAL_EDGE_MAX > 0 and vt.simpleString() == "bigint":
         probe = e0.limit(QUOTIENT_LOCAL_EDGE_MAX + 1).collect()
         if len(probe) <= QUOTIENT_LOCAL_EDGE_MAX:
             return _merge_plan_local(
