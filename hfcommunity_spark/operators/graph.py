@@ -132,6 +132,11 @@ def _ancestors_local(commit_parents: DataFrame, start_shas: DataFrame,
     gates fail on bounded counts alone and the checkpointed frontier
     loop below runs unchanged."""
     cap = ANC_LOCAL_WORK_MAX
+    if cap <= 0:
+        # cap pinned to 0 means "never local": skip the guarded
+        # collect outright instead of running a limit(1) job whose
+        # answer is already known (r14, caps-zeroed arm)
+        return None
     st_t = start_shas.select("sha").limit(cap + 1).toArrow()
     if st_t.num_rows > cap:
         return None
@@ -887,6 +892,10 @@ def _local_bucket_rows(dir_: str, pcol: str, bkts,
 
     if cap is None:
         cap = WRITER_LOCAL_ROW_MAX
+    if cap <= 0:
+        # cap pinned to 0 means "never local": skip the driver-side
+        # bucket read outright (r14, caps-zeroed arm)
+        return None
     out: dict[int, list] = {}
     total = 0
     try:
@@ -1627,6 +1636,11 @@ def _pagerank_local(edges: DataFrame, iters: int) -> DataFrame | None:
     import pyarrow as pa
 
     cap = PR_LOCAL_EDGE_MAX
+    if cap <= 0:
+        # cap pinned to 0 means "never local": skip the guarded
+        # collect outright instead of running a limit(1) job whose
+        # answer is already known (r14, caps-zeroed arm)
+        return None
     # ONE guarded collect (no COUNT pre-gate): the edge frame is
     # typically a corpus DISTINCT, so a separate gate job would pay
     # that shuffle twice — the over-cap penalty (shipping cap+1 rows

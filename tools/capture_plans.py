@@ -74,9 +74,10 @@ def main() -> None:
                 " on h_bucket + pushed In on h) ==\n"
             )
             parts.append(_explain(probe))
-            stats = spark.read.schema(
-                dd._SPAN_STATS_READ_SCHEMA
-            ).parquet(sdir).select(
+            _sch = getattr(dd, "_SPAN_STATS_READ_SCHEMA", None)
+            rd = (spark.read.schema(_sch) if _sch is not None
+                  else spark.read)
+            stats = rd.parquet(sdir).select(
                 "doc_id", "n_spans", "n_dup_spans"
             )
             changed = dd._span_delta_changed_stats(
