@@ -271,3 +271,48 @@ def test_solo_guard_baselines_on_quieter_sentinel():
 
     src = inspect.getsource(bench.main)
     assert "min(suite_cpus" in src
+
+
+def test_dist_contended_face_guard_and_tries_recording():
+    """r14: the caps-zeroed arm self-adjudicates like the solos — a
+    face whose subprocess sentinel (start OR end reading) departs
+    >1.4x from the run's quietest reading re-runs, and every try is
+    recorded under face_tries.  The end reading exists because a
+    minute-scale steal burst can land entirely inside the timed
+    attempts and leave the pre-attempt sentinel clean (the first x15
+    recording: 51.7 s against a clean 0.28/0.24 start sentinel)."""
+    from tools.dist_bench import (CAPS, DIST_FACES, _face_suspect,
+                                  build_dist_payload)
+
+    quiet = {"cpu_loop_sec": 0.29, "spark_scan_sec": 0.15,
+             "cpu_loop_sec_end": 0.30, "spark_scan_sec_end": 0.16}
+    # clean vs run-best: no flag
+    assert _face_suspect(quiet, 0.28, 0.15) is None
+    # contended start cpu: flagged
+    assert "cpu_loop_sec 0.5" in _face_suspect(
+        dict(quiet, cpu_loop_sec=0.5), 0.28, 0.15)
+    # the x15 case — clean start, burst during the attempts shows in
+    # the END scan reading only: flagged
+    assert "spark_scan_sec_end" in _face_suspect(
+        dict(quiet, spark_scan_sec_end=0.31), 0.28, 0.15)
+    # no baseline yet (first face): never flagged
+    assert _face_suspect(dict(quiet, cpu_loop_sec=9.9), None, None) is None
+
+    caps = {f"{m.rsplit('.', 1)[-1]}.{a}": 0 for m, a in CAPS}
+    rows = [{"name": n, "sec": 1.0, "attempts": [1.2, 1.0],
+             "calibration": quiet, "caps_zeroed": caps}
+            for n in DIST_FACES]
+    tries = {n: [rows[i]] for i, n in enumerate(DIST_FACES)}
+    # one face needed a retry: both tries must land in face_tries,
+    # single-try faces must NOT (the common case stays compact)
+    flagged = dict(rows[0], sec=51.7,
+                   flagged="spark_scan_sec_end 0.62s > 1.4x run-best")
+    tries[DIST_FACES[0]] = [flagged, rows[0]]
+    p = build_dist_payload(rows, 0.1, tries)
+    assert set(p["face_tries"]) == {DIST_FACES[0]}
+    recorded = p["face_tries"][DIST_FACES[0]]
+    assert [t["sec"] for t in recorded] == [51.7, 1.0]
+    assert recorded[0]["flagged"] and recorded[1]["flagged"] is None
+    assert "contended-face guard" in p["regime"]
+    # and the payload without tries keeps the r14 pre-guard shape
+    assert "face_tries" not in build_dist_payload(rows, 0.1)
