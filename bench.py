@@ -112,9 +112,12 @@ def _warm(spark, deep: bool = False) -> None:
     JVM nor the Python worker pool bills its startup to a query;
     ``deep=True`` (the in-suite regime only) additionally runs the
     first :data:`WARM_PREFIX` alphabetical queries untimed — see the
-    constant's rationale.  Solo sentinels stay SHALLOW-warmed: their
-    value is the genuinely-cold fresh-session number, and a deep warm
-    would break cross-round solo comparability.
+    constant's rationale.  Solo sentinels stay SHALLOW-warmed — no
+    annealing pass — but as of r14 the shallow warm itself pre-touches
+    the driver numpy/Arrow stack (below), so solos are fresh-JVM,
+    driver-stack-warmed numbers: compare them to other r14+ solos,
+    not to pre-r14 rounds' genuinely-cold readings (ADVICE r14 — the
+    payload regime string discloses the same break).
 
     r14 addition — DRIVER-SIDE VECTOR-STACK WARM: on this host the
     first large vectorized operation in a fresh process runs orders
@@ -229,14 +232,58 @@ def _calibrate(spark) -> dict:
     }
 
 
-def _time_queries(spark, names) -> dict[str, float]:
+# Interleaved band sentinels (VERDICT r14 #1): on this host, steal
+# bursts are MINUTE-scale, so a burst entirely inside the ~6-minute
+# query pass is invisible to the start/end calibrations and an entire
+# round's raw comparison dies (r14: geomean 0.555 with zero real
+# regressions; this round's start recording: s7 read 7.0 s against
+# QUIET start AND end sentinels).  A cheap single-shot cpu+scan probe
+# every BAND_SIZE queries brackets each band; per-query normalization
+# by the band's bracketing scan readings survives intra-run bursts.
+BAND_SIZE = 25
+
+
+def _band_probe(spark) -> dict:
+    """One single-shot cpu loop + one single-shot 100M-row scan —
+    the calibration pair without the min-of-3 (a probe must be cheap
+    enough to interleave; ~0.5 s).  Runs POST-anneal, so its scan
+    scale matches the END calibration's fully-JIT'd reading (~0.09 s
+    quiet on this host), never the start reading."""
+    from pyspark.sql import functions as F
+
+    from hfcommunity_spark.session import default_parallelism
+
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(_CAL_CPU_N):
+        acc += i * i
+    cpu = time.monotonic() - t0
+    t0 = time.monotonic()
+    spark.range(_CAL_SCAN_ROWS,
+                numPartitions=default_parallelism()).select(
+        F.sum("id")
+    ).collect()
+    return {"cpu": round(cpu, 4),
+            "scan": round(time.monotonic() - t0, 4)}
+
+
+def _time_queries(spark, names, bands: list | None = None
+                  ) -> dict[str, float]:
     """best-of-2 per query: a single cold run is dominated by JVM/GC
-    noise at this data size; min-of-two is the stable estimator."""
+    noise at this data size; min-of-two is the stable estimator.
+
+    With ``bands`` (a caller-owned list), an UNTIMED :func:`_band_probe`
+    runs before the first query and after every :data:`BAND_SIZE`
+    queries; the probes land in ``bands`` in order (len = n_bands + 1).
+    The per-query timed region is byte-identical either way — probes
+    run strictly BETWEEN queries."""
     from hfcommunity_spark.queries import all_queries
 
     specs = all_queries()
     timings: dict[str, float] = {}
-    for name in names:
+    for idx, name in enumerate(names):
+        if bands is not None and idx % BAND_SIZE == 0:
+            bands.append(_band_probe(spark))
         spec = specs[name]
         best = float("inf")
         for _ in range(2):
@@ -244,6 +291,8 @@ def _time_queries(spark, names) -> dict[str, float]:
             spec.spark(spark, _sf_dir()).count()
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 4)
+    if bands is not None and names:
+        bands.append(_band_probe(spark))
     return timings
 
 
@@ -381,7 +430,9 @@ def main() -> None:
     _warm(spark)
     calibration = _calibrate(spark)
     _warm(spark, deep=True)
-    timings = _time_queries(spark, sorted(all_queries()))
+    band_probes: list = []
+    timings = _time_queries(spark, sorted(all_queries()),
+                            bands=band_probes)
     # second sentinel AFTER the pass (round 13): the host's bursty
     # ambient load can differ between the calibration instant and the
     # ~6-minute query pass — a large delta marks an intra-run burst
@@ -413,7 +464,7 @@ def main() -> None:
         solo_names, timings, min(suite_cpus, default=None))
 
     full, line = build_payloads(timings, _sf_value(), solo, calibration,
-                                solo_attempts)
+                                solo_attempts, band_probes)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -423,10 +474,28 @@ def main() -> None:
 TAIL_BUDGET = 1900  # the driver records only the last 2000 stdout chars
 
 
+def _band_norm(timings: dict[str, float],
+               band_probes: list) -> dict[str, float] | None:
+    """Per-query time divided by its band's bracketing scan readings
+    (mean of the probe before and after the query's band) — the
+    burst-robust normalization VERDICT r14 #1 asked for.  Queries are
+    banded in the timed pass's (alphabetical) order."""
+    if not band_probes or len(band_probes) < 2:
+        return None
+    out: dict[str, float] = {}
+    for idx, name in enumerate(sorted(timings)):
+        b = min(idx // BAND_SIZE, len(band_probes) - 2)
+        scan = (band_probes[b]["scan"] + band_probes[b + 1]["scan"]) / 2
+        if scan > 0:
+            out[name] = round(timings[name] / scan, 3)
+    return out or None
+
+
 def build_payloads(timings: dict[str, float], sf_val,
                    solo: dict[str, float] | None = None,
                    calibration: dict | None = None,
-                   solo_attempts: dict[str, list] | None = None
+                   solo_attempts: dict[str, list] | None = None,
+                   band_probes: list | None = None
                    ) -> tuple[dict, str]:
     """Output discipline: the driver keeps only the LAST 2000 chars of
     stdout (BENCH_r01.json: tail=2000, parsed=null because round-1's
@@ -445,7 +514,9 @@ def build_payloads(timings: dict[str, float], sf_val,
                    f"{min(WARM_PREFIX, len(timings))} queries annealed "
                    "untimed pre-pass — see ARCHITECTURE §5t; r14: "
                    "driver vector-stack warmed untimed, see "
-                   "bench._warm)"),
+                   "bench._warm; r15: untimed single-shot cpu+scan "
+                   f"probes interleaved every {BAND_SIZE} queries — "
+                   "per-query timed region unchanged)"),
         # the annealed names themselves (ADVICE r13): a reader
         # comparing a face's raw seconds across rounds can see at a
         # glance whether it sat inside the warm-only prefix
@@ -460,6 +531,31 @@ def build_payloads(timings: dict[str, float], sf_val,
         "full_map": "BENCH_FULL.json",
         "queries": {},
     }
+    band_norm = _band_norm(timings, band_probes or [])
+    if band_probes:
+        full["calibration_bands"] = band_probes
+        full["band_note"] = (
+            f"single-shot cpu+scan probes interleaved every "
+            f"{BAND_SIZE} queries of the timed pass (n_probes = "
+            "n_bands + 1, bracketing each band); probes run post-"
+            "anneal, so their scan scale matches the END "
+            "calibration's fully-JIT'd reading, not the start one"
+        )
+        payload["bands"] = {
+            "n": BAND_SIZE,
+            "scan": [p["scan"] for p in band_probes],
+            "cpu": [p["cpu"] for p in band_probes],
+        }
+    if band_norm:
+        full["queries_band_norm"] = band_norm
+        full["band_norm_note"] = (
+            "query time / mean of its band's two bracketing scan "
+            "probes — burst-robust: compare THESE across rounds when "
+            "raw seconds disagree with the start/end calibration "
+            "(VERDICT r14 #1); the payload carries the same values "
+            "as queries_band_norm_vals, aligned with the queries map"
+        )
+        payload["value_band_norm"] = round(sum(band_norm.values()), 2)
     if calibration:
         full["calibration"] = calibration
         full["calibration_note"] = (
@@ -503,8 +599,15 @@ def build_payloads(timings: dict[str, float], sf_val,
         if solo_attempts:
             full["solo_attempts"] = solo_attempts
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    # the normalized values ride as an ARRAY aligned with the queries
+    # map's key order (a second named map would halve how many slow
+    # queries fit the tail budget; ~7 chars/entry vs ~35)
+    norm_vals = payload.setdefault("queries_band_norm_vals", []) \
+        if band_norm else None
     for k, v in slowest:
         payload["queries"][k] = round(v, 2)
+        if norm_vals is not None:
+            norm_vals.append(band_norm.get(k))
         if len(json.dumps(payload, separators=(",", ":"))) > TAIL_BUDGET:
             break
     while payload["queries"]:
@@ -517,6 +620,8 @@ def build_payloads(timings: dict[str, float], sf_val,
             break
         # drop the fastest still-shown entry and re-measure
         payload["queries"].pop(next(reversed(payload["queries"])))
+        if norm_vals is not None:
+            norm_vals.pop()
     return full, json.dumps(payload, separators=(",", ":"))
 
 

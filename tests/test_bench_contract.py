@@ -316,3 +316,47 @@ def test_dist_contended_face_guard_and_tries_recording():
     assert "contended-face guard" in p["regime"]
     # and the payload without tries keeps the r14 pre-guard shape
     assert "face_tries" not in build_dist_payload(rows, 0.1)
+
+
+def test_band_probes_ride_both_payloads_and_fit_budget():
+    """VERDICT r14 #1: minute-scale steal bursts inside the ~6-minute
+    query pass are invisible to the start/end calibrations (r14 lost
+    its headline number to exactly that).  With interleaved band
+    probes passed, BENCH_FULL carries the probe list + a per-query
+    band-normalized map over the WHOLE inventory, and the stdout line
+    carries the per-band sentinel arrays plus normalized values
+    ALIGNED with the queries map — still inside the tail budget."""
+    from bench import BAND_SIZE
+
+    timings = _fake_timings(181)
+    probes = [{"cpu": round(0.3 + 0.01 * i, 4),
+               "scan": round(0.1 + 0.02 * (i % 3), 4)}
+              for i in range(181 // BAND_SIZE + 2)]
+    cal = {"cpu_loop_sec": 0.31, "cpu_loop_n": 1,
+           "spark_scan_sec": 0.18, "spark_scan_rows": 1}
+    full, line = build_payloads(timings, 0.1, None, cal, None, probes)
+    assert len(line) <= TAIL_BUDGET + 1
+    d = json.loads(line)
+    assert d["bands"]["n"] == BAND_SIZE
+    assert d["bands"]["scan"] == [p["scan"] for p in probes]
+    assert d["bands"]["cpu"] == [p["cpu"] for p in probes]
+    # the full map covers every query; normalization is the mean of
+    # the band's two bracketing scan probes
+    norm = full["queries_band_norm"]
+    assert set(norm) == set(timings)
+    names = sorted(timings)
+    for idx in (0, BAND_SIZE - 1, BAND_SIZE, len(names) - 1):
+        b = min(idx // BAND_SIZE, len(probes) - 2)
+        scan = (probes[b]["scan"] + probes[b + 1]["scan"]) / 2
+        assert norm[names[idx]] == round(timings[names[idx]] / scan, 3)
+    # line values align 1:1 with the (slowest-first) queries map
+    vals = d["queries_band_norm_vals"]
+    assert len(vals) == len(d["queries"])
+    for k, v in zip(d["queries"], vals):
+        assert v == norm[k]
+    assert d["value_band_norm"] == round(sum(norm.values()), 2)
+    # without probes neither payload grows the keys (solo workers)
+    full2, line2 = build_payloads(timings, 0.1, None, cal)
+    assert "calibration_bands" not in full2
+    assert "bands" not in json.loads(line2)
+    assert "queries_band_norm_vals" not in json.loads(line2)

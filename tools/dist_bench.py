@@ -298,6 +298,21 @@ def main(argv: list[str]) -> None:
             retry["calibration"], best["cpu"], best["scan"])
         tries[row["name"]].append(retry)
         rows[i] = min(tries[row["name"]], key=lambda r: r["sec"])
+
+    # Kept-row selection against the FINISHED run's minima (ADVICE
+    # r14): in-loop flags were evaluated against a mid-run baseline,
+    # so a kept min(sec) try could carry a stale flag status — and a
+    # flagged-fastest try beat an unflagged one.  Re-evaluate every
+    # try's flag against the final run-best, then keep the fastest
+    # UNFLAGGED try when one exists (fall back to the plain min).
+    for ts in tries.values():
+        for t in ts:
+            t["flagged"] = _face_suspect(
+                t["calibration"], best["cpu"], best["scan"])
+    for i, row in enumerate(rows):
+        ts = tries[row["name"]]
+        clean = [t for t in ts if t["flagged"] is None]
+        rows[i] = min(clean or ts, key=lambda r: r["sec"])
     from bench import _sf_value
 
     payload = build_dist_payload(rows, _sf_value(), tries)
