@@ -1113,17 +1113,21 @@ def span_index_delta_bucketed(spark: SparkSession, postings_dir: str,
     never read, rewritten, or recounted."""
     if buckets is None:
         buckets = SPAN_H_BUCKETS
+    # LAZY checkpoint (r15): the probe gate's distinct-h collect fully
+    # materializes the batch in its map stage (see
+    # :func:`_span_fold_distributed`)
     batch_postings = span_postings_frame(
         arriving_docs, wide=False
-    ).localCheckpoint()
-    # the probe STAYS checkpointed here (unlike the in-memory delta,
-    # whose probe reads session-cached frames): the changed-stats
-    # rollup feeds two output arms, and without materialization the
-    # partition-pruned PARQUET scan would run once per arm — doubling
-    # the delta's only IO
+    ).localCheckpoint(eager=False)
+    # the probe stays LAZY (r15): it is consumed exactly once — inside
+    # the ``pre`` rollup that :func:`_span_delta_changed_stats`
+    # eagerly checkpoints — so the partition-pruned parquet scan runs
+    # once either way and the probe's own checkpoint was one pure
+    # fixed-cost job per delivery (the r14 comment claiming the scan
+    # would run once per output arm predated ``pre``'s checkpoint)
     probe = _bucketed_span_probe(
         spark, postings_dir, batch_postings, buckets
-    ).localCheckpoint()
+    )
     changed = _span_delta_changed_stats(probe, batch_postings, stats)
     return batch_postings, changed
 
@@ -2123,30 +2127,36 @@ def x15_stream_maintained_clusters(spark: SparkSession,
                 # catalog scan + eager checkpoint JOB per delivery,
                 # ~0.27 s each measured); a failed gate sends THIS
                 # serve to the catalog read.
-                st = (_x15_local_serve_table(cdir, "c_bucket",
-                                             serve_cap)
-                      if serve_cap > 0 else None)
-                if st is not None:
-                    local_serves.append(st.append_column(
-                        "delivery_id",
-                        pa.array([k] * st.num_rows, pa.int32()),
-                    ))
-                else:
-                    served.append(
-                        spark.table(ctab).select(
-                            F.lit(k).cast("int").alias("delivery_id"),
-                            F.col("vertex").alias("doc_id"),
-                            "component",
-                        # coalesce (no shuffle): the catalog read
-                        # carries one partition per bucket dir;
-                        # snapshotting at session width keeps the
-                        # serve union at ~32 tasks per serve instead
-                        # of ~64
-                        ).coalesce(
-                            default_parallelism()
-                        ).localCheckpoint()
-                    )
-                vfut.result()
+                try:
+                    st = (_x15_local_serve_table(cdir, "c_bucket",
+                                                 serve_cap)
+                          if serve_cap > 0 else None)
+                    if st is not None:
+                        local_serves.append(st.append_column(
+                            "delivery_id",
+                            pa.array([k] * st.num_rows, pa.int32()),
+                        ))
+                    else:
+                        served.append(
+                            spark.table(ctab).select(
+                                F.lit(k).cast("int").alias("delivery_id"),
+                                F.col("vertex").alias("doc_id"),
+                                "component",
+                            # coalesce (no shuffle): the catalog read
+                            # carries one partition per bucket dir;
+                            # snapshotting at session width keeps the
+                            # serve union at ~32 tasks per serve instead
+                            # of ~64
+                            ).coalesce(
+                                default_parallelism()
+                            ).localCheckpoint()
+                        )
+                finally:
+                    # ALWAYS surface the threaded vertex write's
+                    # outcome (ADVICE r14): a serve exception would
+                    # otherwise mask a concurrent write failure (the
+                    # fold aborts either way; only the report is lost)
+                    vfut.result()
         if local_serves:
             served.append(spark.createDataFrame(
                 pa.concat_tables(local_serves).select(
@@ -2721,6 +2731,214 @@ def _span_fold_local_rows(spark, postings_dir: str, stats_dir: str,
     return True
 
 
+def _span_fold_distributed(spark, postings_dir: str, stats_dir: str,
+                           arriving_docs: DataFrame, buckets: int,
+                           stats_buckets: int) -> None:
+    """The distributed span fold as a FUSED job chain (r15, guide §2:
+    the caps-zeroed arm measured ~1.8 s/delivery of per-job fixed cost
+    across the old probe→delta→append→overwrite sequence — 8-9 driver
+    actions per delivery).  Four actions remain:
+
+    1. batch postings checkpoint (three consumers: probe gate, delta
+       union, append);
+    2. the probe-gate Arrow collect (unchanged — builds the pushed
+       InSet + bucket prune list driver-side, r14);
+    3. ONE ``toArrow`` collect that runs the whole delta pipeline —
+       union(batch ∪ pruned probe scan) → per-h window counts → per-doc
+       rollup, the exact :func:`_span_delta_changed_stats` arithmetic —
+       filtered to the CHANGED doc set (batch docs + old docs with an
+       increment).  The collected set is the same delivery-bounded
+       population the old shape broadcast twice (``changed.doc_id``
+       anti-join build + the inc rows), so driver boundedness is
+       unchanged in class; what disappears is the ``pre`` checkpoint,
+       the ``changed`` checkpoint, and the ``_bucket_ids`` collect —
+       three fixed-cost jobs per delivery.
+    4. the stats upsert as ONE job: carried rows read from a HARDLINK
+       SNAPSHOT of the touched d_buckets (same inodes, different
+       names — the dynamic overwrite's deletes can't invalidate the
+       scan, so the pre-write ``localCheckpoint`` that existed only to
+       break the self-overwrite cycle is gone), inc applied via a
+       broadcast left join of a local relation, batch rows unioned as
+       a local relation (batch wins over a contract-violating
+       collision, matching the old anti-join and the driver-local
+       twin), dynamic partition overwrite exactly as before —
+       overlapped with the postings append (r14).
+
+    Layout contents are bit-identical to the old shape (parity-locked
+    local ≡ distributed ≡ rebuild in tests/test_llmops.py); on a
+    non-local stats layout (no snapshot possible) the carried read
+    falls back to the isin-pruned scan + checkpoint."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as pa
+
+    from hfcommunity_spark.operators.graph import (
+        _bucket_expr,
+        _py_bucket,
+        _write_tasks,
+    )
+
+    # LAZY checkpoint (r15): the probe gate's distinct-h collect runs
+    # a map stage over EVERY batch partition (the limit only
+    # short-circuits the reduce), so it materializes the checkpoint in
+    # the same job — the dedicated eager-checkpoint job is gone
+    batch_postings = span_postings_frame(
+        arriving_docs, wide=False
+    ).localCheckpoint(eager=False)
+    probe = _bucketed_span_probe(
+        spark, postings_dir, batch_postings, buckets
+    )
+    wh = Window.partitionBy("h")
+    ch = (
+        batch_postings.withColumn("tag", F.lit(1))
+        .unionByName(probe.withColumn("tag", F.lit(0)))
+        .withColumn("nd_batch", F.sum("tag").over(wh))
+        .withColumn("nd_old", F.sum(1 - F.col("tag")).over(wh))
+        .groupBy("doc_id")
+        .agg(
+            F.max("tag").alias("is_new"),
+            F.sum(F.when(F.col("tag") == 1, F.col("c")).otherwise(0))
+            .alias("n_spans_new"),
+            F.sum(
+                F.when(
+                    (F.col("tag") == 1)
+                    & (F.col("nd_old") + F.col("nd_batch") >= 2),
+                    F.col("c"),
+                ).otherwise(0)
+            ).alias("dup_new"),
+            F.sum(
+                F.when(
+                    (F.col("tag") == 0) & (F.col("nd_old") == 1),
+                    F.col("c"),
+                ).otherwise(0)
+            ).alias("inc"),
+        )
+        .filter((F.col("is_new") == 1) | (F.col("inc") > 0))
+        .toArrow()
+    )
+    new_mask = [v == 1 for v in ch.column("is_new").to_pylist()]
+    ids = ch.column("doc_id").to_pylist()
+    nsn = ch.column("n_spans_new").to_pylist()
+    dpn = ch.column("dup_new").to_pylist()
+    inc = ch.column("inc").to_pylist()
+    batch_rel = spark.createDataFrame(pa.table({
+        "doc_id": pa.array(
+            [d for d, n in zip(ids, new_mask) if n], pa.int64()),
+        "n_spans": pa.array(
+            [v for v, n in zip(nsn, new_mask) if n], pa.int64()),
+        "n_dup_spans": pa.array(
+            [v for v, n in zip(dpn, new_mask) if n], pa.int64()),
+    }))
+    inc_rel = spark.createDataFrame(pa.table({
+        "doc_id": pa.array(
+            [d for d, n in zip(ids, new_mask) if not n], pa.int64()),
+        "inc": pa.array(
+            [v for v, n in zip(inc, new_mask) if not n], pa.int64()),
+    }))
+    sbkts = sorted({_py_bucket(d, stats_buckets) for d in ids})
+
+    snapshot = None
+    rows = None
+    if ch.num_rows:
+        if _os.path.isdir(stats_dir):
+            # hardlink snapshot of the touched buckets: the carried
+            # read scans these NAMES while the dynamic overwrite
+            # replaces the originals — same inodes, so no checkpoint
+            # is needed to cut lineage from the files being replaced
+            snapshot = _tempfile.mkdtemp(prefix="hfc_spanstats_snap_")
+
+            def _link_or_copy(src: str, dst: str) -> None:
+                try:
+                    _os.link(src, dst)
+                except OSError:
+                    _shutil.copy2(src, dst)
+
+            for b in sbkts:
+                d = _os.path.join(stats_dir, f"d_bucket={b}")
+                if _os.path.isdir(d):
+                    _shutil.copytree(
+                        d, _os.path.join(snapshot, f"d_bucket={b}"),
+                        copy_function=_link_or_copy,
+                    )
+            pruned = spark.read.schema(
+                _SPAN_STATS_READ_SCHEMA
+            ).parquet(snapshot)
+        else:
+            pruned = spark.read.schema(
+                _SPAN_STATS_READ_SCHEMA
+            ).parquet(stats_dir).filter(
+                F.col("d_bucket").isin(sbkts)
+            )
+        out = (
+            pruned.select("doc_id", "n_spans", "n_dup_spans")
+            .join(F.broadcast(batch_rel.select("doc_id")),
+                  "doc_id", "left_anti")
+            .join(F.broadcast(inc_rel), "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_spans",
+                (
+                    F.col("n_dup_spans")
+                    + F.coalesce(F.col("inc"), F.lit(0).cast("bigint"))
+                ).alias("n_dup_spans"),
+            )
+            .unionByName(batch_rel)
+            .withColumn("d_bucket", _bucket_expr("doc_id", stats_buckets))
+        )
+        if snapshot is None:
+            # non-local layout: no snapshot names to read through —
+            # materialize before overwriting the files being read
+            out = out.localCheckpoint()
+        rows = out
+
+    journal = _os.path.isdir(postings_dir)
+    if journal:
+        _span_fold_write_marker(postings_dir, range(buckets))
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    try:
+        # the two layout writes stay overlapped (r14, guide §2.6); the
+        # crash-journal window is unchanged — marker before either
+        # write, removed only after both (ADVICE r14: the threaded
+        # stats write's outcome is ALWAYS surfaced)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stats_write() -> None:
+            if rows is None:
+                return
+            (
+                rows.repartition(
+                    _write_tasks(len(sbkts)), F.col("d_bucket")
+                )
+                .write.mode("overwrite")
+                .partitionBy("d_bucket")
+                .parquet(stats_dir)
+            )
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(_stats_write)
+            try:
+                append_span_postings(
+                    batch_postings, postings_dir, buckets
+                )
+            finally:
+                fut.result()
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+        if snapshot is not None:
+            _shutil.rmtree(snapshot, ignore_errors=True)
+    if journal:
+        _os.unlink(_span_fold_marker_path(postings_dir))
+
+
 def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
                        arriving_docs: DataFrame,
                        buckets: int = None,
@@ -2757,98 +2975,18 @@ def span_fold_in_place(spark, postings_dir: str, stats_dir: str,
         _span_exploded_frame(arriving_docs),
         buckets, stats_buckets,
     ):
-        from hfcommunity_spark.operators.graph import (
-            _bucket_expr,
-            _bucket_ids,
-            _write_tasks,
+        # Journaling note (ADVICE r13, unchanged by the r15 fusion):
+        # each distributed write individually goes through Spark's
+        # output-commit protocol, but the stats overwrite and the
+        # postings append are still two separate jobs — on local
+        # filesystems the pre-mutation marker covers the cross-layout
+        # window (all ≤``buckets`` h-bucket listings, a bounded
+        # driver-side listdir); on object storage isdir is False and
+        # the marker stays a no-op, as documented.
+        _span_fold_distributed(
+            spark, postings_dir, stats_dir, arriving_docs,
+            buckets, stats_buckets,
         )
-
-        stats = spark.read.schema(
-            _SPAN_STATS_READ_SCHEMA
-        ).parquet(stats_dir).select(
-            "doc_id", "n_spans", "n_dup_spans"
-        )
-        batch_postings, changed = span_index_delta_bucketed(
-            spark, postings_dir, stats, arriving_docs, buckets
-        )
-        # materialize the changed rows BEFORE mutating either layout
-        # they were derived from (postings probe + stats join)
-        changed = changed.localCheckpoint()
-        sbkts = _bucket_ids(changed, ["doc_id"], stats_buckets)
-        pruned = spark.read.schema(
-            _SPAN_STATS_READ_SCHEMA
-        ).parquet(stats_dir).filter(
-            F.col("d_bucket").isin(sbkts)
-        )
-        out = (
-            pruned.join(
-                F.broadcast(changed.select("doc_id")),
-                "doc_id", "left_anti",
-            )
-            .select("doc_id", "n_spans", "n_dup_spans")
-            .unionByName(changed)
-            .withColumn("d_bucket", _bucket_expr("doc_id", stats_buckets))
-        )
-        rows = out.localCheckpoint()  # cut lineage from the files
-        # Journal the cross-layout window for the DISTRIBUTED writers
-        # too (ADVICE r13): each write individually goes through
-        # Spark's output-commit protocol, but the stats overwrite and
-        # the postings append are still two separate jobs — a crash
-        # between them previously left the layouts inconsistent with
-        # no marker and no refusal on the next fold.  On local
-        # filesystems (isdir succeeds) the same pre-mutation marker
-        # covers the window; recovery is the same rollback + stats
-        # rebuild.  The batch's touched buckets aren't known
-        # driver-side here, so snapshot ALL ≤``buckets`` h-bucket
-        # listings — a bounded driver-side listdir.  On object
-        # storage isdir is False and the marker stays a no-op, as
-        # documented.
-        journal = _os.path.isdir(postings_dir)
-        if journal:
-            _span_fold_write_marker(postings_dir, range(buckets))
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode"
-        )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            # the two layout writes are independent (disjoint dirs,
-            # both consume checkpointed frames with no lineage through
-            # the files being mutated), so they run CONCURRENTLY from
-            # a driver thread (guide §2.6: overlap independent jobs —
-            # each write is a handful of small tasks plus a commit, so
-            # sequential execution paid two full fixed costs per fold;
-            # measured r14: 1.46 vs 0.93 s per fold for the pair at
-            # sf0.1).  The crash-journal window is unchanged: the
-            # marker is written before either write starts and removed
-            # only after BOTH have committed.  The append ignores the
-            # session-global dynamic-overwrite mode (mode=append), so
-            # sharing the conf window is safe.
-            from concurrent.futures import ThreadPoolExecutor
-
-            def _stats_write() -> None:
-                (
-                    rows.repartition(
-                        _write_tasks(len(sbkts)), F.col("d_bucket")
-                    )
-                    .write.mode("overwrite")
-                    .partitionBy("d_bucket")
-                    .parquet(stats_dir)
-                )
-
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                fut = ex.submit(_stats_write)
-                append_span_postings(
-                    batch_postings, postings_dir, buckets
-                )
-                fut.result()
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
-        if journal:
-            _os.unlink(_span_fold_marker_path(postings_dir))
     spark.catalog.refreshByPath(postings_dir)
     spark.catalog.refreshByPath(stats_dir)
 

@@ -50,6 +50,36 @@ def _eager_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
     return ck, sorted(ck_ids)
 
 
+def _lazy_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """``localCheckpoint(eager=False)`` plus the new block ids — the
+    :func:`_eager_checkpoint` bookkeeping WITHOUT the materializing
+    job (r15, guide §2: per-job fixed cost dominates the iterative
+    operators at bench scale, and the caps-zeroed arm pays it at any
+    scale).  The mark registers the RDD with the block manager
+    immediately (ids are capturable before any action) and truncates
+    the returned frame's plan to the checkpoint scan, so the CALLER'S
+    next FULL-PASS action — the ``count()`` an iterative loop needs
+    anyway — materializes every partition in one job instead of two
+    (checkpoint job + probe job).
+
+    Contract: the first action the caller runs on the returned frame
+    must compute ALL partitions (``count``, a full write/collect —
+    NOT ``isEmpty``/``take``, whose partial pass would leave the
+    backfill to a second implicit job, re-paying what this fusion
+    removes)."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    ck = df.localCheckpoint(eager=False)
+    m = jsc.getPersistentRDDs()
+    new_ids = set(m.keySet().toArray()) - before
+    ck_ids = []
+    for i in new_ids:
+        rdd = m.get(i)
+        if rdd is not None and rdd.rdd().isLocallyCheckpointed():
+            ck_ids.append(i)
+    return ck, sorted(ck_ids)
+
+
 def _free_checkpoint(spark: SparkSession, ids: list[int]) -> None:
     """Release checkpoint blocks NOW instead of waiting for the GC-
     driven ContextCleaner — otherwise long iterative chains grow
@@ -198,7 +228,7 @@ def ancestors(commit_parents: DataFrame, start_shas: DataFrame,
     edges = commit_parents.select(
         F.col("commit_sha").alias("child"), F.col("parent_sha").alias("parent")
     ).persist()  # probed once per hop; upstream lineage may be expensive
-    frontier, _start_ids = _eager_checkpoint(
+    frontier, _start_ids = _lazy_checkpoint(
         start_shas.select(
             F.col("sha"), F.col("sha").alias("node"), F.lit(0).alias("hops")
         )
@@ -212,8 +242,12 @@ def ancestors(commit_parents: DataFrame, start_shas: DataFrame,
         )
         # keep only nodes not reached at a smaller hop count
         step = step.join(seen.select("sha", "node"), ["sha", "node"], "left_anti")
-        step, step_ids = _eager_checkpoint(step)
-        if step.isEmpty():
+        # lazy checkpoint + count (r15): the count both materializes
+        # the hop's frontier (full pass — the _lazy_checkpoint
+        # contract) and answers the emptiness probe, one job per hop
+        # instead of the eager-checkpoint + isEmpty pair
+        step, step_ids = _lazy_checkpoint(step)
+        if step.count() == 0:
             _free_checkpoint(spark, step_ids)
             break
         seen = seen.unionByName(step)
@@ -273,7 +307,9 @@ def connected_components(edges: DataFrame, src: str = "src",
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
-    e, e_ids = _eager_checkpoint(e0.distinct())
+    # lazy checkpoint + count (r15): one job materializes the deduped
+    # edge set AND sizes the adaptive dispatch
+    e, e_ids = _lazy_checkpoint(e0.distinct())
     n_edges = e.count()
     # the single-task path vectorizes over int64 ids; non-integral
     # vertex types (string shas) take the star path at ANY size —
@@ -405,8 +441,11 @@ def _star_rounds(spark: SparkSession, e: DataFrame, e_ids: list[int],
             large.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         mins2 = _mins(sym2)
-        # small-star: (v, m(u)) for v ∈ Γ(u), v < u, plus (u, m(u))
-        small, small_ids = _eager_checkpoint(
+        # small-star: (v, m(u)) for v ∈ Γ(u), v < u, plus (u, m(u)).
+        # Lazy checkpoint + count (r15): the round's fixpoint count
+        # materializes the round's edge set in the same job — one job
+        # per round instead of checkpoint + count
+        small, small_ids = _lazy_checkpoint(
             sym2.filter(F.col("b") < F.col("a"))
             .join(mins2, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
@@ -524,7 +563,9 @@ def _min_label_components(edges: DataFrame, src: str, dst: str,
         # materialized (ADVICE r4: deterministic storage, like the
         # persist/unpersist discipline this replaced).
         mid = _step(labels, with_old=False)
-        new_labels, new_ids = _eager_checkpoint(_step(mid, with_old=True))
+        # lazy checkpoint (r15): the convergence count materializes
+        # the round — one job per materialized round, not two
+        new_labels, new_ids = _lazy_checkpoint(_step(mid, with_old=True))
         n_changed = new_labels.filter(
             F.col("component") != F.col("__old")
         ).count()
@@ -667,8 +708,18 @@ def _quotient_relabel(spark, quot: DataFrame) -> DataFrame | None:
     when nothing merges.  The quotient is delivery-bounded by
     contract; the local union-find replaces the distributed CC
     machinery below ``QUOTIENT_LOCAL_EDGE_MAX`` edges (bounded
-    collect, the histogram/codebook discipline)."""
-    quot, quot_ids = _eager_checkpoint(quot.distinct())
+    collect, the histogram/codebook discipline).
+
+    r15 job diet (guide §2 — the caps-zeroed arm pays each fixed-cost
+    job per delivery): the dedup checkpoint is LAZY and the count it
+    needs anyway materializes it (one job, was two), and the over-cap
+    branch dispatches the CC machinery INLINE on the already-distinct,
+    already-checkpointed quotient — calling ``connected_components``
+    re-paid a distinct shuffle + checkpoint + count on a frame that
+    just had all three."""
+    quot, quot_ids = _lazy_checkpoint(
+        quot.filter(F.col("src") != F.col("dst")).distinct()
+    )
     n_quot = quot.count()
     if n_quot == 0:
         _free_checkpoint(spark, quot_ids)
@@ -696,8 +747,34 @@ def _quotient_relabel(spark, quot: DataFrame) -> DataFrame | None:
             ]),
         )
     else:
+        # connected_components' adaptive dispatch, inlined over the
+        # checkpointed quotient (same integral-types rule and the same
+        # single-task/star split; results identical — distinct of a
+        # distinct frame)
+        integral = all(
+            f.dataType.simpleString()
+            in ("bigint", "int", "smallint", "tinyint")
+            for f in quot.schema.fields
+        )
+        if integral and n_quot <= CC_LOCAL_EDGE_LIMIT:
+            labels = _local_union_find(
+                quot.select(F.col("src").alias("a"),
+                            F.col("dst").alias("b"))
+            )
+        else:
+            labels, _rounds, converged = _star_rounds(
+                spark,
+                quot.select(F.col("src").alias("a"),
+                            F.col("dst").alias("b")),
+                quot_ids, n_quot, 25,
+            )
+            if not converged:
+                raise RuntimeError(
+                    "connected_components did not converge in 25 "
+                    "large/small-star rounds; raise max_iters"
+                )
         relabel = (
-            connected_components(quot)
+            labels
             .filter(F.col("vertex") != F.col("component"))
             .select(
                 F.col("vertex").alias("component"),
@@ -1156,8 +1233,10 @@ def apply_relabel_in_place(spark, assign_dir: str,
                     "vertex",
                     F.coalesce("merged", "component").alias("component"),
                 )
-            fresh_rows = fresh_rows.localCheckpoint()
-            if fresh_rows.isEmpty():
+            # lazy checkpoint + count (r15): one job materializes the
+            # merged fresh rows AND answers the emptiness probe
+            fresh_rows = fresh_rows.localCheckpoint(eager=False)
+            if fresh_rows.count() == 0:
                 fresh_rows = None
         if relabel is None and fresh_rows is None:
             return _empty_changes()
@@ -1194,8 +1273,11 @@ def apply_relabel_in_place(spark, assign_dir: str,
     updated = updated.withColumn(
         "c_bucket", _bucket_expr("component", buckets)
     )
-    # cut lineage from the files about to be replaced
-    rows = updated.localCheckpoint()
+    # cut lineage from the files about to be replaced — LAZY mark
+    # (r15): the present-buckets collect below is a full pass, so it
+    # materializes the checkpoint in the same job (was two jobs:
+    # eager checkpoint + distinct collect)
+    rows = updated.localCheckpoint(eager=False)
     present = {r.b for r in rows.select(
         F.col("c_bucket").alias("b")).distinct().collect()}
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -1426,13 +1508,18 @@ def component_merge_plan_pruned(
                 spark, vertex_rel, [(r.a, r.b) for r in probe],
                 buckets, vt, vertex_dir=vertex_dir,
             )
-    e, _e_ids = _eager_checkpoint(e0)
+    # lazy checkpoints (r15): e materializes inside the endpoint
+    # probe's bucket-list collect (its first full pass), resolved
+    # inside the quotient count / fresh checkpoint — two dedicated
+    # checkpoint jobs per delivery removed; both blocks are still
+    # freed below once everything derived from them is materialized
+    e, _e_ids = _lazy_checkpoint(e0)
     verts = (
         e.select(F.col("a").alias("vertex"))
         .unionByName(e.select(F.col("b").alias("vertex")))
         .distinct()
     )
-    resolved, _r_ids = _eager_checkpoint(
+    resolved, _r_ids = _lazy_checkpoint(
         resolve_assign_pruned(spark, vertex_rel, verts, buckets)
     )
     fresh = verts.join(resolved, "vertex", "left_anti").select(
@@ -1583,7 +1670,12 @@ def apply_changes_vertex_layout(spark, vertex_dir: str,
         "vertex",
         F.coalesce("new_component", "component").alias("component"),
     ).withColumn("v_bucket", _bucket_expr("vertex", buckets))
-    rows = merged.localCheckpoint()
+    # LAZY mark (r15): plan truncation at mark time is what breaks the
+    # self-overwrite cycle; the write itself is the full-pass action
+    # that materializes the blocks (deletes only commit after the job,
+    # so tasks — including retries — always read intact files).  One
+    # job instead of eager checkpoint + write.
+    rows = merged.localCheckpoint(eager=False)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -1705,10 +1797,15 @@ def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     local = _pagerank_local(edges, iters)
     if local is not None:
         return local
-    edges = edges.localCheckpoint()
+    # lazy checkpoints (r15): the rounds are one chained plan whose
+    # FIRST materializing action (the caller's) computes edges and deg
+    # once and persists their blocks for every later round's join —
+    # the two dedicated eager-checkpoint jobs bought nothing the lazy
+    # mark doesn't (plan truncation happens at mark time either way)
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ranked = deg.select("src").withColumn(
         "pr", F.lit(PR_SCALE).cast("bigint")
     )

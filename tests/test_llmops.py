@@ -1023,10 +1023,13 @@ def test_span_fold_crash_journal_and_recovery(spark, tmp_path,
     pristine2 = read_layouts(p_c2, s_c2)
     real_unlink = os.unlink
 
-    def dying_unlink(path):
-        if path.endswith("_fold_inflight.json"):
+    def dying_unlink(path, *args, **kwargs):
+        # match os.unlink's real signature (path, *, dir_fd=None):
+        # shutil.rmtree calls it with dir_fd, and the r15 fold cleans
+        # its stats snapshot via rmtree inside the patched window
+        if isinstance(path, str) and path.endswith("_fold_inflight.json"):
             raise OSError("simulated crash before marker removal")
-        return real_unlink(path)
+        return real_unlink(path, *args, **kwargs)
 
     monkeypatch.setattr("os.unlink", dying_unlink)
     try:
@@ -1132,10 +1135,13 @@ def test_span_fold_distributed_crash_journal_and_recovery(
     pristine2 = read_layouts(p_c2, s_c2)
     real_unlink = os.unlink
 
-    def dying_unlink(path):
-        if path.endswith("_fold_inflight.json"):
+    def dying_unlink(path, *args, **kwargs):
+        # match os.unlink's real signature (path, *, dir_fd=None):
+        # shutil.rmtree calls it with dir_fd, and the r15 fold cleans
+        # its stats snapshot via rmtree inside the patched window
+        if isinstance(path, str) and path.endswith("_fold_inflight.json"):
             raise OSError("simulated crash before marker removal")
-        return real_unlink(path)
+        return real_unlink(path, *args, **kwargs)
 
     monkeypatch.setattr("os.unlink", dying_unlink)
     try:
