@@ -298,9 +298,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # decorrelated correlated aggregate.)
     "q8_national_market_share",  # J4, J9, A7, F6, F11 — TPC-H Q8:
     # one fact-fact exchange + six broadcast dims; decimal share ratio
-    "q17_small_quantity_revenue",  # J3, A7, J9, F11 — TPC-H Q17:
-    # correlated avg decorrelated into a per-part agg + join-back,
-    # multiplied through to exact integer-valued comparison
+    # (Round-15 rotation — VERDICT r14 ask #7: q17_small_quantity_revenue
+    # rotates out with its r11-r14 stamps intact (J3 keeps q19, A7
+    # keeps ud3/q8, J9 keeps q8/ret/x16, F11 keeps q8/q19 — the
+    # lowest-information TPC-H face by set cover) so
+    # sim_kmeans_ivf_topk re-enters: the learned-codebook ANN face
+    # missed its r14 stamp to the PQ entrant's slot, and the driver
+    # should keep re-stamping it alongside the PQ face.)
+    "sim_kmeans_ivf_topk",  # X-UD5, J9, A12 — learned-codebook IVF
+    # ANN (unrolled-Lloyd oracle); r10-r13 stamps, re-entering per the
+    # standing rotation discipline
     "ret_maintained_bm25_parity",  # X-UD5, D3, A10, O2, J9 — the
     # maintained BM25 index under a delivery, full-rebuild oracle
     # (Round-12 rotation: dd_maintained_pairs_parity rotates out with
