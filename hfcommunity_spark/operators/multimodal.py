@@ -67,31 +67,81 @@ def byte_features_batches(
 ) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction over binary payloads —
     deterministic and library-free (numpy only), standing in for the
-    decode+featurize stage with identical dataflow shape."""
+    decode+featurize stage with identical dataflow shape.
+
+    Vectorized per batch (r15, guide §4.2: hand whole batches to
+    native kernels instead of looping rows in Python — the old
+    per-row ``np.frombuffer``/``mean``/``unique`` loop cost ~35 µs/row;
+    the sf1.0 50k-row extract measured 1.77 s -> 0.74 s): one
+    concatenated uint8 buffer, per-row sums via ``np.add.reduceat``
+    over an exact int64 view, per-row distinct counts via one
+    ``np.bincount`` over (row_index << 8 | byte) codes.  Values are
+    bit-identical to the per-row loop: byte sums are exact integers
+    far under 2**53, so mean = sum/len matches ``arr.mean()``
+    regardless of summation order (locked by the parity test in
+    tests/test_llmops.py)."""
     import numpy as np
 
+    cols = ["media_id", "n_bytes", "byte_mean", "distinct_bytes",
+            "head_hex"]
     for pdf in batches:
-        rows = []
-        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-            if payload is None:
-                rows.append((media_id, 0, None, None, None))
-                continue
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            rows.append(
-                (
-                    media_id,
-                    int(arr.size),
-                    float(arr.mean()) if arr.size else None,
-                    int(np.unique(arr).size),
-                    bytes(payload[:8]).hex(),
-                )
-            )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "media_id", "n_bytes", "byte_mean", "distinct_bytes", "head_hex",
-            ],
+        ids = pdf["media_id"].to_numpy()
+        payloads = pdf["payload"].tolist()
+        n = len(payloads)
+        if n == 0:
+            yield pd.DataFrame({c: [] for c in cols})
+            continue
+        null = np.fromiter((p is None for p in payloads), bool, n)
+        lens = np.fromiter(
+            (0 if p is None else len(p) for p in payloads),
+            np.int64, n,
         )
+        buf = np.frombuffer(
+            b"".join(p for p in payloads if p is not None and len(p)),
+            dtype=np.uint8,
+        )
+        nz = ~null & (lens > 0)
+        starts = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # per-row exact integer byte sums -> one double division each
+        sums = np.zeros(n, np.int64)
+        if buf.size:
+            sums[nz] = np.add.reduceat(
+                buf.astype(np.int64), starts[nz]
+            )
+        # per-row distinct byte counts: one bincount over
+        # (row << 8 | byte) codes, then a presence-sum per 256-bin row
+        # slice — O(bytes + 256·rows) with no sort.  Executor-measured
+        # (reused workers, default 10k-row batches): the sf1.0 50k-row
+        # extract went 1.77 s (per-row loop) -> 0.74 s; a sort-based
+        # np.unique over the coded array was the slower vectorization
+        # (1.12-1.24 s).  Scratch memory is ~(256·rows + bytes)·8 B
+        # per batch — ~20 MB at the default batch size.
+        distinct = np.zeros(n, np.int64)
+        if buf.size:
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            occ = np.bincount((row_idx << 8) | buf, minlength=n << 8)
+            distinct += np.add.reduceat(
+                occ > 0, np.arange(0, n << 8, 256)
+            )
+        head_hex = [
+            None if p is None else bytes(p[:8]).hex() for p in payloads
+        ]
+        # masked extension arrays built directly from the vectors —
+        # a None here must reach Arrow as a NULL, exactly like the old
+        # object columns (a plain float64 NaN would NOT be null on the
+        # Spark side), and per-element masked list-comps cost more
+        # than the kernels they package
+        means = sums / np.where(nz, lens, 1)
+        yield pd.DataFrame({
+            "media_id": ids,
+            "n_bytes": lens,
+            "byte_mean": pd.arrays.FloatingArray(means, ~nz),
+            "distinct_bytes": pd.arrays.IntegerArray(
+                distinct.astype(np.int32), null.copy()
+            ),
+            "head_hex": head_hex,
+        })
 
 
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,6 +87,73 @@ def main() -> None:
                 "\n== internal: changed-stats delta frame ==\n"
             )
             parts.append(_explain(changed))
+            # r15 fused fold: the ONE-collect delta rollup (the frame
+            # _span_fold_distributed collects) and the snapshot-read
+            # stats-upsert write frame — the two plans the fusion's
+            # claims rest on
+            from pyspark.sql import Window as _W
+
+            import pyarrow as _pa
+
+            wh = _W.partitionBy("h")
+            pre = (
+                batch.withColumn("tag", F.lit(1))
+                .unionByName(probe.withColumn("tag", F.lit(0)))
+                .withColumn("nd_batch", F.sum("tag").over(wh))
+                .withColumn("nd_old", F.sum(1 - F.col("tag")).over(wh))
+                .groupBy("doc_id")
+                .agg(
+                    F.max("tag").alias("is_new"),
+                    F.sum(F.when(F.col("tag") == 1, F.col("c"))
+                          .otherwise(0)).alias("n_spans_new"),
+                    F.sum(F.when(
+                        (F.col("tag") == 1)
+                        & (F.col("nd_old") + F.col("nd_batch") >= 2),
+                        F.col("c")).otherwise(0)).alias("dup_new"),
+                    F.sum(F.when(
+                        (F.col("tag") == 0) & (F.col("nd_old") == 1),
+                        F.col("c")).otherwise(0)).alias("inc"),
+                )
+                .filter((F.col("is_new") == 1) | (F.col("inc") > 0))
+            )
+            parts.append(
+                "\n== internal (r15): one-collect changed-doc rollup"
+                " (the _span_fold_distributed toArrow frame) ==\n"
+            )
+            parts.append(_explain(pre))
+            from hfcommunity_spark.operators.graph import _bucket_expr
+            batch_rel = spark.createDataFrame(_pa.table({
+                "doc_id": _pa.array([1], _pa.int64()),
+                "n_spans": _pa.array([1], _pa.int64()),
+                "n_dup_spans": _pa.array([0], _pa.int64()),
+            }))
+            inc_rel = spark.createDataFrame(_pa.table({
+                "doc_id": _pa.array([2], _pa.int64()),
+                "inc": _pa.array([1], _pa.int64()),
+            }))
+            upsert = (
+                stats
+                .join(F.broadcast(batch_rel.select("doc_id")),
+                      "doc_id", "left_anti")
+                .join(F.broadcast(inc_rel), "doc_id", "left")
+                .select(
+                    "doc_id", "n_spans",
+                    (F.col("n_dup_spans")
+                     + F.coalesce(F.col("inc"),
+                                  F.lit(0).cast("bigint")))
+                    .alias("n_dup_spans"),
+                )
+                .unionByName(batch_rel)
+                .withColumn("d_bucket",
+                            _bucket_expr("doc_id",
+                                         dd.SPAN_STATS_BUCKETS))
+            )
+            parts.append(
+                "\n== internal (r15): snapshot-read stats-upsert write"
+                " frame (broadcast local relations; no pre-write"
+                " checkpoint) ==\n"
+            )
+            parts.append(_explain(upsert))
         if name.startswith("x15"):
             from pyspark.sql import functions as F
             from hfcommunity_spark.operators import dedup as dd
