@@ -2906,7 +2906,15 @@ def _span_fold_distributed(spark, postings_dir: str, stats_dir: str,
         # the two layout writes stay overlapped (r14, guide §2.6); the
         # crash-journal window is unchanged — marker before either
         # write, removed only after both (ADVICE r14: the threaded
-        # stats write's outcome is ALWAYS surfaced)
+        # stats write's outcome is ALWAYS surfaced).
+        #
+        # GUARD (VERDICT r14 #4): partitionOverwriteMode is a
+        # SESSION-GLOBAL conf shared by both driver threads — safe
+        # here only because the append ignores it (mode=append) and
+        # the restore waits for both writes.  Do NOT add a third
+        # concurrent writer inside this conf window without moving
+        # the mode into each write's own DataFrameWriter option
+        # ("partitionOverwriteMode" is also a per-write option).
         from concurrent.futures import ThreadPoolExecutor
 
         def _stats_write() -> None:
