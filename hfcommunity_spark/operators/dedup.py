@@ -2137,19 +2137,34 @@ def x15_stream_maintained_clusters(spark: SparkSession,
                             pa.array([k] * st.num_rows, pa.int32()),
                         ))
                     else:
+                        # failed local gate: freeze this delivery's
+                        # state as a HARDLINK snapshot and serve it
+                        # LAZILY (r15 — the x17 snapshot-serve
+                        # pattern): the writers only ever replace
+                        # whole files, so the linked names keep the
+                        # old inodes alive through later folds'
+                        # dynamic overwrites, and the per-delivery
+                        # eager-checkpoint job the catalog read needed
+                        # for mutation isolation is gone (the final
+                        # union materializes every serve once).
+                        snap = os.path.join(work, f"serve{k}")
+                        shutil.copytree(
+                            cdir, snap, copy_function=_link_or_copy
+                        )
                         served.append(
-                            spark.table(ctab).select(
+                            spark.read.schema(
+                                "vertex BIGINT, component BIGINT, "
+                                "c_bucket INT"
+                            ).parquet(snap).select(
                                 F.lit(k).cast("int").alias("delivery_id"),
                                 F.col("vertex").alias("doc_id"),
                                 "component",
-                            # coalesce (no shuffle): the catalog read
+                            # coalesce (no shuffle): the snapshot read
                             # carries one partition per bucket dir;
-                            # snapshotting at session width keeps the
-                            # serve union at ~32 tasks per serve instead
-                            # of ~64
-                            ).coalesce(
-                                default_parallelism()
-                            ).localCheckpoint()
+                            # serving at session width keeps the
+                            # serve union at ~32 tasks per serve
+                            # instead of ~64
+                            ).coalesce(default_parallelism())
                         )
                 finally:
                     # ALWAYS surface the threaded vertex write's

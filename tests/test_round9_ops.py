@@ -629,9 +629,11 @@ def test_x15_local_serve_matches_catalog_serve(spark):
     """Round-13 serve surgery: each delivery's serve is a driver-local
     pyarrow read of the bucket layout (the x17 probe applied to the
     serve side); with X15_SERVE_LOCAL_ROW_MAX pinned to 0 every serve
-    is the catalog read + eager checkpoint.  The two must be
-    value-identical — disk state and catalog state are the same table
-    when the partition-sync discipline holds, and this locks it."""
+    is a hardlink snapshot + lazy distributed read (r15 — the x17
+    snapshot-serve pattern; before r15, a catalog read + eager
+    checkpoint).  The two must be value-identical — disk state and
+    catalog state are the same table when the partition-sync
+    discipline holds, and this locks it."""
     import hfcommunity_spark.operators.dedup as dd
 
     local = sorted(
